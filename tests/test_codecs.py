@@ -1,0 +1,302 @@
+"""Codec unit tests: pinned-byte fixtures (FIXTURES.md F2, from the
+reference unit tests) + seeded randomized roundtrips (F3)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_rs_ray.codecs import (ByteArrayVals, PhysicalType, delta,
+                                   delta_bytes, dictionary, forpack, fsst,
+                                   levels, plain, rlebool)
+
+
+# ---------------------------------------------------------------- PLAIN
+
+def test_plain_int32_pinned():
+    # reference data_type.rs:348-389: 7 -> [7,0,0,0]
+    assert plain.encode(PhysicalType.INT32, np.array([7], np.int32)) == bytes([7, 0, 0, 0])
+    assert plain.encode(PhysicalType.INT64, np.array([7], np.int64)) == bytes([7, 0, 0, 0, 0, 0, 0, 0])
+
+
+def test_plain_bool_bitpacked():
+    vals = np.array([True, False, True, True, False, False, True, True, True], dtype=np.bool_)
+    enc = plain.encode(PhysicalType.BOOLEAN, vals)
+    assert enc == bytes([0b11001101, 0b00000001])
+    np.testing.assert_array_equal(plain.decode(PhysicalType.BOOLEAN, enc, 9), vals)
+
+
+def test_plain_byte_array_prefix():
+    v = ByteArrayVals.from_pylist([b"hello", b"", b"ab"])
+    enc = plain.encode(PhysicalType.BYTE_ARRAY, v)
+    assert enc == (bytes([5, 0, 0, 0]) + b"hello" + bytes([0, 0, 0, 0])
+                   + bytes([2, 0, 0, 0]) + b"ab")
+    out = plain.decode(PhysicalType.BYTE_ARRAY, enc, 3)
+    assert out.to_pylist() == [b"hello", b"", b"ab"]
+
+
+@pytest.mark.parametrize("phys,dtype", [
+    (PhysicalType.INT32, np.int32), (PhysicalType.INT64, np.int64),
+    (PhysicalType.FLOAT, np.float32), (PhysicalType.DOUBLE, np.float64)])
+def test_plain_fixed_roundtrip(phys, dtype):
+    rng = np.random.default_rng(1)
+    vals = rng.integers(-1000, 1000, 1024).astype(dtype)
+    enc = plain.encode(phys, vals)
+    np.testing.assert_array_equal(plain.decode(phys, enc, 1024), vals)
+
+
+def test_plain_flba_roundtrip():
+    rng = np.random.default_rng(2)
+    raw = rng.integers(0, 256, 10 * 16, dtype=np.uint8)
+    v = ByteArrayVals(np.arange(11, dtype=np.int64) * 16, raw)
+    enc = plain.encode(PhysicalType.FIXED_LEN_BYTE_ARRAY, v)
+    assert enc == raw.tobytes()
+    out = plain.decode(PhysicalType.FIXED_LEN_BYTE_ARRAY, enc, 10, type_length=16)
+    assert out.to_pylist() == v.to_pylist()
+
+
+# ---------------------------------------------------------------- DELTA
+
+def test_delta_pinned_sample():
+    # reference decoding.rs:1152-1167: [29,43,89] <-> exact 34-byte buffer,
+    # header ends at offset 5, data at 34
+    vals = np.array([29, 43, 89], dtype=np.int32)
+    enc = delta.encode(vals, is_int32=True)
+    assert len(enc) == 34
+    assert enc[:5] == bytes([128, 1, 4, 3, 58])
+    assert enc[5] == 28  # zigzag(min_delta=14)
+    assert enc[6:10] == bytes([6, 0, 0, 0])  # miniblock widths
+    out, consumed = delta.decode_with_consumed(enc, is_int32=True)
+    np.testing.assert_array_equal(out, vals)
+    assert consumed == 34
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 63, 64, 128, 129, 256, 257, 1000])
+@pytest.mark.parametrize("is32", [True, False])
+def test_delta_roundtrip_lengths(n, is32):
+    rng = np.random.default_rng(n + int(is32))
+    dtype = np.int32 if is32 else np.int64
+    vals = rng.integers(-10 ** 6, 10 ** 6, n).astype(dtype)
+    enc = delta.encode(vals, is_int32=is32)
+    np.testing.assert_array_equal(delta.decode(enc, is_int32=is32), vals)
+
+
+@pytest.mark.parametrize("is32", [True, False])
+def test_delta_wrapping_extremes(is32):
+    # reference decoding.rs:1076-1089: MIN/MAX alternating exercises
+    # wrapping arithmetic
+    dtype = np.int32 if is32 else np.int64
+    info = np.iinfo(dtype)
+    vals = np.array([info.min, info.max] * 64, dtype=dtype)
+    enc = delta.encode(vals, is_int32=is32)
+    np.testing.assert_array_equal(delta.decode(enc, is_int32=is32), vals)
+
+
+def test_delta_sorted_is_small():
+    vals = np.arange(10000, dtype=np.int64) * 1000  # constant delta
+    enc = delta.encode(vals, is_int32=False)
+    # all deltas equal -> zero-width miniblocks, ~6 bytes per 128-value block
+    assert len(enc) < 600
+
+
+# ----------------------------------------------------------- DICTIONARY
+
+def test_dict_sizes_pinned():
+    # reference encoding.rs:1048-1077: 5 distinct i32 -> dict bytes 20;
+    # strings "abcd","efj" -> 15 (two u32 prefixes + 7 bytes)
+    data, page, n = dictionary.encode(
+        PhysicalType.INT32, np.array([1, 2, 3, 4, 5], np.int32))
+    assert n == 5 and len(page) == 20
+    v = ByteArrayVals.from_pylist([b"abcd", b"efj"])
+    data, page, n = dictionary.encode(PhysicalType.BYTE_ARRAY, v)
+    assert n == 2 and len(page) == 15
+
+
+def test_dict_bit_width_rule():
+    # encoding.rs:325-334: 0 entries->0, 1->1, else ceil_log2
+    assert dictionary.bit_width_for(0) == 0
+    assert dictionary.bit_width_for(1) == 1
+    assert dictionary.bit_width_for(2) == 1
+    assert dictionary.bit_width_for(3) == 2
+    assert dictionary.bit_width_for(1024) == 10
+
+
+def test_dict_first_occurrence_order():
+    v = ByteArrayVals.from_pylist([b"b", b"a", b"b", b"c", b"a"])
+    data, page, n = dictionary.encode(PhysicalType.BYTE_ARRAY, v)
+    # dict page is PLAIN uniques in first-occurrence order: b, a, c
+    assert page == (bytes([1, 0, 0, 0]) + b"b" + bytes([1, 0, 0, 0]) + b"a"
+                    + bytes([1, 0, 0, 0]) + b"c")
+    out = dictionary.decode(PhysicalType.BYTE_ARRAY, data, page, n, 5)
+    assert out.to_pylist() == [b"b", b"a", b"b", b"c", b"a"]
+
+
+@pytest.mark.parametrize("phys,dtype", [
+    (PhysicalType.INT32, np.int32), (PhysicalType.INT64, np.int64),
+    (PhysicalType.DOUBLE, np.float64)])
+def test_dict_fixed_roundtrip(phys, dtype):
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 2000).astype(dtype)
+    data, page, n = dictionary.encode(phys, vals)
+    out = dictionary.decode(phys, data, page, n, 2000)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_dict_string_roundtrip():
+    rng = np.random.default_rng(4)
+    pool = [f"lang_{i}".encode() for i in range(30)]
+    items = [pool[i] for i in rng.integers(0, 30, 5000)]
+    v = ByteArrayVals.from_pylist(items)
+    data, page, n = dictionary.encode(PhysicalType.BYTE_ARRAY, v)
+    out = dictionary.decode(PhysicalType.BYTE_ARRAY, data, page, n, 5000)
+    assert out.to_pylist() == items
+    assert len(data) + len(page) < sum(map(len, items))
+
+
+# ---------------------------------------------------------------- LEVELS
+
+def test_levels_v1_roundtrip():
+    rng = np.random.default_rng(5)
+    for max_level in [1, 3, 10]:
+        lv = rng.integers(0, max_level + 1, 997).astype(np.int16)
+        enc = levels.encode_v1(lv, max_level)
+        out, consumed = levels.decode_v1(enc, max_level, 997)
+        np.testing.assert_array_equal(out, lv)
+        assert consumed == len(enc)
+
+
+def test_levels_v2_and_bitpacked():
+    lv = np.array([0, 1, 1, 0, 1] * 100, dtype=np.int16)
+    enc2 = levels.encode_v2(lv, 1)
+    np.testing.assert_array_equal(levels.decode_v2(enc2, 1, 500), lv)
+    encbp = levels.encode_bit_packed(lv, 1)
+    np.testing.assert_array_equal(levels.decode_bit_packed(encbp, 1, 500), lv)
+
+
+def test_validity_bitmap():
+    rng = np.random.default_rng(6)
+    valid = rng.random(1000) > 0.3
+    enc = levels.encode_validity(valid)
+    np.testing.assert_array_equal(levels.decode_validity(enc, 1000), valid)
+
+
+# -------------------------------------------------------------- RLE BOOL
+
+def test_rlebool_roundtrip():
+    rng = np.random.default_rng(7)
+    for n in [256, 257, 126]:
+        vals = rng.random(n) > 0.5
+        enc = rlebool.encode(vals)
+        assert int.from_bytes(enc[:4], "little") == len(enc) - 4
+        np.testing.assert_array_equal(rlebool.decode(enc, n), vals)
+
+
+# ------------------------------------------------------------------- FOR
+
+@pytest.mark.parametrize("is32", [True, False])
+def test_for_roundtrip(is32):
+    rng = np.random.default_rng(8)
+    dtype = np.int32 if is32 else np.int64
+    base = 1_600_000_000_000_000 if not is32 else 1_000_000
+    vals = (base + rng.integers(0, 3600 * 10 ** 6 if not is32 else 3600, 1000)).astype(dtype)
+    enc = forpack.encode(vals, is_int32=is32)
+    np.testing.assert_array_equal(forpack.decode(enc, is_int32=is32), vals)
+    # clustered timestamps compress far better than plain
+    assert len(enc) <= 1000 * (4 if is32 else 8) / 2 + 64
+
+
+def test_for_constant_column():
+    vals = np.full(500, 42, dtype=np.int64)
+    enc = forpack.encode(vals, is_int32=False)
+    assert len(enc) < 16
+    np.testing.assert_array_equal(forpack.decode(enc, is_int32=False), vals)
+
+
+# ---------------------------------------------------------- DELTA BYTES
+
+def test_delta_length_roundtrip():
+    items = [b"hello", b"", b"a" * 300, b"xy"]
+    v = ByteArrayVals.from_pylist(items)
+    enc = delta_bytes.encode_delta_length(v)
+    out = delta_bytes.decode_delta_length(enc, 4)
+    assert out.to_pylist() == items
+
+
+def test_delta_byte_array_prefixes():
+    items = [b"https://a.com/page1", b"https://a.com/page2", b"https://b.org/x"]
+    v = ByteArrayVals.from_pylist(items)
+    pl = delta_bytes.common_prefix_lengths(v)
+    np.testing.assert_array_equal(pl, [0, 18, 8])
+    enc = delta_bytes.encode_delta_byte_array(v)
+    out = delta_bytes.decode_delta_byte_array(enc, 3)
+    assert out.to_pylist() == items
+
+
+def test_delta_byte_array_reuse_regression():
+    # reference encoding.rs:1150-1177 (issue #47): put/flush/put again
+    items = [b"aa", b"aaa"]
+    v = ByteArrayVals.from_pylist(items)
+    for _ in range(2):
+        enc = delta_bytes.encode_delta_byte_array(v)
+        out = delta_bytes.decode_delta_byte_array(enc, 2)
+        assert out.to_pylist() == items
+
+
+def test_delta_byte_array_long_prefix():
+    # prefixes longer than the vectorized cap (64) fall back per-row
+    a = b"p" * 200 + b"x"
+    b = b"p" * 200 + b"y"
+    v = ByteArrayVals.from_pylist([a, b])
+    pl = delta_bytes.common_prefix_lengths(v)
+    np.testing.assert_array_equal(pl, [0, 200])
+    enc = delta_bytes.encode_delta_byte_array(v)
+    assert delta_bytes.decode_delta_byte_array(enc, 2).to_pylist() == [a, b]
+
+
+def test_delta_byte_array_sorted_urls_compress():
+    urls = [f"https://domain{i % 5}.com/path/{i:06d}".encode() for i in range(1000)]
+    urls.sort()
+    v = ByteArrayVals.from_pylist(urls)
+    enc = delta_bytes.encode_delta_byte_array(v)
+    assert len(enc) < sum(map(len, urls)) // 2
+    assert delta_bytes.decode_delta_byte_array(enc, 1000).to_pylist() == urls
+
+
+# ------------------------------------------------------------------ FSST
+
+def test_fsst_roundtrip_basic():
+    items = [b"the quick brown fox", b"the lazy dog", b"", b"the the the"]
+    v = ByteArrayVals.from_pylist(items)
+    enc = fsst.encode(v)
+    out = fsst.decode(enc)
+    assert out.to_pylist() == items
+
+
+def test_fsst_compresses_redundant_text():
+    words = ["the", "of", "and", "compression", "symbol", "table"]
+    rng = np.random.default_rng(9)
+    items = [(" ".join(words[i] for i in rng.integers(0, 6, 30))).encode()
+             for _ in range(200)]
+    v = ByteArrayVals.from_pylist(items)
+    enc = fsst.encode(v)
+    raw = sum(map(len, items))
+    assert len(enc) < raw * 0.7, (len(enc), raw)
+    assert fsst.decode(enc).to_pylist() == items
+
+
+def test_fsst_binary_with_escapes():
+    rng = np.random.default_rng(10)
+    items = [rng.integers(0, 256, rng.integers(0, 50), endpoint=False)
+             .astype(np.uint8).tobytes() for _ in range(100)]
+    items.append(b"\xff" * 17)  # escape-code byte runs
+    items.append(b"\xff\x00\xff")
+    v = ByteArrayVals.from_pylist(items)
+    enc = fsst.encode(v)
+    assert fsst.decode(enc).to_pylist() == items
+
+
+def test_fsst_table_roundtrip():
+    t = fsst.train(b"ababab cdcdcd ababab")
+    data = t.serialize()
+    t2, pos = fsst.SymbolTable.deserialize(data)
+    assert pos == len(data)
+    assert t2.symbols == t.symbols
