@@ -44,17 +44,11 @@ def pack_bits(values: np.ndarray, bit_width: int) -> bytes:
     n = len(values)
     if n == 0 or bit_width == 0:
         return b""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    if bit_width <= 57:
-        # Fast path: spread each value's bits via shifts into a (n, bit_width)
-        # uint8 bit matrix, then packbits little-endian.
-        shifts = np.arange(bit_width, dtype=np.uint64)
-        bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    else:
-        lo = ((v[:, None] >> np.arange(57, dtype=np.uint64)) & np.uint64(1))
-        hi_shifts = np.arange(57, bit_width, dtype=np.uint64)
-        hi = ((v[:, None] >> hi_shifts) & np.uint64(1))
-        bits = np.concatenate([lo, hi], axis=1).astype(np.uint8)
+    width_bytes = 1 if bit_width <= 8 else 2 if bit_width <= 16 else 4 if bit_width <= 32 else 8
+    u = np.ascontiguousarray(values, dtype=f"<u{width_bytes}")
+    # C-speed bit spread: bytes -> per-value LSB-first bit rows -> repack
+    bits = np.unpackbits(u.view(np.uint8).reshape(n, width_bytes),
+                         axis=1, bitorder="little")[:, :bit_width]
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
@@ -70,9 +64,12 @@ def unpack_bits(data: bytes | memoryview | np.ndarray, bit_width: int,
     nbytes = ceil_div(total_bits, 8)
     bits = np.unpackbits(buf[:nbytes], bitorder="little", count=nbytes * 8)
     bits = bits[bit_offset:bit_offset + num_values * bit_width]
-    bits = bits.reshape(num_values, bit_width).astype(np.uint64)
-    weights = (np.uint64(1) << np.arange(bit_width, dtype=np.uint64))
-    return bits @ weights
+    bits = bits.reshape(num_values, bit_width)
+    width_bytes = 1 if bit_width <= 8 else 2 if bit_width <= 16 else 4 if bit_width <= 32 else 8
+    padded = np.zeros((num_values, width_bytes * 8), dtype=np.uint8)
+    padded[:, :bit_width] = bits
+    packed = np.packbits(padded, axis=1, bitorder="little")
+    return packed.view(f"<u{width_bytes}").reshape(num_values).astype(np.uint64)
 
 
 def encode_vlq(value: int) -> bytes:

@@ -134,12 +134,12 @@ def decode_with_consumed(data: bytes, is_int32: bool) -> tuple[np.ndarray, int]:
         return out, pos
     out[0] = first
     remaining = total - 1
-    deltas_parts: list[np.ndarray] = []
     mask = 0xFFFFFFFF if is_int32 else 0xFFFFFFFFFFFFFFFF
     udtype = np.uint32 if is_int32 else np.uint64
+    # Pass 1: walk block headers, record miniblock (width, pos, take, min).
+    entries: list[tuple[int, int, int, int]] = []
     while remaining > 0:
         min_delta, pos = decode_zigzag_vlq(buf, pos)
-        umin = udtype(min_delta & mask)
         widths = bytes(buf[pos:pos + num_mini])
         pos += num_mini
         block_n = min(block_size, remaining)
@@ -149,17 +149,32 @@ def decode_with_consumed(data: bytes, is_int32: bool) -> tuple[np.ndarray, int]:
                 break
             w = widths[m]
             take = min(mini, block_n - got)
-            if w:
-                nbytes = mini * w // 8
-                vals = unpack_bits(buf[pos:pos + nbytes], w, mini)[:take]
-                pos += nbytes
-            else:
-                vals = np.zeros(take, dtype=np.uint64)
-            # delta = adjusted + min_delta, wrapping in the physical width
-            deltas_parts.append((vals.astype(udtype) + umin).view(dtype))
+            entries.append((w, pos, take, min_delta))
+            pos += mini * w // 8
             got += take
         remaining -= block_n
-    deltas = np.concatenate(deltas_parts) if deltas_parts else np.empty(0, dtype)
-    out[1:] = deltas
+    # Pass 2: bulk-unpack all miniblocks sharing a width in one call.
+    parts: list[np.ndarray | None] = [None] * len(entries)
+    by_width: dict[int, list[int]] = {}
+    for i, e in enumerate(entries):
+        by_width.setdefault(e[0], []).append(i)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    for w, idxs in by_width.items():
+        if w == 0:
+            for i in idxs:
+                parts[i] = np.zeros(entries[i][2], dtype=np.uint64)
+            continue
+        per = mini * w // 8
+        blob = np.concatenate([raw[entries[i][1]:entries[i][1] + per] for i in idxs])
+        vals = unpack_bits(blob, w, mini * len(idxs)).reshape(len(idxs), mini)
+        for j, i in enumerate(idxs):
+            parts[i] = vals[j, :entries[i][2]]
+    if not parts:
+        return out, pos
+    adj = np.concatenate(parts).astype(udtype)
+    mins = np.repeat(
+        np.array([(e[3] & mask) for e in entries], dtype=udtype),
+        np.array([e[2] for e in entries], dtype=np.int64))
+    out[1:] = (adj + mins).view(dtype)
     np.cumsum(out, out=out)  # wrapping cumsum in dtype
     return out, pos

@@ -59,6 +59,14 @@ def rle_encode(values: np.ndarray, bit_width: int) -> bytes:
 
     starts, lengths = _runs(v)
 
+    if int(lengths.max()) < 8:
+        # Fast path: no run can ever reach the RLE threshold, so the whole
+        # stream is one literal stretch (except a possible trailing short
+        # RLE run when the final partial group is one value and lands just
+        # after a 63-group finalization) — identical bytes, no Python loop.
+        merged = [("L", 0, n)]
+        return bytes(_emit(out, v, merged, value_nbytes, bit_width))
+
     # Phase 1: split the stream into events: literal ranges + rle runs.
     # ('L', start, end) / ('R', count, value_index)
     events: list[tuple[str, int, int]] = []
@@ -87,8 +95,13 @@ def rle_encode(values: np.ndarray, bit_width: int) -> bytes:
         if ev[0] == "L" and merged and merged[-1][0] == "L" and merged[-1][2] == ev[1]:
             merged[-1] = ("L", merged[-1][1], ev[2])
         else:
-            merged.append(list(ev))  # type: ignore[arg-type]
+            merged.append(ev)
 
+    return bytes(_emit(out, v, merged, value_nbytes, bit_width))
+
+
+def _emit(out: bytearray, v: np.ndarray, merged: list, value_nbytes: int,
+          bit_width: int) -> bytearray:
     # Phase 2: emit bytes.
     for i, ev in enumerate(merged):
         if ev[0] == "R":
@@ -127,7 +140,7 @@ def rle_encode(values: np.ndarray, bit_width: int) -> bytes:
         if trailing_rle:
             out += encode_vlq(rem << 1)
             out += int(v[e - 1]).to_bytes(value_nbytes, "little")
-    return bytes(out)
+    return out
 
 
 def rle_decode(data, bit_width: int, num_values: int) -> np.ndarray:
