@@ -1,0 +1,153 @@
+"""Resumable encode job: read shards → encode (actor pool) → write
+per-block encoded parquet + commit per-shard lineage to the manifest.
+
+Flow (streaming end to end, SURVEY §3.1/§4.2):
+
+  paths ──manifest filter──▶ read_parquet(include_paths=True)
+        ──map_batches(EncodeWriteActor)──▶ tiny lineage rows
+        ──driver streams lineage, commits manifest entry when a shard's
+          row count completes──▶ resumable output
+
+Output layout: {out_dir}/data/{block_id}.parquet (one file per block ≙
+row group — partitioned output, never one giant file), manifest at
+{out_dir}/manifest/. A killed run restarts by skipping committed shards;
+orphan block files from uncommitted shards are ignored by decode (only
+manifest-referenced blocks are read).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from collections import Counter, defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import manifest
+from .page import PAGE_SCHEMA
+from .pipeline import EncodeActor, decode_batch
+
+LINEAGE_SCHEMA = pa.schema([
+    ("path", pa.string()),
+    ("block_file", pa.string()),
+    ("rows", pa.int64()),
+    ("plain_bytes", pa.int64()),
+    ("encoded_bytes", pa.int64()),
+    ("codecs_json", pa.string()),
+    ("checksum", pa.string()),
+])
+
+
+class EncodeWriteActor(EncodeActor):
+    """Encode a block and persist its page rows; emit one lineage row per
+    (path, block). Writing happens inside the task so the pipeline stays
+    streaming (no driver materialization of encoded data)."""
+
+    def __init__(self, out_dir: str, **kwargs):
+        super().__init__(**kwargs)
+        self.data_dir = os.path.join(out_dir, "data")
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pages = super().__call__(batch)
+        out_rows = []
+        # one output file per block id
+        import pyarrow.compute as pc
+        for block_id in pages.column("block_id").unique().to_pylist():
+            block = pages.filter(pc.equal(pages.column("block_id"), block_id))
+            fname = os.path.join(self.data_dir, f"{block_id}.parquet")
+            tmp = fname + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(block, tmp)
+            os.replace(tmp, fname)
+            h = hashlib.sha256()
+            for buf in block.column("data").to_pylist():
+                h.update(hashlib.sha256(buf).digest())
+            codecs = Counter(zip(block.column("column").to_pylist(),
+                                 block.column("codec").to_pylist()))
+            out_rows.append({
+                "path": block.column("path")[0].as_py(),
+                "block_file": fname,
+                "rows": int(block.column("block_rows")[0].as_py()),
+                "plain_bytes": int(sum(block.column("plain_size").to_pylist())),
+                "encoded_bytes": int(sum(block.column("encoded_size").to_pylist())),
+                "codecs_json": json.dumps({f"{c}:{k}": v for (c, k), v in codecs.items()}),
+                "checksum": h.hexdigest(),
+            })
+        return pa.Table.from_pylist(out_rows, schema=LINEAGE_SCHEMA)
+
+
+def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
+               block_codec: str | None = None, enable_fsst: bool = True,
+               override_num_blocks: int | None = None) -> dict:
+    """Run (or resume) the encode job. Returns summary stats."""
+    import ray
+
+    manifest_dir = os.path.join(out_dir, "manifest")
+    todo = manifest.pending(manifest_dir, paths)
+    already = len(paths) - len(todo)
+    summary = {"shards_total": len(paths), "shards_skipped": already,
+               "shards_encoded": 0, "rows": 0, "plain_bytes": 0,
+               "encoded_bytes": 0}
+    if not todo:
+        return summary
+
+    expected_rows = {p: pq.ParquetFile(p).metadata.num_rows for p in todo}
+
+    ds = ray.data.read_parquet(todo, include_paths=True)
+    lineage = ds.map_batches(
+        EncodeWriteActor,
+        fn_constructor_kwargs={"out_dir": out_dir,
+                               "block_codec": block_codec,
+                               "enable_fsst": enable_fsst},
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        concurrency=concurrency)
+
+    # stream lineage rows; commit a shard once all its rows have arrived
+    acc: dict[str, list[dict]] = defaultdict(list)
+    got_rows: Counter = Counter()
+    for row in lineage.iter_rows():
+        p = row["path"]
+        acc[p].append(row)
+        got_rows[p] += row["rows"]
+        if got_rows[p] >= expected_rows.get(p, float("inf")):
+            blocks = acc.pop(p)
+            plain_b = sum(b["plain_bytes"] for b in blocks)
+            enc_b = sum(b["encoded_bytes"] for b in blocks)
+            codecs: Counter = Counter()
+            for b in blocks:
+                codecs.update(json.loads(b["codecs_json"]))
+            manifest.record(
+                manifest_dir, p,
+                output_path=json.dumps(sorted(b["block_file"] for b in blocks)),
+                rows=got_rows[p], plain_bytes=plain_b, encoded_bytes=enc_b,
+                codecs=dict(codecs),
+                checksum=hashlib.sha256(
+                    "".join(sorted(b["checksum"] for b in blocks)).encode()).hexdigest())
+            summary["shards_encoded"] += 1
+            summary["rows"] += got_rows[p]
+            summary["plain_bytes"] += plain_b
+            summary["encoded_bytes"] += enc_b
+    return summary
+
+
+def committed_block_files(out_dir: str) -> list[str]:
+    entries = manifest.load(os.path.join(out_dir, "manifest"))
+    files: list[str] = []
+    for e in entries.values():
+        files.extend(json.loads(e["output"]))
+    return sorted(files)
+
+
+def decode_job(out_dir: str):
+    """Dataset over the committed encoded blocks, decoded to the original
+    schema (streaming; one encoded block file == one decode task batch)."""
+    import ray
+    files = committed_block_files(out_dir)
+    if not files:
+        raise FileNotFoundError(f"no committed blocks under {out_dir}")
+    eds = ray.data.read_parquet(files, override_num_blocks=len(files))
+    return eds.map_batches(decode_batch, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)

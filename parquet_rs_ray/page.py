@@ -1,0 +1,250 @@
+"""Encoded-page representation + codec dispatch + per-page statistics.
+
+≙ the reference page/column-chunk model (`/root/reference/src/column/page.rs:30-56`,
+metadata `src/file/metadata.rs:294-309`, statistics `src/file/statistics.rs`):
+one *page row* in the encoded dataset corresponds to one data page; a
+column chunk is the ordered set of page rows sharing (path, block, column).
+
+A page row carries the encoded values (`data`), the optional PLAIN dict
+page (`dict`), the RLE'd def-levels/null bitmap (`levels`,
+≙ `src/encodings/levels.rs` v1 layout), typed stats, and lineage sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import (ByteArrayVals, PhysicalType, dictionary, delta,
+                     delta_bytes, forpack, fsst, levels, plain, rlebool,
+                     physical_of_arrow, values_from_arrow, values_to_arrow)
+
+# Defaults mirroring the reference writer properties
+# (`/root/reference/src/file/properties.rs:56-64`).
+DATA_PAGE_SIZE = 1 << 20        # 1 MiB
+DICT_PAGE_SIZE_LIMIT = 1 << 20  # 1 MiB
+
+
+PAGE_SCHEMA = pa.schema([
+    ("path", pa.string()),
+    ("block_id", pa.string()),
+    ("block_rows", pa.int64()),
+    ("n_cols", pa.int32()),
+    ("col_idx", pa.int32()),
+    ("column", pa.string()),
+    ("page_id", pa.int32()),
+    ("n_pages", pa.int32()),
+    ("phys", pa.string()),
+    ("arrow_type", pa.binary()),
+    ("codec", pa.string()),
+    ("num_values", pa.int64()),
+    ("null_count", pa.int64()),
+    ("levels", pa.binary()),
+    ("data", pa.binary()),
+    ("dict", pa.binary()),
+    ("num_entries", pa.int64()),
+    ("type_length", pa.int32()),
+    ("plain_size", pa.int64()),
+    ("encoded_size", pa.int64()),
+    ("block_codec", pa.string()),
+    ("data_raw_len", pa.int64()),
+    ("dict_raw_len", pa.int64()),
+    ("stats_json", pa.string()),
+])
+
+
+def plain_size_of(phys: PhysicalType, values, type_length: int = 0) -> int:
+    """Exact PLAIN-encoded size without materializing it."""
+    if phys == PhysicalType.BOOLEAN:
+        return -(-len(values) // 8)
+    if phys == PhysicalType.BYTE_ARRAY:
+        return int(values.offsets[-1]) + 4 * len(values)
+    if phys == PhysicalType.FIXED_LEN_BYTE_ARRAY:
+        return int(values.offsets[-1])
+    return len(values) * np.dtype({PhysicalType.INT32: "i4", PhysicalType.INT64: "i8",
+                                   PhysicalType.FLOAT: "f4", PhysicalType.DOUBLE: "f8"}[phys]).itemsize
+
+
+def encode_with(codec: str, phys: PhysicalType, values, type_length: int = 0,
+                fsst_table=None) -> tuple[bytes, bytes, int]:
+    """Dispatch: encode canonical values → (data, dict_page, num_entries)."""
+    if codec == "PLAIN":
+        return plain.encode(phys, values), b"", 0
+    if codec == "RLE":
+        return rlebool.encode(values), b"", 0
+    if codec == "RLE_DICTIONARY":
+        data, page, n = dictionary.encode(phys, values)
+        return data, page, n
+    if codec == "DELTA_BINARY_PACKED":
+        return delta.encode(values, phys == PhysicalType.INT32), b"", 0
+    if codec == "FOR":
+        return forpack.encode(values, phys == PhysicalType.INT32), b"", 0
+    if codec == "DELTA_LENGTH_BYTE_ARRAY":
+        return delta_bytes.encode_delta_length(values), b"", 0
+    if codec == "DELTA_BYTE_ARRAY":
+        return delta_bytes.encode_delta_byte_array(values), b"", 0
+    if codec == "FSST":
+        return fsst.encode(values, fsst_table), b"", 0
+    raise ValueError(f"unknown codec {codec}")
+
+
+def decode_with(codec: str, phys: PhysicalType, data: bytes, dict_page: bytes,
+                num_entries: int, num_values: int, type_length: int = 0):
+    """Dispatch: encoded bytes → canonical values.
+
+    ≙ the reference per-chunk decoder cache dispatch
+    (`/root/reference/src/column/reader.rs:383-413`)."""
+    if codec == "PLAIN":
+        return plain.decode(phys, data, num_values, type_length)
+    if codec == "RLE":
+        return rlebool.decode(data, num_values)
+    if codec == "RLE_DICTIONARY":
+        return dictionary.decode(phys, data, dict_page, num_entries,
+                                 num_values, type_length)
+    if codec == "DELTA_BINARY_PACKED":
+        return delta.decode(data, phys == PhysicalType.INT32)
+    if codec == "FOR":
+        return forpack.decode(data, phys == PhysicalType.INT32)
+    if codec == "DELTA_LENGTH_BYTE_ARRAY":
+        return delta_bytes.decode_delta_length(data, num_values)
+    if codec == "DELTA_BYTE_ARRAY":
+        return delta_bytes.decode_delta_byte_array(data, num_values)
+    if codec == "FSST":
+        return fsst.decode(data)
+    raise ValueError(f"unknown codec {codec}")
+
+
+def page_slices(arr: pa.Array, budget: int = DATA_PAGE_SIZE) -> list[tuple[int, int]]:
+    """Split a column chunk into page ranges ≤ ~budget plain bytes
+    (≙ the page-cut rule, `/root/reference/src/column/writer.rs:406-410`;
+    like the reference, a single giant row still becomes its own page)."""
+    n = len(arr)
+    if n == 0:
+        return []
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        sizes = pc.binary_length(arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64) + 4
+    elif pa.types.is_boolean(t):
+        sizes = None
+        rows_per_page = budget * 8
+    elif pa.types.is_fixed_size_binary(t) or pa.types.is_decimal(t):
+        sizes = None
+        rows_per_page = max(1, budget // max(1, t.byte_width))
+    else:
+        sizes = None
+        rows_per_page = max(1, budget // max(1, t.bit_width // 8))
+    if sizes is None:
+        return [(i, min(i + rows_per_page, n)) for i in range(0, n, rows_per_page)]
+    cum = np.cumsum(sizes)
+    cuts = [0]
+    start_bytes = 0
+    while cuts[-1] < n:
+        nxt = int(np.searchsorted(cum, start_bytes + budget, side="left")) + 1
+        nxt = max(nxt, cuts[-1] + 1)
+        nxt = min(nxt, n)
+        cuts.append(nxt)
+        start_bytes = int(cum[nxt - 1])
+    return list(zip(cuts[:-1], cuts[1:]))
+
+
+def _stats_json(arr: pa.Array, phys: PhysicalType, distinct: int | None) -> str:
+    """Per-page typed stats ≙ `src/file/statistics.rs:244-322` (min/max/
+    null_count/distinct_count), computed with Arrow kernels (SURVEY §2.9)."""
+    out: dict = {"null_count": arr.null_count}
+    if distinct is not None:
+        out["distinct_count"] = distinct
+    try:
+        if len(arr) - arr.null_count > 0:
+            mm = pc.min_max(arr)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if isinstance(mn, bytes):
+                mn, mx = mn[:64].hex(), mx[:64].hex()
+            elif isinstance(mn, str):
+                mn, mx = mn[:64], mx[:64]
+            else:
+                mn, mx = str(mn), str(mx)
+            out["min"], out["max"] = mn, mx
+    except pa.ArrowNotImplementedError:
+        pass
+    return json.dumps(out, ensure_ascii=True)
+
+
+def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
+                        selector, path: str, block_id: str, block_rows: int,
+                        n_cols: int, block_codec: str | None = None) -> list[dict]:
+    """Encode one column of one block into page rows."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    phys = physical_of_arrow(arr.type)
+    type_length = arr.type.byte_width if phys == PhysicalType.FIXED_LEN_BYTE_ARRAY else 0
+    atype = pickle.dumps(arr.type)
+    ranges = page_slices(arr) or [(0, 0)]
+    rows = []
+    n_pages = len(ranges)
+    for pid, (s, e) in enumerate(ranges):
+        page_arr = arr.slice(s, e - s)
+        null_count = page_arr.null_count
+        if null_count:
+            valid = np.asarray(page_arr.is_valid().to_numpy(zero_copy_only=False))
+            level_bytes = levels.encode_validity(valid)
+        else:
+            level_bytes = b""
+        _, values = values_from_arrow(page_arr)
+        codec, data, dict_page, num_entries, distinct = selector.select_and_encode(
+            phys, values, column=column, type_length=type_length)
+        psize = plain_size_of(phys, values, type_length)
+        raw_len = len(data)
+        dict_raw_len = len(dict_page)
+        if block_codec:
+            codec_obj = pa.Codec(block_codec)
+            data = codec_obj.compress(data).to_pybytes() if len(data) else data
+            dict_page = codec_obj.compress(dict_page).to_pybytes() if len(dict_page) else dict_page
+        rows.append({
+            "path": path, "block_id": block_id, "block_rows": block_rows,
+            "n_cols": n_cols, "col_idx": col_idx, "column": column,
+            "page_id": pid, "n_pages": n_pages, "phys": phys.value,
+            "arrow_type": atype, "codec": codec,
+            "num_values": len(page_arr), "null_count": null_count,
+            "levels": level_bytes, "data": data, "dict": dict_page,
+            "num_entries": num_entries, "type_length": type_length,
+            "plain_size": psize,
+            "encoded_size": len(data) + len(dict_page) + len(level_bytes),
+            "block_codec": block_codec or "",
+            "data_raw_len": raw_len,
+            "dict_raw_len": dict_raw_len,
+            "stats_json": _stats_json(page_arr, phys, distinct),
+        })
+    return rows
+
+
+def decode_page_row(row: dict) -> pa.Array:
+    """Decode one page row → Arrow array with nulls restored."""
+    phys = PhysicalType(row["phys"])
+    target = pickle.loads(row["arrow_type"])
+    n = row["num_values"]
+    data, dict_page = row["data"], row["dict"]
+    if row.get("block_codec"):
+        codec_obj = pa.Codec(row["block_codec"])
+        if len(data):
+            data = codec_obj.decompress(data, row["data_raw_len"]).to_pybytes()
+        if len(dict_page):
+            dict_page = codec_obj.decompress(dict_page, row["dict_raw_len"]).to_pybytes()
+    n_nonnull = n - row["null_count"]
+    values = decode_with(row["codec"], phys, data, dict_page,
+                         row["num_entries"], n_nonnull, row["type_length"])
+    arr = values_to_arrow(phys, values, target)
+    if row["null_count"]:
+        valid = levels.decode_validity(row["levels"], n)
+        # scatter non-null values into a nullable array
+        take_idx = np.full(n, -1, dtype=np.int64)
+        take_idx[valid] = np.arange(n_nonnull)
+        mask = pa.array(valid)
+        taken = arr.take(pa.array(np.maximum(take_idx, 0)))
+        arr = pc.if_else(mask, taken, pa.scalar(None, type=taken.type))
+        if arr.type != target:
+            arr = arr.cast(target)
+    return arr

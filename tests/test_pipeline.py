@@ -1,0 +1,95 @@
+"""Ray Data end-to-end tests: encode→decode roundtrip, resumable job,
+global dictionary shuffle."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_pandas(tbl, key):
+    df = tbl.to_pandas() if not hasattr(tbl, "to_pandas") or not isinstance(tbl, pa.Table) else tbl.to_pandas()
+    return df.sort_values(key).reset_index(drop=True)
+
+
+def test_ray_roundtrip_documents(ray_session):
+    import ray
+    from parquet_rs_ray.pipeline import roundtrip
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = roundtrip(ds, concurrency=2).to_pandas()
+    exp = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)[exp.columns.tolist()]
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(out, exp)
+
+
+def test_ray_roundtrip_web_table(ray_session, tmp_path):
+    import ray
+    from parquet_rs_ray.pipeline import roundtrip
+    from parquet_rs_ray.webgen import write_web_shards
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=800, n_shards=2)
+    ds = ray.data.read_parquet(paths)
+    out = roundtrip(ds, concurrency=2).to_pandas().sort_values("url").reset_index(drop=True)
+    exp = pa.concat_tables([pq.read_table(p) for p in paths]).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    # byte-identical text per url (north-star invariant)
+    assert (out["url"] == exp["url"]).all()
+    assert (out["text"] == exp["text"]).all()
+    assert out["warc_ts"].equals(exp["warc_ts"])
+    h_out = out["html"].map(lambda b: b if b is None else bytes(b))
+    h_exp = exp["html"].map(lambda b: b if b is None else bytes(b))
+    assert h_out.equals(h_exp)
+    assert (out["lang"] == exp["lang"]).all()
+
+
+def test_encode_job_resume_and_decode(ray_session, tmp_path):
+    from parquet_rs_ray import manifest
+    from parquet_rs_ray.job import encode_job, decode_job, committed_block_files
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=500, n_shards=3)
+    out_dir = str(tmp_path / "encoded")
+
+    s1 = encode_job(paths, out_dir, concurrency=2)
+    assert s1["shards_encoded"] == 3 and s1["shards_skipped"] == 0
+    assert s1["encoded_bytes"] < s1["plain_bytes"]
+
+    # resume: nothing left to do
+    s2 = encode_job(paths, out_dir, concurrency=2)
+    assert s2["shards_encoded"] == 0 and s2["shards_skipped"] == 3
+
+    # simulate a partially-failed run: drop one manifest entry → only that
+    # shard re-executes
+    mdir = os.path.join(out_dir, "manifest")
+    victim = sorted(os.listdir(mdir))[0]
+    os.remove(os.path.join(mdir, victim))
+    s3 = encode_job(paths, out_dir, concurrency=2)
+    assert s3["shards_encoded"] == 1 and s3["shards_skipped"] == 2
+
+    # decode only committed blocks; full equality with the inputs
+    dec = decode_job(out_dir).to_pandas().sort_values("url").reset_index(drop=True)
+    exp = pa.concat_tables([pq.read_table(p) for p in paths]).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert len(dec) == len(exp)
+    assert (dec["text"] == exp["text"]).all()
+    # lineage entries carry codec + size metrics
+    entries = manifest.load(mdir)
+    assert len(entries) == 3
+    e = next(iter(entries.values()))
+    assert e["encoded_bytes"] > 0 and e["codecs"] and e["checksum"]
+
+
+def test_global_dictionary(ray_session):
+    import ray
+    from parquet_rs_ray.globaldict import build_global_dictionary
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    langs = build_global_dictionary(ds, "lang", num_salts=8)
+    exp = sorted(set(pq.read_table(f"{SF}/documents.parquet")
+                     .column("lang").to_pylist()))
+    assert langs == exp
