@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``entry()`` as a smoke check (Ray already initialised,
+local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01 and
+compares against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here or in the library (driver owns the
+session).
 """
 
 from __future__ import annotations
@@ -18,27 +13,140 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: encode the documents table with the
+    per-chunk codec auto-selector, decode it back, return the decoded
+    Dataset (round-trips byte-identical)."""
+    import ray
+    from parquet_rs_ray.pipeline import roundtrip
+    ds = ray.data.read_parquet(f"{SF0001}/documents.parquet")
+    return roundtrip(ds, concurrency=2)
+
+
+# --------------------------------------------------------------- queries
+
+def _roundtrip_query(table: str, columns: list[str]):
+    def fn(sf_dir: str):
+        import ray
+        from parquet_rs_ray.pipeline import roundtrip
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+        out = roundtrip(ds, concurrency=4)
+        return out.select_columns(columns)
+    return fn
+
+
+def _stats_documents(sf_dir: str):
+    """Global column stats computed from our per-page statistics
+    (SURVEY §2.9): per-page min/max/null_count folded into chunk stats."""
+    import json
+    import pandas as pd
+    import ray
+    from parquet_rs_ray.pipeline import encode_dataset
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    pages = encode_dataset(ds, concurrency=4)
+    cols = pages.select_columns(["column", "num_values", "null_count",
+                                 "stats_json"]).to_pandas()
+    n_rows = int(cols[cols["column"] == "n_chars"]["num_values"].sum())
+    sub = cols[cols["column"] == "n_chars"]
+    mins = [json.loads(s).get("min") for s in sub["stats_json"]]
+    maxs = [json.loads(s).get("max") for s in sub["stats_json"]]
+    return pd.DataFrame({
+        "n_rows": [n_rows],
+        "min_n_chars": [min(int(float(m)) for m in mins if m is not None)],
+        "max_n_chars": [max(int(float(m)) for m in maxs if m is not None)],
+    })
+
+
+def _lang_counts(sf_dir: str):
+    import ray
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang"])
+    out = ds.groupby("lang").count()
+    return out.rename_columns({"count()": "cnt"}) if "count()" in out.schema().names else out
+
+
+def _global_lang_dictionary(sf_dir: str):
+    """Distinct langs via the salted groupby-aggregate shuffle."""
+    import pandas as pd
+    import ray
+    from parquet_rs_ray.globaldict import build_global_dictionary
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    vals = build_global_dictionary(ds, "lang", num_salts=8)
+    return pd.DataFrame({"lang": vals})
+
+
+def _encoded_pages_documents(sf_dir: str):
+    """Codec choices + sizes per column chunk (lineage view; rows-only)."""
+    import ray
+    from parquet_rs_ray.pipeline import encode_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    pages = encode_dataset(ds, concurrency=4)
+    return pages.select_columns(["column", "codec", "num_values",
+                                 "null_count", "plain_size", "encoded_size"])
+
+
+def _compression_ratio(sf_dir: str):
+    """Whole-table compression summary (rows-only check)."""
+    import pandas as pd
+    import ray
+    from parquet_rs_ray.pipeline import encode_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    pages = encode_dataset(ds, concurrency=4)
+    df = pages.select_columns(["column", "plain_size", "encoded_size"]).to_pandas()
+    g = df.groupby("column", as_index=False).sum()
+    g["ratio"] = g["encoded_size"] / g["plain_size"]
+    assert (g["encoded_size"] <= g["plain_size"]).all(), \
+        "codec selector must never lose to PLAIN"
+    return g.sort_values("column").reset_index(drop=True)
+
+
+_TABLES = {
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "region": ["r_regionkey", "r_name"],
+}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+    for table, cols in _TABLES.items():
+        q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
+    q["stats_documents"] = _stats_documents
+    q["lang_counts"] = _lang_counts
+    q["global_lang_dictionary"] = _global_lang_dictionary
+    q["encoded_pages_documents"] = _encoded_pages_documents
+    q["compression_ratio_documents"] = _compression_ratio
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+    for table, cols in _TABLES.items():
+        sql[f"roundtrip_{table}"] = f"SELECT {', '.join(cols)} FROM {table}"
+    sql["stats_documents"] = (
+        "SELECT COUNT(*) AS n_rows, MIN(n_chars) AS min_n_chars, "
+        "MAX(n_chars) AS max_n_chars FROM documents")
+    sql["lang_counts"] = (
+        "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang")
+    sql["global_lang_dictionary"] = (
+        "SELECT DISTINCT lang FROM documents ORDER BY lang")
+    # encoded_pages_documents / compression_ratio_documents: engine-internal
+    # lineage views, not SQL-expressible → rows-only checks.
+    return sql

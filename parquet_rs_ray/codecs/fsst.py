@@ -40,8 +40,8 @@ CODEC_ID = "FSST"
 ESCAPE = 255
 MAX_SYMBOLS = 255
 MAX_SYMBOL_LEN = 8
-TRAIN_ITERS = 5
-SAMPLE_BYTES = 1 << 16
+TRAIN_ITERS = 4
+SAMPLE_BYTES = 1 << 15
 
 
 class SymbolTable:
@@ -52,31 +52,48 @@ class SymbolTable:
         assert len(symbols) <= MAX_SYMBOLS
         self.symbols = symbols
         self.code_of = {s: i for i, s in enumerate(symbols)}
-        ordered = sorted(symbols, key=len, reverse=True)
-        pattern = b"|".join(re.escape(s) for s in ordered)
-        if pattern:
-            pattern += b"|"
-        pattern += b"[\\s\\S]"  # catch-all single byte -> escape
-        self._re = re.compile(pattern, re.DOTALL)
+        # Trie-shaped pattern: group symbols by first byte, suffixes ordered
+        # longest-first — same greedy-longest-match semantics as a flat
+        # length-ordered alternation (symbols with different first bytes
+        # never compete at one position), but far less regex backtracking.
+        groups: dict[bytes, list[bytes]] = {}
+        for s in symbols:
+            groups.setdefault(s[:1], []).append(s[1:])
+        alts = []
+        for first, sufs in sorted(groups.items()):
+            sufs = sorted(sufs, key=len, reverse=True)
+            non_empty = [re.escape(x) for x in sufs if x]
+            has_empty = any(not x for x in sufs)
+            if non_empty:
+                alt = re.escape(first) + b"(?:" + b"|".join(non_empty) + b")"
+                if has_empty:
+                    alt += b"?"
+            else:
+                alt = re.escape(first)
+            alts.append(alt)
+        alts.append(b"[\\s\\S]")  # catch-all single byte -> escape
+        self._re = re.compile(b"|".join(alts), re.DOTALL)
+        # token -> code bytes (escape tokens added lazily; ≤256 of them)
+        self._enc_map: dict[bytes, bytes] = {
+            s: bytes([i]) for i, s in enumerate(symbols)}
 
     # -- encode ----------------------------------------------------------
     def encode_blob(self, blob: bytes) -> bytes:
-        """Encode a byte blob to a code stream."""
-        out = bytearray()
-        code_of = self.code_of
-        for m in self._re.finditer(blob):
-            s = m.group(0)
-            c = code_of.get(s)
-            if c is None:
-                out.append(ESCAPE)
-                out.append(s[0])
-            else:
-                out.append(c)
-        return bytes(out)
+        """Encode a byte blob to a code stream (greedy longest match via
+        the compiled alternation; token→code via one C-level join)."""
+        toks = self._re.findall(blob)
+        m = self._enc_map
+        try:
+            return b"".join(map(m.__getitem__, toks))
+        except KeyError:
+            for t in toks:
+                if t not in m:
+                    m[t] = bytes([ESCAPE, t[0]])
+            return b"".join(map(m.__getitem__, toks))
 
     def parse_codes(self, blob: bytes) -> list[bytes]:
         """Symbol sequence of a greedy parse (used by training)."""
-        return [m.group(0) for m in self._re.finditer(blob)]
+        return self._re.findall(blob)
 
     # -- decode ----------------------------------------------------------
     def decode_stream(self, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

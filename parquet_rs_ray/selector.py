@@ -40,7 +40,7 @@ class CodecSelector:
         self.dict_page_limit = dict_page_limit
         self.enable_fsst = enable_fsst
         self.force_codec = force_codec
-        self._fsst_tables: dict[str, fsst.SymbolTable] = {}
+        self._fsst_tables: dict[str, tuple[fsst.SymbolTable, float]] = {}
 
     # ------------------------------------------------------------------
     def select_and_encode(self, phys: PhysicalType, values, *, column: str,
@@ -77,7 +77,10 @@ class CodecSelector:
                 candidates.append((len(dl), "DELTA_LENGTH_BYTE_ARRAY", (dl, b"", 0)))
                 dba = delta_bytes.encode_delta_byte_array(values)
                 candidates.append((len(dba), "DELTA_BYTE_ARRAY", (dba, b"", 0)))
-                if self.enable_fsst:
+                # skip FSST when the dictionary already collapses the chunk
+                # (low distinct ratio → dict+RLE dominates any string codec)
+                dict_dominates = distinct is not None and distinct * 16 <= n
+                if self.enable_fsst and not dict_dominates:
                     self._try_fsst(column, values, plain_size, candidates)
 
         candidates.append((plain_size, "PLAIN", None))
@@ -114,19 +117,23 @@ class CodecSelector:
         # contiguous sample (preserves local redundancy)
         sample_n = min(n, SAMPLE_VALUES)
         blob = values.data[:values.offsets[sample_n]].tobytes()
-        table = self._fsst_tables.get(column)
-        fresh = fsst.train(blob)
-        fresh_size = len(fresh.encode_blob(blob[:1 << 14]))
-        if table is not None:
-            reused_size = len(table.encode_blob(blob[:1 << 14]))
-            if reused_size <= fresh_size * FSST_REUSE_TOLERANCE:
-                fresh, fresh_size = table, reused_size
-        self._fsst_tables[column] = fresh
-        probe = min(len(blob), 1 << 14)
-        if probe == 0:
+        probe = blob[:1 << 14]
+        if not probe:
             return
-        est_ratio = fresh_size / probe
-        est_total = int(est_ratio * total) + len(fresh.serialize()) + n * 2
+        # Reuse the actor-held table while it still compresses like it did
+        # at training time; retrain only on drift (per-actor statefulness).
+        cached = self._fsst_tables.get(column)
+        table = None
+        if cached is not None:
+            tbl, ratio_at_train = cached
+            ratio_now = len(tbl.encode_blob(probe)) / len(probe)
+            if ratio_now <= ratio_at_train * FSST_REUSE_TOLERANCE:
+                table, est_ratio = tbl, ratio_now
+        if table is None:
+            table = fsst.train(blob)
+            est_ratio = len(table.encode_blob(probe)) / len(probe)
+            self._fsst_tables[column] = (table, est_ratio)
+        est_total = int(est_ratio * total) + len(table.serialize()) + n * 2
         if est_total < plain_size * 0.95 and (not candidates or est_total < min(c[0] for c in candidates) * 1.25):
-            data = fsst.encode(values, fresh)
+            data = fsst.encode(values, table)
             candidates.append((len(data), "FSST", (data, b"", 0)))
