@@ -1,0 +1,169 @@
+"""Benchmark driver.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus the synthetic web-page table, with
+ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32), and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries", "sf", "num_cpus",
+...extras}.
+
+--scaling: runs the headline encode job twice in fresh subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports throughput at
+both plus the scaling efficiency (north_rule: ≥ 0.8 between N and 4N).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+WEB_CACHE = "/tmp/graft_bench_web"
+WEB_ROWS_PER_SHARD = 8000
+WEB_SHARDS = 128
+
+
+def _web_paths() -> list[str]:
+    from parquet_rs_ray.webgen import write_web_shards
+    return write_web_shards(WEB_CACHE, WEB_ROWS_PER_SHARD, WEB_SHARDS)
+
+
+def _headline_encode(num_cpus: int, out_root: str) -> dict:
+    """The headline pipeline: encode the synthetic web corpus with the
+    codec auto-selector via the resumable job (manifest + per-block
+    output), measuring wall time and input bytes."""
+    import ray
+    from parquet_rs_ray.job import encode_job
+
+    paths = _web_paths()
+    out_dir = os.path.join(out_root, f"encoded-{num_cpus}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    input_bytes = sum(os.path.getsize(p) for p in paths)
+    # leave a couple of CPUs for the read/write tasks so a fixed-size actor
+    # pool cannot starve the upstream stage
+    pool = max(2, min(num_cpus - 2, len(paths)))
+    t0 = time.perf_counter()
+    summary = encode_job(paths, out_dir, concurrency=pool, block_codec="auto")
+    elapsed = time.perf_counter() - t0
+    return {
+        "elapsed_sec": elapsed,
+        "rows": summary["rows"],
+        "input_parquet_bytes": input_bytes,
+        "plain_bytes": summary["plain_bytes"],
+        "encoded_bytes": summary["encoded_bytes"],
+        "rows_per_sec": summary["rows"] / elapsed,
+        "plain_mb_per_sec": summary["plain_bytes"] / elapsed / 1e6,
+        "compression_ratio": summary["encoded_bytes"] / max(1, summary["plain_bytes"]),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def run_bench(num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False)
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset, roundtrip
+    from parquet_rs_ray.globaldict import build_global_dictionary
+    from parquet_rs_ray.job import decode_job
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # headline: web corpus encode job (manifest, selector, skew)
+    head = _headline_encode(num_cpus, "/tmp/graft_bench_out")
+    queries["encode_web_job"] = head["elapsed_sec"]
+    extras["headline"] = head
+
+    # decode the committed blocks back (round-trip leg)
+    out_dir = os.path.join("/tmp/graft_bench_out", f"encoded-{num_cpus}")
+    queries["decode_web_job"] = _timed(
+        lambda: decode_job(out_dir).map_batches(
+            lambda b: {"n": [b.num_rows]}, batch_format="pyarrow")
+        .sum("n"))
+
+    # testdata tables: encode+decode roundtrip wall time
+    for table in ("documents", "events", "lineitem"):
+        path = f"{SF_DIR}/{table}.parquet"
+        queries[f"roundtrip_{table}"] = _timed(
+            lambda p=path: roundtrip(
+                ray.data.read_parquet(p), concurrency=(2, num_cpus))
+            .map_batches(lambda b: {"n": [b.num_rows]}, batch_format="pyarrow")
+            .sum("n"))
+
+    # the one shuffle: salted global dictionary over documents.lang
+    queries["global_dictionary_lang"] = _timed(
+        lambda: build_global_dictionary(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet"), "lang"))
+
+    ray.shutdown()
+    total = sum(queries.values())
+    return {
+        "metric": "end-to-end wall time of headline encode/decode pipelines",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        **extras,
+    }
+
+
+def run_single(num_cpus: int) -> dict:
+    """Fresh-process headline run (used by --scaling)."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False)
+    res = _headline_encode(num_cpus, "/tmp/graft_scaling_out")
+    ray.shutdown()
+    return res
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    _web_paths()  # generate once so subprocesses reuse the cache
+    out = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(n)],
+            capture_output=True, text=True, check=True)
+        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    eff = (out[hi]["rows_per_sec"] / out[lo]["rows_per_sec"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (rows/s at 4N vs N CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": WEB_CACHE,
+        "num_cpus": hi,
+        "queries": {f"encode_web_{lo}cpus": round(out[lo]["elapsed_sec"], 3),
+                    f"encode_web_{hi}cpus": round(out[hi]["elapsed_sec"], 3)},
+        "throughput": {
+            f"rows_per_sec_{lo}": round(out[lo]["rows_per_sec"]),
+            f"rows_per_sec_{hi}": round(out[hi]["rows_per_sec"]),
+            f"plain_mb_per_sec_{lo}": round(out[lo]["plain_mb_per_sec"], 1),
+            f"plain_mb_per_sec_{hi}": round(out[hi]["plain_mb_per_sec"], 1),
+        },
+        "pass_north_rule": eff >= 0.8,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single", type=int, default=None,
+                    help="internal: one headline run at N CPUs")
+    args = ap.parse_args()
+    if args.single:
+        print(json.dumps(run_single(args.single)))
+    elif args.scaling:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(NUM_CPUS)))

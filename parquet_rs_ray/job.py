@@ -96,7 +96,9 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
 
     expected_rows = {p: pq.ParquetFile(p).metadata.num_rows for p in todo}
 
-    ds = ray.data.read_parquet(todo, include_paths=True)
+    ds = ray.data.read_parquet(
+        todo, include_paths=True,
+        override_num_blocks=override_num_blocks or len(todo))
     lineage = ds.map_batches(
         EncodeWriteActor,
         fn_constructor_kwargs={"out_dir": out_dir,

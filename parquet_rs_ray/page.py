@@ -175,7 +175,7 @@ def _stats_json(arr: pa.Array, phys: PhysicalType, distinct: int | None) -> str:
 
 def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
                         selector, path: str, block_id: str, block_rows: int,
-                        n_cols: int, block_codec: str | None = None) -> list[dict]:
+                        n_cols: int) -> list[dict]:
     """Encode one column of one block into page rows."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -194,29 +194,23 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
         else:
             level_bytes = b""
         _, values = values_from_arrow(page_arr)
-        codec, data, dict_page, num_entries, distinct = selector.select_and_encode(
-            phys, values, column=column, type_length=type_length)
+        enc = selector.select_and_encode(phys, values, column=column,
+                                         type_length=type_length)
         psize = plain_size_of(phys, values, type_length)
-        raw_len = len(data)
-        dict_raw_len = len(dict_page)
-        if block_codec:
-            codec_obj = pa.Codec(block_codec)
-            data = codec_obj.compress(data).to_pybytes() if len(data) else data
-            dict_page = codec_obj.compress(dict_page).to_pybytes() if len(dict_page) else dict_page
         rows.append({
             "path": path, "block_id": block_id, "block_rows": block_rows,
             "n_cols": n_cols, "col_idx": col_idx, "column": column,
             "page_id": pid, "n_pages": n_pages, "phys": phys.value,
-            "arrow_type": atype, "codec": codec,
+            "arrow_type": atype, "codec": enc.codec,
             "num_values": len(page_arr), "null_count": null_count,
-            "levels": level_bytes, "data": data, "dict": dict_page,
-            "num_entries": num_entries, "type_length": type_length,
+            "levels": level_bytes, "data": enc.data, "dict": enc.dict_page,
+            "num_entries": enc.num_entries, "type_length": type_length,
             "plain_size": psize,
-            "encoded_size": len(data) + len(dict_page) + len(level_bytes),
-            "block_codec": block_codec or "",
-            "data_raw_len": raw_len,
-            "dict_raw_len": dict_raw_len,
-            "stats_json": _stats_json(page_arr, phys, distinct),
+            "encoded_size": enc.total + len(level_bytes),
+            "block_codec": enc.block_codec,
+            "data_raw_len": enc.data_raw_len,
+            "dict_raw_len": enc.dict_raw_len,
+            "stats_json": _stats_json(page_arr, phys, enc.distinct),
         })
     return rows
 

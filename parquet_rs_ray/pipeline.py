@@ -33,8 +33,8 @@ class EncodeActor:
     def __init__(self, block_codec: str | None = None,
                  enable_fsst: bool = True, force_codec: str | None = None):
         self.selector = CodecSelector(enable_fsst=enable_fsst,
-                                      force_codec=force_codec)
-        self.block_codec = block_codec
+                                      force_codec=force_codec,
+                                      block_codec=block_codec)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -57,8 +57,7 @@ class EncodeActor:
                 col = tbl.column(name)
                 rows.extend(encode_column_chunk(
                     name, idx, col, selector=self.selector, path=path,
-                    block_id=block_id, block_rows=tbl.num_rows, n_cols=n_cols,
-                    block_codec=self.block_codec))
+                    block_id=block_id, block_rows=tbl.num_rows, n_cols=n_cols))
         return pa.Table.from_pylist(rows, schema=PAGE_SCHEMA)
 
 

@@ -22,7 +22,10 @@ dictionary builders" requirement of the north star.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import numpy as np
+import pyarrow as pa
 
 from .codecs import ByteArrayVals, PhysicalType, dictionary, fsst
 from . import page as page_mod
@@ -31,32 +34,77 @@ from .codecs import delta_bytes, forpack, plain, rlebool
 
 SAMPLE_VALUES = 2048
 FSST_MIN_AVG_LEN = 4.0
-FSST_REUSE_TOLERANCE = 1.05
+FSST_REUSE_TOLERANCE = 1.15
+AUTO_BLOCK_CODEC = "zstd"  # tried on top of the winner when mode="auto"
+
+
+@dataclass
+class PageEncoding:
+    codec: str
+    data: bytes
+    dict_page: bytes = b""
+    num_entries: int = 0
+    distinct: int | None = None
+    block_codec: str = ""           # outer general-purpose codec, "" = none
+    data_raw_len: int = 0           # pre-block-codec sizes (for decompress)
+    dict_raw_len: int = 0
+
+    @property
+    def total(self) -> int:
+        return len(self.data) + len(self.dict_page)
+
+
+def _slice_values(values, k: int):
+    """First k values of a canonical value container."""
+    if isinstance(values, ByteArrayVals):
+        end = int(values.offsets[k])
+        return ByteArrayVals(values.offsets[:k + 1].copy(), values.data[:end])
+    return values[:k]
 
 
 class CodecSelector:
     def __init__(self, dict_page_limit: int = page_mod.DICT_PAGE_SIZE_LIMIT,
-                 enable_fsst: bool = True, force_codec: str | None = None):
+                 enable_fsst: bool = True, force_codec: str | None = None,
+                 block_codec: str | None = None):
+        """block_codec: None = uncompressed pages (reference default,
+        `properties.rs:59`); "auto" = try zstd on the winner and keep it if
+        smaller (reference §2.3 page compression, auto-gated); any codec
+        name = always compress with it."""
         self.dict_page_limit = dict_page_limit
         self.enable_fsst = enable_fsst
         self.force_codec = force_codec
+        self.block_codec = block_codec
         self._fsst_tables: dict[str, tuple[fsst.SymbolTable, float]] = {}
 
     # ------------------------------------------------------------------
+    def _finish(self, codec: str, data: bytes, dict_page: bytes,
+                entries: int, distinct) -> PageEncoding:
+        enc = PageEncoding(codec, data, dict_page, entries, distinct,
+                           data_raw_len=len(data), dict_raw_len=len(dict_page))
+        mode = self.block_codec
+        if not mode:
+            return enc
+        name = AUTO_BLOCK_CODEC if mode == "auto" else mode
+        c = pa.Codec(name, compression_level=1) if name == "zstd" else pa.Codec(name)
+        cdata = c.compress(data).to_pybytes() if len(data) else data
+        cdict = c.compress(dict_page).to_pybytes() if len(dict_page) else dict_page
+        if mode != "auto" or len(cdata) + len(cdict) < enc.total * 0.98:
+            enc.data, enc.dict_page, enc.block_codec = cdata, cdict, name
+        return enc
+
     def select_and_encode(self, phys: PhysicalType, values, *, column: str,
-                          type_length: int = 0):
-        """Returns (codec, data, dict_page, num_entries, distinct_count)."""
+                          type_length: int = 0) -> PageEncoding:
         n = len(values)
         plain_size = page_mod.plain_size_of(phys, values, type_length)
         if self.force_codec:
             data, dpage, entries = page_mod.encode_with(
                 self.force_codec, phys, values, type_length)
-            return self.force_codec, data, dpage, entries, None
+            return self._finish(self.force_codec, data, dpage, entries, None)
 
         candidates: list[tuple[int, str, tuple]] = []  # (size, codec, payload)
         distinct = None
         if n == 0:
-            return "PLAIN", plain.encode(phys, values), b"", 0, 0
+            return self._finish("PLAIN", plain.encode(phys, values), b"", 0, 0)
 
         if phys == PhysicalType.BOOLEAN:
             data = rlebool.encode(values)
@@ -71,12 +119,16 @@ class CodecSelector:
         elif phys in (PhysicalType.FLOAT, PhysicalType.DOUBLE):
             distinct = self._try_dict(phys, values, candidates)
         else:  # BYTE_ARRAY / FLBA
+            avg_len = int(values.offsets[-1]) / n
             distinct = self._try_dict(phys, values, candidates, type_length)
             if phys == PhysicalType.BYTE_ARRAY:
                 dl = delta_bytes.encode_delta_length(values)
                 candidates.append((len(dl), "DELTA_LENGTH_BYTE_ARRAY", (dl, b"", 0)))
-                dba = delta_bytes.encode_delta_byte_array(values)
-                candidates.append((len(dba), "DELTA_BYTE_ARRAY", (dba, b"", 0)))
+                if avg_len <= 256:
+                    # prefix sharing is meaningless on multi-KB blobs; the
+                    # delta-byte-array trial would just burn CPU per page
+                    dba = delta_bytes.encode_delta_byte_array(values)
+                    candidates.append((len(dba), "DELTA_BYTE_ARRAY", (dba, b"", 0)))
                 # skip FSST when the dictionary already collapses the chunk
                 # (low distinct ratio → dict+RLE dominates any string codec)
                 dict_dominates = distinct is not None and distinct * 16 <= n
@@ -85,6 +137,8 @@ class CodecSelector:
 
         candidates.append((plain_size, "PLAIN", None))
         candidates.sort(key=lambda c: (c[0], c[1]))
+        if self.block_codec == "auto":
+            return self._pick_auto(phys, values, type_length, candidates, distinct)
         size, codec, payload = candidates[0]
         if payload is None:
             data, dpage, entries = page_mod.encode_with(codec, phys, values, type_length)
@@ -92,13 +146,64 @@ class CodecSelector:
             data, dpage, entries = payload
         # hard floor: never worse than PLAIN
         if len(data) + len(dpage) > plain_size and codec != "PLAIN":
-            return "PLAIN", plain.encode(phys, values), b"", 0, distinct
-        return codec, data, dpage, entries, distinct
+            codec, (data, dpage, entries) = "PLAIN", (plain.encode(phys, values), b"", 0)
+        return self._finish(codec, data, dpage, entries, distinct)
 
     # ------------------------------------------------------------------
+    def _pick_auto(self, phys, values, type_length, candidates, distinct) -> PageEncoding:
+        """auto mode: the outer zstd layer can reorder the ranking (zstd on
+        PLAIN often beats zstd on FSST), so compare the top raw candidates
+        plus PLAIN on *post-compression* size and keep the best stack."""
+        compare = candidates[:2]
+        # make sure a cheap zstd-friendly baseline is in the running:
+        # DELTA_LENGTH (zero-copy data + delta'd lengths) when available,
+        # else PLAIN (avoids materializing the prefixed PLAIN stream)
+        baseline = next((c for c in candidates if c[1] == "DELTA_LENGTH_BYTE_ARRAY"),
+                        None) or next(c for c in candidates if c[1] == "PLAIN")
+        if baseline[1] not in [c[1] for c in compare]:
+            compare.append(baseline)
+        # cheap decode/encode codecs first; an expensive stack must win by a
+        # real margin (>3%) to displace a cheaper one
+        cost_rank = {"PLAIN": 0, "FOR": 1, "DELTA_BINARY_PACKED": 1,
+                     "DELTA_LENGTH_BYTE_ARRAY": 1, "RLE": 1,
+                     "RLE_DICTIONARY": 2, "DELTA_BYTE_ARRAY": 2, "FSST": 3}
+        compare.sort(key=lambda c: cost_rank.get(c[1], 2))
+        c = pa.Codec(AUTO_BLOCK_CODEC, compression_level=1)
+        best = None
+        best_cost = 0
+        for _, codec, payload in compare:
+            if payload is None:
+                payload = page_mod.encode_with(codec, phys, values, type_length)
+            data, dpage, entries = payload
+            cdata = c.compress(data).to_pybytes() if len(data) else data
+            cdict = c.compress(dpage).to_pybytes() if len(dpage) else dpage
+            if len(cdata) + len(cdict) < len(data) + len(dpage):
+                enc = PageEncoding(codec, cdata, cdict, entries, distinct,
+                                   block_codec=AUTO_BLOCK_CODEC,
+                                   data_raw_len=len(data), dict_raw_len=len(dpage))
+            else:
+                enc = PageEncoding(codec, data, dpage, entries, distinct,
+                                   data_raw_len=len(data), dict_raw_len=len(dpage))
+            cost = cost_rank.get(codec, 2)
+            margin = 0.97 if cost > best_cost else 1.0
+            if best is None or enc.total < best.total * margin:
+                best, best_cost = enc, cost
+        return best
+
     def _try_dict(self, phys, values, candidates, type_length: int = 0):
         """Dictionary candidate with the reference's dict-page gate
-        (`writer.rs:397-420`): dict page beyond 1 MiB → fall back."""
+        (`writer.rs:397-420`): dict page beyond 1 MiB → fall back. A cheap
+        sample-distinct pre-check skips hashing near-unique chunks."""
+        n = len(values)
+        if n >= 64:
+            k = min(n, 256)
+            head = _slice_values(values, k)
+            try:
+                _, _, sample_entries = dictionary.encode(phys, head)
+            except Exception:
+                return None
+            if sample_entries * 5 > k * 4:
+                return None  # near-unique sample → dict can't win
         try:
             data, dpage, entries = dictionary.encode(phys, values)
         except Exception:
@@ -120,6 +225,13 @@ class CodecSelector:
         probe = blob[:1 << 14]
         if not probe:
             return
+        if self.block_codec == "auto":
+            # pre-check before paying for training: when the outer zstd
+            # already crushes the plain bytes, FSST cannot add enough
+            z = pa.Codec(AUTO_BLOCK_CODEC, compression_level=1)
+            z_plain = len(z.compress(probe).to_pybytes())
+            if z_plain < len(probe) * 0.15:
+                return
         # Reuse the actor-held table while it still compresses like it did
         # at training time; retrain only on drift (per-actor statefulness).
         cached = self._fsst_tables.get(column)
@@ -133,6 +245,12 @@ class CodecSelector:
             table = fsst.train(blob)
             est_ratio = len(table.encode_blob(probe)) / len(probe)
             self._fsst_tables[column] = (table, est_ratio)
+        if self.block_codec == "auto":
+            # stacked comparison on the probe: FSST must beat plain under
+            # the outer zstd by a real margin to justify its CPU cost
+            z_fsst = len(z.compress(table.encode_blob(probe)).to_pybytes())
+            if z_fsst >= z_plain * 0.9:
+                return
         est_total = int(est_ratio * total) + len(table.serialize()) + n * 2
         if est_total < plain_size * 0.95 and (not candidates or est_total < min(c[0] for c in candidates) * 1.25):
             data = fsst.encode(values, table)
