@@ -53,6 +53,9 @@ class EncodeWriteActor(EncodeActor):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pages = super().__call__(batch)
+        return self._write_blocks(pages)
+
+    def _write_blocks(self, pages: pa.Table) -> pa.Table:
         out_rows = []
         # one output file per block id
         import pyarrow.compute as pc
@@ -60,7 +63,8 @@ class EncodeWriteActor(EncodeActor):
             block = pages.filter(pc.equal(pages.column("block_id"), block_id))
             fname = os.path.join(self.data_dir, f"{block_id}.parquet")
             tmp = fname + f".tmp-{uuid.uuid4().hex[:8]}"
-            pq.write_table(block, tmp)
+            # page payloads are already compressed — don't recompress
+            pq.write_table(block, tmp, compression="none")
             os.replace(tmp, fname)
             h = hashlib.sha256()
             for buf in block.column("data").to_pylist():
@@ -79,6 +83,24 @@ class EncodeWriteActor(EncodeActor):
         return pa.Table.from_pylist(out_rows, schema=LINEAGE_SCHEMA)
 
 
+class EncodeShardActor(EncodeWriteActor):
+    """Fused read→encode→write stage: the actor receives shard *paths*
+    and reads the parquet itself. This keeps every pool CPU doing
+    read+encode+write instead of splitting the node between a read stage
+    and an encode stage (a separate read stage starves once the actor
+    pool owns nearly all CPUs), and moves no row data through the object
+    store — only paths in, lineage rows out."""
+
+    def __call__(self, batch) -> pa.Table:
+        tables = []
+        for path in batch["path"].to_pylist() if isinstance(batch, pa.Table) else batch["path"]:
+            tbl = pq.read_table(path)
+            tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
+            tables.append(EncodeActor.__call__(self, tbl))
+        pages = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+        return self._write_blocks(pages)
+
+
 def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
                block_codec: str | None = None, enable_fsst: bool = True,
                override_num_blocks: int | None = None) -> dict:
@@ -94,13 +116,17 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
     if not todo:
         return summary
 
-    expected_rows = {p: pq.ParquetFile(p).metadata.num_rows for p in todo}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(32) as ex:
+        expected_rows = dict(zip(todo, ex.map(
+            lambda p: pq.ParquetFile(p).metadata.num_rows, todo)))
 
-    ds = ray.data.read_parquet(
-        todo, include_paths=True,
-        override_num_blocks=override_num_blocks or len(todo))
+    # fused read→encode→write: ship shard paths, not row data (see
+    # EncodeShardActor); one shard per actor call
+    ds = ray.data.from_items([{"path": p} for p in todo],
+                             override_num_blocks=len(todo))
     lineage = ds.map_batches(
-        EncodeWriteActor,
+        EncodeShardActor,
         fn_constructor_kwargs={"out_dir": out_dir,
                                "block_codec": block_codec,
                                "enable_fsst": enable_fsst},

@@ -153,10 +153,15 @@ def page_slices(arr: pa.Array, budget: int = DATA_PAGE_SIZE) -> list[tuple[int, 
 
 def _stats_json(arr: pa.Array, phys: PhysicalType, distinct: int | None) -> str:
     """Per-page typed stats ≙ `src/file/statistics.rs:244-322` (min/max/
-    null_count/distinct_count), computed with Arrow kernels (SURVEY §2.9)."""
+    null_count/distinct_count), computed with Arrow kernels (SURVEY §2.9).
+    min/max are skipped for huge-blob pages (an extra full memory pass for
+    stats nobody range-prunes on)."""
     out: dict = {"null_count": arr.null_count}
     if distinct is not None:
         out["distinct_count"] = distinct
+    if (phys in (PhysicalType.BYTE_ARRAY, PhysicalType.FIXED_LEN_BYTE_ARRAY)
+            and len(arr) and arr.nbytes / len(arr) > 256):
+        return json.dumps(out, ensure_ascii=True)
     try:
         if len(arr) - arr.null_count > 0:
             mm = pc.min_max(arr)

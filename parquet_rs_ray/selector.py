@@ -118,19 +118,18 @@ class CodecSelector:
             distinct = self._try_dict(phys, values, candidates)
         elif phys in (PhysicalType.FLOAT, PhysicalType.DOUBLE):
             distinct = self._try_dict(phys, values, candidates)
-        else:  # BYTE_ARRAY / FLBA
+        elif phys == PhysicalType.BYTE_ARRAY and n >= 64:
+            return self._select_bytes_probed(phys, values, column,
+                                             type_length, plain_size)
+        else:  # FLBA / tiny BYTE_ARRAY chunks
             avg_len = int(values.offsets[-1]) / n
             distinct = self._try_dict(phys, values, candidates, type_length)
             if phys == PhysicalType.BYTE_ARRAY:
                 dl = delta_bytes.encode_delta_length(values)
                 candidates.append((len(dl), "DELTA_LENGTH_BYTE_ARRAY", (dl, b"", 0)))
                 if avg_len <= 256:
-                    # prefix sharing is meaningless on multi-KB blobs; the
-                    # delta-byte-array trial would just burn CPU per page
                     dba = delta_bytes.encode_delta_byte_array(values)
                     candidates.append((len(dba), "DELTA_BYTE_ARRAY", (dba, b"", 0)))
-                # skip FSST when the dictionary already collapses the chunk
-                # (low distinct ratio → dict+RLE dominates any string codec)
                 dict_dominates = distinct is not None and distinct * 16 <= n
                 if self.enable_fsst and not dict_dominates:
                     self._try_fsst(column, values, plain_size, candidates)
@@ -150,6 +149,103 @@ class CodecSelector:
         return self._finish(codec, data, dpage, entries, distinct)
 
     # ------------------------------------------------------------------
+    def _select_bytes_probed(self, phys, values, column, type_length,
+                             plain_size) -> PageEncoding:
+        """BYTE_ARRAY chunks: rank candidates on a contiguous probe (one
+        probe-sized encode + optional probe zstd per candidate), then
+        materialize ONLY the winner. Memory traffic per page drops from
+        ~4 full passes to ~1 encode + 1 compress — the difference between
+        bandwidth-bound and CPU-bound at 32 cores on one socket."""
+        n = len(values)
+        total_bytes = int(values.offsets[-1])
+        avg_len = total_bytes / n
+        k = min(n, 512)
+        head = _slice_values(values, k)
+        head_bytes = int(head.offsets[-1])
+        auto = self.block_codec == "auto"
+        z = pa.Codec(AUTO_BLOCK_CODEC, compression_level=1) if auto else None
+
+        def stacked(raw: bytes) -> int:
+            return len(z.compress(raw).to_pybytes()) if auto and len(raw) else len(raw)
+
+        scale = (total_bytes + 4 * n) / max(1, head_bytes + 4 * k)
+        ests: list[tuple[float, str]] = []
+        head_plain = page_mod.plain_size_of(phys, head, type_length)
+        ests.append((stacked(plain.encode(phys, head)) * scale if auto
+                     else head_plain * scale, "PLAIN"))
+        dl_head = delta_bytes.encode_delta_length(head)
+        ests.append((stacked(dl_head) * scale, "DELTA_LENGTH_BYTE_ARRAY"))
+        if avg_len <= 256:
+            dba_head = delta_bytes.encode_delta_byte_array(head)
+            ests.append((stacked(dba_head) * scale, "DELTA_BYTE_ARRAY"))
+        # dictionary: sample-distinct gate, then exact encode (C-fast, only
+        # in the low-cardinality case where it can win)
+        dict_payload = None
+        distinct = None
+        try:
+            _, _, sample_entries = dictionary.encode(phys, head)
+        except Exception:
+            sample_entries = k
+        if sample_entries * 5 <= k * 4:
+            data, dpage, entries = dictionary.encode(phys, values)
+            distinct = entries
+            if len(dpage) < self.dict_page_limit:
+                dict_payload = (data, dpage, entries)
+                ests.append((float(stacked(data) + stacked(dpage)) if auto
+                             else float(len(data) + len(dpage)), "RLE_DICTIONARY"))
+        if (self.enable_fsst and avg_len >= FSST_MIN_AVG_LEN
+                and (distinct is None or distinct * 16 > n)):
+            fs = self._fsst_estimate(column, values, head)
+            if fs is not None:
+                est_codes, table, probe_len = fs
+                ests.append((stacked(est_codes) * (total_bytes / probe_len),
+                             "FSST"))
+        # rank with cost hysteresis: a codec that is cheaper to run wins
+        # unless the expensive one is smaller by ~5% per cost tier
+        cost_rank = {"PLAIN": 0, "DELTA_LENGTH_BYTE_ARRAY": 0,
+                     "RLE_DICTIONARY": 1, "DELTA_BYTE_ARRAY": 1, "FSST": 3}
+        ests.sort(key=lambda e: e[0])
+        best_est, best_codec = ests[0]
+        for est, codec in ests:
+            margin = 1.05 ** (cost_rank[best_codec] - cost_rank[codec])
+            if cost_rank[codec] < cost_rank[best_codec] and est <= best_est * margin:
+                best_est, best_codec = est, codec
+        # materialize the winner
+        if best_codec == "RLE_DICTIONARY" and dict_payload is not None:
+            data, dpage, entries = dict_payload
+        elif best_codec == "FSST":
+            data, dpage, entries = fsst.encode(values, table), b"", 0
+        else:
+            data, dpage, entries = page_mod.encode_with(
+                best_codec, phys, values, type_length)
+        if len(data) + len(dpage) > plain_size and best_codec != "PLAIN":
+            best_codec, (data, dpage, entries) = \
+                "PLAIN", (plain.encode(phys, values), b"", 0)
+        return self._finish(best_codec, data, dpage, entries, distinct)
+
+    def _fsst_estimate(self, column: str, values, head):
+        """Probe-level FSST: returns (probe_code_bytes, table) or None."""
+        blob = head.data.tobytes()
+        probe = blob[:1 << 14]
+        if not probe:
+            return None
+        if self.block_codec == "auto":
+            # when the outer zstd already crushes plain bytes, training an
+            # FSST table cannot pay for itself
+            z = pa.Codec(AUTO_BLOCK_CODEC, compression_level=1)
+            if len(z.compress(probe).to_pybytes()) < len(probe) * 0.15:
+                return None
+        cached = self._fsst_tables.get(column)
+        if cached is not None:
+            tbl, ratio_at_train = cached
+            codes = tbl.encode_blob(probe)
+            if len(codes) / len(probe) <= ratio_at_train * FSST_REUSE_TOLERANCE:
+                return codes, tbl, len(probe)
+        table = fsst.train(blob)
+        codes = table.encode_blob(probe)
+        self._fsst_tables[column] = (table, len(codes) / len(probe))
+        return codes, table, len(probe)
+
     def _pick_auto(self, phys, values, type_length, candidates, distinct) -> PageEncoding:
         """auto mode: the outer zstd layer can reorder the ranking (zstd on
         PLAIN often beats zstd on FSST), so compare the top raw candidates

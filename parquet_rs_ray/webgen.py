@@ -80,15 +80,31 @@ def make_web_table(rows: int, seed: int = 42, shard: int = 0) -> pa.Table:
     })
 
 
+def _write_one(args) -> str:
+    out_dir, rows, seed, s = args
+    import os
+    import pyarrow.parquet as pq
+    p = os.path.join(out_dir, f"shard-{s:05d}.parquet")
+    if not os.path.exists(p):
+        tmp = p + ".tmp"
+        pq.write_table(make_web_table(rows, seed, s), tmp)
+        os.replace(tmp, p)
+    return p
+
+
 def write_web_shards(out_dir: str, rows_per_shard: int, n_shards: int,
                      seed: int = 42) -> list[str]:
     import os
-    import pyarrow.parquet as pq
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
-    for s in range(n_shards):
-        p = os.path.join(out_dir, f"shard-{s:05d}.parquet")
-        if not os.path.exists(p):
-            pq.write_table(make_web_table(rows_per_shard, seed, s), p)
-        paths.append(p)
-    return paths
+    jobs = [(out_dir, rows_per_shard, seed, s) for s in range(n_shards)]
+    missing = [j for j in jobs if not os.path.exists(
+        os.path.join(out_dir, f"shard-{j[3]:05d}.parquet"))]
+    if len(missing) > 4:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(min(16, os.cpu_count() or 8)) as ex:
+            list(ex.map(_write_one, missing))
+    else:
+        for j in missing:
+            _write_one(j)
+    return [os.path.join(out_dir, f"shard-{s:05d}.parquet")
+            for s in range(n_shards)]
