@@ -106,6 +106,80 @@ def _compression_ratio(sf_dir: str):
     return g.sort_values("column").reset_index(drop=True)
 
 
+# -------------------------------------------------- training-data ops
+
+def _exact_dedup_documents(sf_dir: str):
+    """Exact dedup: min-doc_id winner per distinct text (ops/dedup.py)."""
+    import ray
+    from parquet_rs_ray.ops.dedup import exact_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "n_chars"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def _token_counts_documents(sf_dir: str):
+    import ray
+    from parquet_rs_ray.ops.textstats import token_counts
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(token_counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _topk_similarity_embeddings(sf_dir: str):
+    """Brute-force cosine top-5 for the first 3 vectors as queries;
+    float64 so the DuckDB list_cosine_similarity oracle matches."""
+    import numpy as np
+    import ray
+    from parquet_rs_ray.ops.similarity import brute_force_topk
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    import pyarrow.dataset as pads
+    qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pads.field("vec_id") < 3).sort_by("vec_id")
+    q = np.vstack([np.asarray(v, dtype=np.float64)
+                   for v in qtbl.column("embedding").to_pylist()])
+    out = brute_force_topk(ds, q, k=5, dtype=np.float64)
+    import pyarrow as pa
+    return out.set_column(0, "query_idx", out.column("query_idx").cast(pa.int64()))
+
+
+def _lang_id_documents(sf_dir: str):
+    """n-gram-profile language ID (rows-only; model is a heuristic)."""
+    import ray
+    from parquet_rs_ray.ops.textstats import LanguageId
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=2)
+
+
+def _quality_scores_documents(sf_dir: str):
+    import ray
+    from parquet_rs_ray.ops.textstats import QualityScorer
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pyarrow",
+                          concurrency=2)
+
+
+def _fingerprints_documents(sf_dir: str):
+    import ray
+    from parquet_rs_ray.ops.textstats import fingerprints
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fingerprints, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _minhash_candidates_documents(sf_dir: str):
+    """Near-dup candidate pairs via banded MinHash LSH (rows-only)."""
+    import ray
+    from parquet_rs_ray.ops.dedup import minhash_lsh_candidates
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, concurrency=2)
+
+
 _TABLES = {
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -121,6 +195,8 @@ _TABLES = {
     "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
     "nation": ["n_nationkey", "n_name", "n_regionkey"],
     "region": ["r_regionkey", "r_name"],
+    # list<float> column exercises the LIST codec (offsets + child values)
+    "embeddings": ["vec_id", "embedding", "label"],
 }
 
 
@@ -133,6 +209,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["global_lang_dictionary"] = _global_lang_dictionary
     q["encoded_pages_documents"] = _encoded_pages_documents
     q["compression_ratio_documents"] = _compression_ratio
+    q["exact_dedup_documents"] = _exact_dedup_documents
+    q["token_counts_documents"] = _token_counts_documents
+    q["topk_similarity_embeddings"] = _topk_similarity_embeddings
+    q["lang_id_documents"] = _lang_id_documents
+    q["quality_scores_documents"] = _quality_scores_documents
+    q["fingerprints_documents"] = _fingerprints_documents
+    q["minhash_candidates_documents"] = _minhash_candidates_documents
     return q
 
 
@@ -147,6 +230,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang")
     sql["global_lang_dictionary"] = (
         "SELECT DISTINCT lang FROM documents ORDER BY lang")
+    sql["exact_dedup_documents"] = (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN "
+        "(SELECT MIN(doc_id) FROM documents GROUP BY text)")
+    sql["token_counts_documents"] = (
+        "SELECT doc_id, "
+        "LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens_ws, "
+        "len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_re "
+        "FROM documents")
+    sql["topk_similarity_embeddings"] = (
+        "WITH q AS (SELECT vec_id AS query_idx, "
+        "CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 3) "
+        "SELECT query_idx, e.vec_id, "
+        "round(list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])), 6) "
+        "AS score FROM q CROSS JOIN embeddings e "
+        "QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY "
+        "list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC, "
+        "e.vec_id) <= 5")
     # encoded_pages_documents / compression_ratio_documents: engine-internal
-    # lineage views, not SQL-expressible → rows-only checks.
+    # lineage views; lang_id / quality_scores / fingerprints / minhash
+    # candidates: heuristic or hash-defined ops → rows-only checks.
     return sql

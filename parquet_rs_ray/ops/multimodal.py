@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool map_batches stages.
+
+The real decode libraries (Pillow / torchaudio / av) are not in this
+container, so the *decode kernels* are stubbed: ``DecodeImage`` raises
+``NotImplementedError`` unless ``fake=True``, in which case it produces a
+deterministic fake decode (shape + checksum derived from the payload
+bytes).  Everything Ray-side is real and tested: the schema convention,
+small-batch sizing for large payloads, the stateful actor signature
+(codec tables loaded once in ``__init__``), and the output layout.
+
+Schema convention for a multimodal column ``media``:
+    media:        binary          (opaque encoded payload)
+    media_format: string          ("jpeg" / "wav" / "mp4" / ...)
+    media_meta:   string (JSON)   ({"width":..,"height":..} etc.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+
+def attach_media(batch: pa.Table, *, payload_col: str, fmt: str,
+                 meta: dict | None = None) -> pa.Table:
+    """Promote a raw binary column to the media convention: cast to
+    ``binary`` and add format + JSON metadata columns."""
+    col = batch.column(payload_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_binary(col.type) and not pa.types.is_large_binary(col.type):
+        col = col.cast(pa.binary())
+    n = len(batch)
+    out = batch.set_column(batch.column_names.index(payload_col),
+                           payload_col, col)
+    out = out.append_column(f"{payload_col}_format",
+                            pa.array([fmt] * n, pa.string()))
+    out = out.append_column(f"{payload_col}_meta",
+                            pa.array([json.dumps(meta or {})] * n, pa.string()))
+    return out
+
+
+def _fake_decode(payload: bytes, target_hw: tuple[int, int]) -> dict:
+    """Deterministic stand-in for an image decode: derives a stable
+    "pixel" checksum and output shape from the payload bytes alone, so
+    tests are reproducible without a codec library."""
+    digest = hashlib.blake2b(payload, digest_size=16).digest()
+    h, w = target_hw
+    return {
+        "height": h,
+        "width": w,
+        "channels": 3,
+        "pixel_checksum": int.from_bytes(digest[:8], "little", signed=True),
+    }
+
+
+class DecodeImage:
+    """Actor-pool stage: decode + resize an image ``binary`` column.
+
+    Real deployment: ``__init__`` imports and warms the codec library
+    once per actor (the expensive part); ``__call__`` decodes a batch.
+    Here the decode is stubbed (``fake=True`` for a deterministic fake,
+    otherwise ``NotImplementedError`` marks the seam where Pillow/OpenCV
+    plug in).  Use with small ``batch_size`` (payloads are large):
+
+        ds.map_batches(DecodeImage, fn_constructor_kwargs={...},
+                       batch_format="pyarrow", batch_size=32,
+                       concurrency=(2, 8), num_cpus=1)
+    """
+
+    def __init__(self, payload_col: str = "media",
+                 target_hw: tuple[int, int] = (224, 224), fake: bool = False):
+        self.payload_col = payload_col
+        self.target_hw = tuple(target_hw)
+        self.fake = fake
+        if not fake:
+            # seam for the real library; loaded once per actor
+            raise NotImplementedError(
+                "image codec library not available in this container; "
+                "pass fake=True for the deterministic stub")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        decoded = [_fake_decode(p or b"", self.target_hw) for p in payloads]
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column("height", pa.array(
+            [d["height"] for d in decoded], pa.int32()))
+        out = out.append_column("width", pa.array(
+            [d["width"] for d in decoded], pa.int32()))
+        out = out.append_column("channels", pa.array(
+            [d["channels"] for d in decoded], pa.int32()))
+        out = out.append_column("pixel_checksum", pa.array(
+            [d["pixel_checksum"] for d in decoded], pa.int64()))
+        return out
+
+
+class SampleFrames:
+    """Actor-pool stage: pick deterministic frame offsets from a video
+    ``binary`` column (stubbed sampler — byte-offset slices stand in for
+    decoded frames; flat_map semantics: one output row per frame)."""
+
+    def __init__(self, payload_col: str = "media", num_frames: int = 4):
+        self.payload_col = payload_col
+        self.num_frames = num_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        keys = [c for c in batch.column_names if c != self.payload_col]
+        rows: dict[str, list] = {k: [] for k in keys}
+        rows["frame_idx"] = []
+        rows["frame_bytes"] = []
+        for i, p in enumerate(payloads):
+            p = p or b""
+            step = max(1, len(p) // max(1, self.num_frames))
+            for f in range(self.num_frames):
+                for k in keys:
+                    rows[k].append(batch.column(k)[i].as_py())
+                rows["frame_idx"].append(f)
+                rows["frame_bytes"].append(p[f * step:(f + 1) * step])
+        arrays = {k: pa.array(rows[k]) for k in keys}
+        arrays["frame_idx"] = pa.array(rows["frame_idx"], pa.int32())
+        arrays["frame_bytes"] = pa.array(rows["frame_bytes"], pa.binary())
+        return pa.table(arrays)
+
+
+def decode_images(ds, *, payload_col: str = "media",
+                  target_hw: tuple[int, int] = (224, 224),
+                  batch_size: int = 32, concurrency=2, fake: bool = True):
+    """Dataset-level wrapper: small batches (large payloads), actor pool."""
+    return ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "target_hw": target_hw, "fake": fake},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

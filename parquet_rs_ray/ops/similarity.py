@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+* brute_force_topk — exact cosine top-k: the query matrix is broadcast
+  once via `ray.put`, each batch does one numpy matmul against it, and a
+  final tiny reduction merges per-batch top-k. No shuffle of vectors.
+* lsh_topk — scale path: random-hyperplane LSH buckets (signature =
+  sign bits of projections), search only the query's bucket ring.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _stack(col, dtype=np.float32) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # zero-copy reshape when the list column is non-null and rectangular
+    flat = col.flatten()
+    lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    vals = flat.to_numpy(zero_copy_only=False)
+    if col.null_count == 0 and len(lens) and (lens == lens[0]).all():
+        return vals.reshape(len(col), int(lens[0])).astype(dtype, copy=False)
+    return np.vstack([np.asarray(v, dtype=dtype) for v in col.to_pylist()])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
+                     vec_col: str = "embedding", key_col: str = "vec_id",
+                     dtype=np.float32):
+    """Exact cosine top-k for each query row. Returns a pa.Table
+    (query_idx, vec_id, score) of k rows per query, merged on the driver
+    from per-batch partial top-ks (k × num_queries small).
+
+    ``dtype=np.float64`` gives oracle-exact doubles for verification;
+    float32 is the scale default (half the bytes through the matmul)."""
+    import ray
+    q = _normalize(np.asarray(queries, dtype=dtype))
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vecs = _normalize(_stack(batch.column(vec_col), dtype=dtype))
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        scores = vecs @ qm.T  # (n, nq)
+        nq = qm.shape[0]
+        kk = min(k, len(keys))
+        part = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, nq)
+        rows = {"query_idx": [], "vec_id": [], "score": []}
+        for qi in range(nq):
+            idx = part[:, qi]
+            rows["query_idx"].extend([qi] * kk)
+            rows["vec_id"].extend(keys[idx].tolist())
+            rows["score"].extend(scores[idx, qi].astype(float).tolist())
+        return pa.table({"query_idx": pa.array(rows["query_idx"], pa.int32()),
+                         "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                         "score": pa.array(rows["score"], pa.float64())})
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = {"query_idx": [], "vec_id": [], "score": []}
+    for qi, grp in parts.groupby("query_idx"):
+        top = heapq.nlargest(k, grp.itertuples(index=False),
+                             key=lambda r: (r.score, -r.vec_id))
+        for r in top:
+            out["query_idx"].append(qi)
+            out["vec_id"].append(r.vec_id)
+            out["score"].append(round(float(r.score), 6))
+    return pa.table({"query_idx": pa.array(out["query_idx"], pa.int32()),
+                     "vec_id": pa.array(out["vec_id"], pa.int64()),
+                     "score": pa.array(out["score"], pa.float64())})
+
+
+class LshIndexActor:
+    """Stateful bucketing stage: hyperplanes drawn once per actor from a
+    fixed seed (identical across actors — deterministic bucketing)."""
+
+    def __init__(self, dim: int, nbits: int = 12, vec_col: str = "embedding",
+                 key_col: str = "vec_id", seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, nbits)).astype(np.float32)
+        self.vec_col, self.key_col = vec_col, key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_stack(batch.column(self.vec_col)))
+        bits = (vecs @ self.planes) > 0  # (n, nbits)
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for j in range(bits.shape[1]):
+            bucket |= bits[:, j].astype(np.int64) << j
+        out = batch.select([self.key_col, self.vec_col])
+        return out.append_column("bucket", pa.array(bucket))
+
+
+def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, nbits: int = 12,
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             concurrency=4):
+    """Approximate cosine top-k: search only vectors whose LSH bucket is
+    within Hamming distance 1 of the query's bucket."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = q.shape[1]
+    bucketed = ds.map_batches(
+        LshIndexActor,
+        fn_constructor_kwargs={"dim": dim, "nbits": nbits,
+                               "vec_col": vec_col, "key_col": key_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((dim, nbits)).astype(np.float32)
+    qbits = (q @ planes) > 0
+    qbuckets = np.zeros(len(q), dtype=np.int64)
+    for j in range(nbits):
+        qbuckets |= qbits[:, j].astype(np.int64) << j
+    rings = set()
+    for b in qbuckets.tolist():
+        rings.add(b)
+        for j in range(nbits):
+            rings.add(b ^ (1 << j))
+    ring_arr = np.sort(np.fromiter(rings, dtype=np.int64))
+
+    def in_ring(batch: pa.Table) -> pa.Table:
+        buckets = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(buckets, ring_arr)))
+
+    cand = bucketed.map_batches(in_ring, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return brute_force_topk(cand, q, k=k, vec_col=vec_col, key_col=key_col)

@@ -184,6 +184,10 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
     """Encode one column of one block into page rows."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        return _encode_list_chunk(column, col_idx, arr, selector=selector,
+                                  path=path, block_id=block_id,
+                                  block_rows=block_rows, n_cols=n_cols)
     phys = physical_of_arrow(arr.type)
     type_length = arr.type.byte_width if phys == PhysicalType.FIXED_LEN_BYTE_ARRAY else 0
     atype = pickle.dumps(arr.type)
@@ -220,8 +224,65 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
     return rows
 
 
+def _encode_list_chunk(column: str, col_idx: int, arr: pa.Array, *,
+                       selector, path: str, block_id: str, block_rows: int,
+                       n_cols: int) -> list[dict]:
+    """list<T> columns (≙ Dremel REPEATED, one nesting level): offsets +
+    child values via `codecs/listcodec.py`; pages cut on child-value
+    budget."""
+    from .codecs import listcodec
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    atype = pickle.dumps(arr.type)
+    # page cut on underlying child bytes
+    n = len(arr)
+    lens = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    item_w = max(1, (arr.type.value_type.bit_width // 8) if arr.type.value_type.bit_width else 8)
+    cum = np.cumsum(lens * item_w + 8)
+    cuts = [0]
+    while cuts[-1] < n:
+        nxt = int(np.searchsorted(cum, (cum[cuts[-1] - 1] if cuts[-1] else 0) + DATA_PAGE_SIZE)) + 1
+        cuts.append(min(max(nxt, cuts[-1] + 1), n))
+    ranges = list(zip(cuts[:-1], cuts[1:]))
+    rows = []
+    for pid, (s, e) in enumerate(ranges):
+        page_arr = arr.slice(s, e - s)
+        null_count = page_arr.null_count
+        level_bytes = b""
+        if null_count:
+            valid = np.asarray(page_arr.is_valid().to_numpy(zero_copy_only=False))
+            level_bytes = levels.encode_validity(valid)
+        data = listcodec.encode(page_arr, selector, column)
+        psize = int(lens[s:e].sum()) * item_w + 4 * (e - s)
+        rows.append({
+            "path": path, "block_id": block_id, "block_rows": block_rows,
+            "n_cols": n_cols, "col_idx": col_idx, "column": column,
+            "page_id": pid, "n_pages": len(ranges), "phys": "LIST",
+            "arrow_type": atype, "codec": "LIST",
+            "num_values": len(page_arr), "null_count": null_count,
+            "levels": level_bytes, "data": data, "dict": b"",
+            "num_entries": 0, "type_length": 0,
+            "plain_size": psize,
+            "encoded_size": len(data) + len(level_bytes),
+            "block_codec": "", "data_raw_len": len(data), "dict_raw_len": 0,
+            "stats_json": json.dumps({"null_count": null_count}),
+        })
+    return rows
+
+
 def decode_page_row(row: dict) -> pa.Array:
     """Decode one page row → Arrow array with nulls restored."""
+    if row["phys"] == "LIST":
+        from .codecs import listcodec
+        target = pickle.loads(row["arrow_type"])
+        arr = listcodec.decode(row["data"], target)
+        if row["null_count"]:
+            valid = levels.decode_validity(row["levels"], row["num_values"])
+            mask = pa.array(~valid)
+            arr = pc.if_else(mask, pa.scalar(None, type=arr.type), arr)
+        if arr.type != target:
+            arr = arr.cast(target)
+        return arr
     phys = PhysicalType(row["phys"])
     target = pickle.loads(row["arrow_type"])
     n = row["num_values"]

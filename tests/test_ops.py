@@ -1,0 +1,205 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing (SURVEY §2.12-adjacent; BASELINE north-star extras)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_rs_ray.ops import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_hash_strings_distinct_and_deterministic():
+    vals = ["", "a", "b", "ab", "ba", "hello world", "hello worlc", "a" * 500]
+    arr = pa.array(vals, pa.string())
+    h1 = dedup._hash_strings(arr)
+    h2 = dedup._hash_strings(pa.array(vals, pa.string()))
+    assert (h1 == h2).all()
+    assert len(set(h1.tolist())) == len(vals)
+
+
+def test_hash_strings_matches_slice_offset():
+    arr = pa.array(["xx", "yy", "zz", "ww"], pa.string())
+    full = dedup._hash_strings(arr)
+    sliced = dedup._hash_strings(arr.slice(1, 2))
+    assert sliced.tolist() == full[1:3].tolist()
+
+
+def test_exact_dedup(ray_session):
+    import ray
+    tbl = pa.table({
+        "doc_id": pa.array([5, 1, 2, 3, 4], pa.int64()),
+        "text": ["dup", "dup", "unique1", "dup", "unique2"],
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = dedup.exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 4]
+
+
+def test_minhash_lsh_finds_near_dup(ray_session):
+    import ray
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different content with no overlap at all " * 20
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [base, near, other],
+    })
+    ds = ray.data.from_arrow(tbl)
+    pairs = dedup.minhash_lsh_candidates(ds, concurrency=2).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    # verify stage: exact n-gram Jaccard on the candidate pair
+    assert dedup.ngram_jaccard(base, near) > 0.5
+    assert dedup.ngram_jaccard(base, other) < 0.1
+
+
+def test_simhash_near_and_far():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("dog", "cat", 2)
+    far = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 10
+    h = dedup.simhash([base, near, far])
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert ham(h[0], h[1]) < ham(h[0], h[2])
+    assert (dedup.simhash([base]) == h[0]).all()  # deterministic
+
+
+# ------------------------------------------------------------- similarity
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    out = similarity.brute_force_topk(ds, q, k=5).to_pandas()
+    # exact reference: full normalized matmul
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = vn @ qn.T
+    for qi in range(3):
+        expect = set(np.argsort(-scores[:, qi])[:5].tolist())
+        got = set(out[out["query_idx"] == qi]["vec_id"].tolist())
+        assert got == expect
+
+
+def test_lsh_topk_recalls_self(ray_session):
+    import ray
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(300), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    q = vecs[7:8]  # query IS a dataset vector → its bucket contains it
+    out = similarity.lsh_topk(ds, q, k=5, nbits=8, concurrency=2).to_pandas()
+    assert 7 in out["vec_id"].tolist()
+    assert out.iloc[0]["score"] == pytest.approx(1.0, abs=1e-5) or \
+        max(out["score"]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_similarity_on_embeddings_table(ray_session):
+    import ray
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    first = ds.take(1)[0]
+    q = np.asarray([first["embedding"]], dtype=np.float32)
+    out = similarity.brute_force_topk(ds, q, k=3).to_pandas()
+    assert out.iloc[0]["vec_id"] == first["vec_id"]
+
+
+# -------------------------------------------------------------- textstats
+
+def test_token_counts_ws_definition():
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["a b  c", "hello"]})
+    out = textstats.token_counts(batch).to_pandas()
+    # definition: count(' ')+1 (SQL-reproducible), so "a b  c" → 4
+    assert out["n_tokens_ws"].tolist() == [4, 1]
+    assert out["n_tokens_re"].tolist() == [3, 1]
+    assert "doc_id" in out.columns
+
+
+def test_quality_and_language(ray_session):
+    import ray
+    en = ("the cat sat on the mat and it is a fine day for all of the "
+          "animals in the garden to play ") * 3
+    de = "der hund und die katze sind in den garten mit dem ball " * 3
+    junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": [en, de, junk]})
+    ds = ray.data.from_arrow(tbl)
+    scored = ds.map_batches(textstats.QualityScorer, batch_format="pyarrow",
+                            concurrency=1).to_pandas().set_index("doc_id")
+    assert scored.loc[1, "quality_score"] > scored.loc[3, "quality_score"]
+    langs = ds.map_batches(textstats.LanguageId, batch_format="pyarrow",
+                           concurrency=1).to_pandas().set_index("doc_id")
+    assert langs.loc[1, "lang_pred"] == "en"
+    assert langs.loc[2, "lang_pred"] == "de"
+
+
+def test_fingerprints_deterministic():
+    batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": ["alpha", "beta"]})
+    f1 = textstats.fingerprints(batch).to_pandas()
+    f2 = textstats.fingerprints(batch).to_pandas()
+    assert f1["fingerprint"].tolist() == f2["fingerprint"].tolist()
+    assert f1["fingerprint"][0] != f1["fingerprint"][1]
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_attach_media_schema():
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "media": pa.array([b"\xff\xd8fakejpeg"], pa.binary())})
+    out = multimodal.attach_media(batch, payload_col="media", fmt="jpeg",
+                                  meta={"width": 8})
+    assert out.column_names == ["doc_id", "media", "media_format",
+                                "media_meta"]
+    assert out.column("media_format")[0].as_py() == "jpeg"
+
+
+def test_decode_image_stub_gate():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeImage(fake=False)
+
+
+def test_decode_images_pipeline(ray_session):
+    import ray
+    payloads = [bytes([i]) * (100 + i) for i in range(10)]
+    tbl = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                    "media": pa.array(payloads, pa.binary())})
+    ds = ray.data.from_arrow(tbl)
+    out = multimodal.decode_images(ds, batch_size=4, concurrency=2,
+                                   fake=True).to_pandas()
+    assert len(out) == 10
+    assert set(out.columns) >= {"doc_id", "height", "width", "channels",
+                                "pixel_checksum"}
+    assert (out["height"] == 224).all()
+    # deterministic across runs
+    out2 = multimodal.decode_images(ds, batch_size=4, concurrency=2,
+                                    fake=True).to_pandas()
+    m1 = out.sort_values("doc_id")["pixel_checksum"].tolist()
+    m2 = out2.sort_values("doc_id")["pixel_checksum"].tolist()
+    assert m1 == m2
+
+
+def test_sample_frames():
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "media": pa.array([bytes(range(100))], pa.binary())})
+    out = multimodal.SampleFrames(num_frames=4)(tbl).to_pandas()
+    assert len(out) == 4
+    assert out["frame_idx"].tolist() == [0, 1, 2, 3]
+    joined = b"".join(out["frame_bytes"])
+    assert joined == bytes(range(100))
