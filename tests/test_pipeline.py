@@ -93,3 +93,20 @@ def test_global_dictionary(ray_session):
     exp = sorted(set(pq.read_table(f"{SF}/documents.parquet")
                      .column("lang").to_pylist()))
     assert langs == exp
+
+
+def test_all_block_codecs_roundtrip(ray_session):
+    """All five reference block codecs (§2.3: SNAPPY GZIP BROTLI LZ4 ZSTD,
+    `/root/reference/src/compression.rs:69-79`) as the outer page layer."""
+    import ray
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+    tbl = pa.table({
+        "a": pa.array(list(range(3000)), pa.int64()),
+        "s": pa.array([f"value-{i % 97}" for i in range(3000)], pa.string()),
+    })
+    for codec in ["snappy", "gzip", "brotli", "lz4", "zstd"]:
+        enc = encode_dataset(ray.data.from_arrow(tbl), concurrency=1,
+                             block_codec=codec)
+        out = pa.concat_tables(
+            list(decode_dataset(enc).iter_batches(batch_format="pyarrow")))
+        assert out.sort_by("a").equals(tbl), codec

@@ -1,0 +1,143 @@
+"""Schema DDL parser/printer (≙ parser.rs / printer.rs) and CLI tools
+(≙ src/bin/parquet-read.rs, parquet-schema.rs)."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+from parquet_rs_ray.schema import (SchemaParseError, check_contains,
+                                   parse_message_type, print_schema, project)
+
+SF = "/root/testdata/sf0.001"
+
+
+WEB_DDL = """
+message web_page {
+  required byte_array url (UTF8);
+  optional int64 warc_ts (TIMESTAMP_MICROS);
+  optional byte_array html;
+  optional byte_array text (UTF8);
+  optional byte_array lang (UTF8);
+}
+"""
+
+
+def test_parse_target_schema():
+    s = parse_message_type(WEB_DDL)
+    assert s.field("url").type == pa.string()
+    assert not s.field("url").nullable
+    assert s.field("warc_ts").type == pa.timestamp("us")
+    assert s.field("html").type == pa.binary()
+    assert s.field("lang").nullable
+
+
+def test_parse_all_primitives_and_logicals():
+    s = parse_message_type("""
+    message m {
+      required boolean b;
+      required int32 i (INT_8);
+      required int32 d (DATE);
+      required int64 u (UINT_64);
+      required float f;
+      required double g;
+      required int96 legacy_ts;
+      required fixed_len_byte_array(16) dec (DECIMAL(18,4));
+      required fixed_len_byte_array(3) raw;
+      repeated int32 xs;
+    }""")
+    assert s.field("i").type == pa.int8()
+    assert s.field("d").type == pa.date32()
+    assert s.field("u").type == pa.uint64()
+    assert s.field("legacy_ts").type == pa.timestamp("ns")
+    assert s.field("dec").type == pa.decimal128(18, 4)
+    assert s.field("raw").type == pa.binary(3)
+    assert s.field("xs").type == pa.list_(pa.int32())
+
+
+def test_parse_groups_list_map():
+    s = parse_message_type("""
+    message m {
+      optional group tags (LIST) {
+        repeated group list {
+          optional byte_array element (UTF8);
+        }
+      }
+      optional group kv (MAP) {
+        repeated group key_value {
+          required byte_array key (UTF8);
+          optional int64 value;
+        }
+      }
+      required group point {
+        required double x;
+        required double y;
+      }
+    }""")
+    assert s.field("tags").type == pa.list_(pa.string())
+    assert s.field("kv").type == pa.map_(pa.string(), pa.int64())
+    assert s.field("point").type == pa.struct(
+        [pa.field("x", pa.float64(), nullable=False),
+         pa.field("y", pa.float64(), nullable=False)])
+
+
+def test_parse_errors():
+    # illegal physical/logical combos (≙ types.rs:238-387 validation)
+    with pytest.raises(SchemaParseError):
+        parse_message_type("message m { required int32 t (TIMESTAMP_MICROS); }")
+    with pytest.raises(SchemaParseError):
+        parse_message_type("message m { required int64 s (UTF8); }")
+    with pytest.raises(SchemaParseError):
+        parse_message_type("not_a_message m { }")
+    with pytest.raises(SchemaParseError):
+        parse_message_type("message m { required int32 x; ")  # unterminated
+
+
+def test_print_parse_roundtrip():
+    s = parse_message_type(WEB_DDL)
+    ddl = print_schema(s)
+    s2 = parse_message_type(ddl)
+    assert s2.equals(pa.schema(list(s)), check_metadata=False) or all(
+        s2.field(i).type == s.field(i).type and
+        s2.field(i).nullable == s.field(i).nullable for i in range(len(s)))
+    assert "message web_page {" in ddl
+
+
+def test_check_contains_and_project():
+    full = parse_message_type(WEB_DDL)
+    sub = pa.schema([pa.field("url", pa.string(), nullable=False),
+                     pa.field("lang", pa.string())])
+    assert check_contains(full, sub)
+    bad = pa.schema([pa.field("url", pa.int64())])
+    assert not check_contains(full, bad)
+    proj = project(full, ["text", "url"])
+    assert proj.names == ["text", "url"]
+    with pytest.raises(SchemaParseError):
+        project(full, ["nope"])
+
+
+# ----------------------------------------------------------------- CLI
+
+def test_cli_schema():
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "schema",
+         f"{SF}/documents.parquet", "--verbose"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "message schema {" in out.stdout
+    assert "byte_array text (UTF8)" in out.stdout
+    assert "num_rows:" in out.stdout
+
+
+def test_cli_read():
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "read",
+         f"{SF}/documents.parquet", "3", "--columns", "doc_id,lang"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 3
+    row = json.loads(lines[0])
+    assert set(row) == {"doc_id", "lang"}
