@@ -106,6 +106,53 @@ def _compression_ratio(sf_dir: str):
     return g.sort_values("column").reset_index(drop=True)
 
 
+def _filter_pushdown_documents(sf_dir: str):
+    """Prune at the read: columns= + row filter pushed into read_parquet
+    (≙ predicate/projection pushdown; only 2 columns leave storage)."""
+    import pyarrow.dataset as pads
+    import ray
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+        filter=(pads.field("lang") == "en") & (pads.field("n_chars") > 500))
+    return ds
+
+
+def _project_convert_events(sf_dir: str):
+    """Projection + logical type conversion (≙ Field::convert_*,
+    record/api.rs:449+): timestamp[us] → date32 per event."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def to_date(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_date": batch.column("ts").cast(pa.date32()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
+    return ds.map_batches(to_date, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _agg_after_decode_lineitem(sf_dir: str):
+    """Aggregate over the DECODED output — proves the engine's output
+    composes with downstream Ray Data queries (order-independent aggs)."""
+    import ray
+    from parquet_rs_ray.pipeline import roundtrip
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    dec = roundtrip(ds, concurrency=4)
+    out = dec.groupby("l_returnflag").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Min("l_quantity"),
+        ray.data.aggregate.Max("l_extendedprice"))
+    ren = {"count()": "cnt", "min(l_quantity)": "min_qty",
+           "max(l_extendedprice)": "max_price"}
+    names = out.schema().names
+    return out.rename_columns({k: v for k, v in ren.items() if k in names})
+
+
 # -------------------------------------------------- training-data ops
 
 def _exact_dedup_documents(sf_dir: str):
@@ -216,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores_documents"] = _quality_scores_documents
     q["fingerprints_documents"] = _fingerprints_documents
     q["minhash_candidates_documents"] = _minhash_candidates_documents
+    q["filter_pushdown_documents"] = _filter_pushdown_documents
+    q["project_convert_events"] = _project_convert_events
+    q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
     return q
 
 
@@ -247,6 +297,14 @@ def oracle_sql() -> dict[str, str]:
         "QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY "
         "list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC, "
         "e.vec_id) <= 5")
+    sql["filter_pushdown_documents"] = (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars > 500")
+    sql["project_convert_events"] = (
+        "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events")
+    sql["agg_after_decode_lineitem"] = (
+        "SELECT l_returnflag, COUNT(*) AS cnt, MIN(l_quantity) AS min_qty, "
+        "MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag")
     # encoded_pages_documents / compression_ratio_documents: engine-internal
     # lineage views; lang_id / quality_scores / fingerprints / minhash
     # candidates: heuristic or hash-defined ops → rows-only checks.

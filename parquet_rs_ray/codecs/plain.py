@@ -30,22 +30,37 @@ def encode(phys: PhysicalType, values) -> bytes:
 
 
 def encode_byte_array(v: ByteArrayVals) -> bytes:
-    """Vectorized [u32 len][bytes] interleave via two index gathers."""
+    """[u32 len][bytes] interleave. Two regimes: long values copy as
+    contiguous slices (memcpy per value — per-byte gather indexes cost
+    24 B of int64 index per payload byte and lose 100x on ~KiB html
+    blobs); many short values use the vectorized index gather."""
     n = len(v)
     if n == 0:
         return b""
     lengths = v.lengths
-    total = int(lengths.sum()) + 4 * n
+    data_total = int(v.offsets[-1] - v.offsets[0])
+    total = data_total + 4 * n
+    if n == 0 or data_total >= 48 * n:
+        lb = lengths.astype("<u4").tobytes()
+        src = memoryview(np.ascontiguousarray(v.data, dtype=np.uint8))
+        offs = (v.offsets - v.offsets[0]).tolist()
+        out = bytearray(total)
+        pos = 0
+        for i in range(n):
+            s, e = offs[i], offs[i + 1]
+            out[pos:pos + 4] = lb[4 * i:4 * i + 4]
+            pos += 4
+            out[pos:pos + e - s] = src[s:e]
+            pos += e - s
+        return bytes(out)
     out = np.zeros(total, dtype=np.uint8)
-    dest_starts = v.offsets[:-1] + 4 * np.arange(1, n + 1, dtype=np.int64)
-    # length prefixes at dest_starts - 4
+    base = v.offsets[:-1] - v.offsets[0]
+    dest_starts = base + 4 * np.arange(1, n + 1, dtype=np.int64)
     len_bytes = lengths.astype("<u4").view(np.uint8).reshape(n, 4)
     out[(dest_starts - 4)[:, None] + np.arange(4)] = len_bytes
-    # data bytes: gather src -> dest
-    if total > 4 * n:
-        within = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(
-            v.offsets[:-1], lengths)
-        src_idx = np.repeat(v.offsets[:-1], lengths) + within
+    if data_total:
+        within = np.arange(data_total, dtype=np.int64) - np.repeat(base, lengths)
+        src_idx = np.repeat(base, lengths) + within
         dst_idx = np.repeat(dest_starts, lengths) + within
         out[dst_idx] = v.data[src_idx]
     return out.tobytes()
@@ -69,26 +84,23 @@ def decode(phys: PhysicalType, data: bytes, num_values: int,
 
 
 def decode_byte_array(data: bytes, num_values: int) -> ByteArrayVals:
-    """Walk u32 length prefixes. The offset chain is data-dependent, so this
-    is a Python loop — pages are capped (~1 MiB) so the loop stays small."""
-    buf = memoryview(data)
-    raw = np.frombuffer(data, dtype=np.uint8)
+    """Walk u32 length prefixes. The offset chain is data-dependent, so
+    this is a Python loop — but each value's bytes are a contiguous run,
+    so the copy is one slice assignment per value (memcpy), not a
+    per-byte gather; pages are capped (~1 MiB) so the loop stays small."""
     offsets = np.zeros(num_values + 1, dtype=np.int64)
-    starts = np.zeros(num_values, dtype=np.int64)
+    total = len(data) - 4 * num_values
+    out = bytearray(total)
+    offs = offsets  # fill python-side, keep numpy result
     pos = 0
     acc = 0
-    u32 = np.dtype("<u4")
+    from_bytes = int.from_bytes
     for i in range(num_values):
-        ln = int(np.frombuffer(buf, dtype=u32, count=1, offset=pos)[0])
-        starts[i] = pos + 4
+        ln = from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        out[acc:acc + ln] = data[pos:pos + ln]
         acc += ln
-        offsets[i + 1] = acc
-        pos += 4 + ln
-    lengths = np.diff(offsets)
-    total = int(acc)
-    out = np.empty(total, dtype=np.uint8)
-    if total:
-        within = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
-        src = np.repeat(starts, lengths) + within
-        out[:] = raw[src]
-    return ByteArrayVals(offsets, out)
+        offs[i + 1] = acc
+        pos += ln
+    return ByteArrayVals(offsets, np.frombuffer(out, dtype=np.uint8,
+                                                count=acc))

@@ -42,21 +42,32 @@ def _hash_strings(arr: pa.Array) -> np.ndarray:
     n = len(barr)
     lens = np.diff(offsets)
     out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    # pad data to matrix of 8-byte words per value, fold word by word
     max_words = int(np.ceil(lens.max() / 8)) if n and lens.max() > 0 else 0
     if max_words == 0:
         return out
-    # gather into (n, max_words*8) padded byte matrix — bounded by chunk
-    # size (pages/batches are capped), fine for batch-level vectorization
-    idx = offsets[:-1, None] + np.arange(max_words * 8)[None, :]
-    valid = idx < offsets[1:, None]
-    gathered = np.where(valid, data[np.minimum(idx, total - 1)], 0).astype(np.uint8)
-    words = gathered.reshape(n, max_words, 8).copy().view("<u8").reshape(n, max_words)
-    for w in range(max_words):
-        col = words[:, w]
-        active = (w * 8) < lens
-        out[active] = (out[active] ^ col[active]) * _FNV_PRIME
-    out ^= np.uint64(0xFF51AFD7ED558CCD) * lens.astype(np.uint64)
+    # 8-zero-padded buffer → unmasked (n, 8) gather per word, then mask
+    # the tail bytes via a 9-entry table. Far less temporary memory than
+    # a full (n, max_words*8) validity matrix (page-fault bound at ~1M
+    # values per batch); hash values identical.
+    padded = np.empty(total + 8, np.uint8)
+    padded[:total] = data
+    padded[total:] = 0
+    base = offsets[:-1]
+    col8 = np.arange(8, dtype=np.int64)
+    masks = np.array([(1 << (8 * k)) - 1 for k in range(8)]
+                     + [0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for w in range(max_words):
+            # clamp rows already exhausted at this word (their result is
+            # masked to 0 below, so the clamped read is never used)
+            row = np.minimum(base + 8 * w, total)
+            words = padded[row[:, None] + col8].reshape(n, 8) \
+                .copy().view("<u8").ravel()
+            lj = np.clip(lens - 8 * w, 0, 8)
+            words &= masks[lj]
+            active = lj > 0
+            out[active] = (out[active] ^ words[active]) * _FNV_PRIME
+        out ^= np.uint64(0xFF51AFD7ED558CCD) * lens.astype(np.uint64)
     return out
 
 
@@ -115,13 +126,56 @@ def _h64(s: str) -> int:
     return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+_SHINGLE_P = np.uint64(1099511628211)
+
+
+def _window_fold(wh: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial fold of each length-k window of word hashes (wrapping
+    uint64 arithmetic — deterministic, no per-shingle Python hashing)."""
+    n_sh = len(wh) - k + 1
+    out = np.zeros(n_sh, dtype=np.uint64)
+    p = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            out += wh[j:j + n_sh] * p
+            p = p * _SHINGLE_P
+    return out
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Rolling k-gram (word-level) hashes of one document."""
     words = text.split()
     if len(words) < k:
         words = words + [""] * (k - len(words))
-    joined = [" ".join(words[i:i + k]) for i in range(max(1, len(words) - k + 1))]
-    return np.array([_h64(s) for s in joined], dtype=np.uint64)
+    wh = _hash_strings(pa.array(words, pa.string()))
+    return _window_fold(wh, k)
+
+
+def _batch_shingles(texts: list[str], k: int = 5):
+    """All documents' shingle hashes in ONE vectorized pass.
+
+    Returns (flat shingle hashes, per-doc segment start offsets). Words
+    of every doc are hashed in a single `_hash_strings` call; windows
+    never cross doc boundaries."""
+    all_words: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = t.split()
+        if len(w) < k:
+            w = w + [""] * (k - len(w))
+        all_words.extend(w)
+        counts[i] = len(w)
+    wh = _hash_strings(pa.array(all_words, pa.string()))
+    doc_starts = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_starts[1:])
+    n_sh = counts - k + 1
+    flat = _window_fold(wh, k) if len(wh) >= k else np.zeros(0, np.uint64)
+    # valid window starts: [doc_start, doc_start + n_sh) per doc
+    seg_starts = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=seg_starts[1:])
+    idx = np.repeat(doc_starts[:-1] - seg_starts[:-1], n_sh) + \
+        np.arange(int(seg_starts[-1]), dtype=np.int64)
+    return flat[idx], seg_starts
 
 
 _MINHASH_A = None
@@ -138,15 +192,28 @@ def _minhash_params(num_perm: int):
 
 
 def minhash_signature(texts: list[str], num_perm: int = 64) -> np.ndarray:
-    """(n, num_perm) minhash signatures; universal-hash permutations."""
+    """(n, num_perm) minhash signatures.
+
+    Fully batch-vectorized: one word-hash pass over all docs, wrapping
+    multiply-add permutations h_j(x) = a_j*x + b_j (mod 2^64, implicit),
+    per-doc mins via `np.minimum.reduceat` — one permutation at a time
+    so peak memory stays at one flat shingle array."""
     A, B = _minhash_params(num_perm)
-    out = np.empty((len(texts), num_perm), dtype=np.uint64)
-    M = np.uint64((1 << 61) - 1)
-    for i, t in enumerate(texts):
-        sh = _shingle_hashes(t)
-        # h_j(x) = (a_j * x + b_j) mod M, min over shingles — vectorized
-        v = (sh[:, None] * A[None, :] + B[None, :]) % M
-        out[i] = v.min(axis=0)
+    flat, seg_starts = _batch_shingles(texts)
+    n = len(texts)
+    out = np.empty((n, num_perm), dtype=np.uint64)
+    if len(flat) == 0:
+        out[:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        return out
+    starts = seg_starts[:-1]
+    empty = seg_starts[1:] == starts  # docs with zero shingles
+    red_starts = np.minimum(starts, len(flat) - 1)
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            v = flat * A[j] + B[j]
+            mins = np.minimum.reduceat(v, red_starts)
+            mins[empty] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            out[:, j] = mins
     return out
 
 
@@ -216,17 +283,19 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text",
 
 
 def simhash(texts: list[str], nbits: int = 64) -> np.ndarray:
-    """64-bit simhash per document over word-level features."""
+    """64-bit simhash per document over word-level features (vectorized:
+    one `_hash_strings` pass per doc, bit votes and sign fold in numpy)."""
     out = np.zeros(len(texts), dtype=np.uint64)
+    shifts = np.arange(nbits, dtype=np.uint64)
     for i, t in enumerate(texts):
         words = t.split()
         if not words:
             continue
-        hs = np.array([_h64(w) for w in words], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(nbits, dtype=np.uint64)) & np.uint64(1))
-        score = bits.sum(axis=0) * 2 - len(words)
-        out[i] = np.uint64(int("".join(
-            "1" if s > 0 else "0" for s in score[::-1]), 2))
+        hs = _hash_strings(pa.array(words, pa.string()))
+        bits = (hs[:, None] >> shifts) & np.uint64(1)
+        score = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
+        signs = (score > 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(signs << shifts)
     return out
 
 
