@@ -227,6 +227,52 @@ def _minhash_candidates_documents(sf_dir: str):
     return minhash_lsh_candidates(ds, concurrency=2)
 
 
+def _embedding_near_dup_embeddings(sf_dir: str):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4); float64 + broadcast
+    matrix so the DuckDB list_cosine_similarity oracle matches."""
+    import ray
+    from parquet_rs_ray.ops.dedup import embedding_near_dup
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.4)
+
+
+def _near_dedup_documents(sf_dir: str):
+    """Full near-dedup: MinHash-LSH candidates → exact n-gram-Jaccard
+    verify → drop verified dupes (rows-only; LSH is approximate)."""
+    import ray
+    from parquet_rs_ray.ops.dedup import near_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = near_dedup(ds, jaccard_threshold=0.5, concurrency=2)
+    return out.select_columns(["doc_id"])
+
+
+def _simhash_candidates_documents(sf_dir: str):
+    """Near-dup candidates via banded SimHash + Hamming verify
+    (rows-only; hash-defined)."""
+    import ray
+    from parquet_rs_ray.ops.dedup import simhash_candidates
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_candidates(ds, max_hamming=6, concurrency=2)
+
+
+def _ivf_topk_embeddings(sf_dir: str):
+    """IVF (kmeans-cell) approximate top-k (rows-only; approximate by
+    design — recall vs brute force is asserted in tests/test_ops.py)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray
+    from parquet_rs_ray.ops.similarity import ivf_topk
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pads.field("vec_id") < 3).sort_by("vec_id")
+    q = np.vstack([np.asarray(v, dtype=np.float32)
+                   for v in qtbl.column("embedding").to_pylist()])
+    return ivf_topk(ds, q, k=5, nlist=8, nprobe=3)
+
+
 _TABLES = {
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -263,6 +309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores_documents"] = _quality_scores_documents
     q["fingerprints_documents"] = _fingerprints_documents
     q["minhash_candidates_documents"] = _minhash_candidates_documents
+    q["embedding_near_dup_embeddings"] = _embedding_near_dup_embeddings
+    q["near_dedup_documents"] = _near_dedup_documents
+    q["simhash_candidates_documents"] = _simhash_candidates_documents
+    q["ivf_topk_embeddings"] = _ivf_topk_embeddings
     q["filter_pushdown_documents"] = _filter_pushdown_documents
     q["project_convert_events"] = _project_convert_events
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
@@ -297,6 +347,13 @@ def oracle_sql() -> dict[str, str]:
         "QUALIFY row_number() OVER (PARTITION BY query_idx ORDER BY "
         "list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) DESC, "
         "e.vec_id) <= 5")
+    sql["embedding_near_dup_embeddings"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6) AS score "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4")
     sql["filter_pushdown_documents"] = (
         "SELECT doc_id, n_chars FROM documents "
         "WHERE lang = 'en' AND n_chars > 500")

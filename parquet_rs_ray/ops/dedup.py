@@ -306,3 +306,178 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# ------------------------------------------------- near-dedup pipelines
+
+def jaccard_for_pairs(pairs, texts_by_key: dict, k: int = 5):
+    """Exact word-k-gram Jaccard for each (a, b) candidate pair, run as a
+    map_batches stage over the pairs dataset with the candidate texts
+    broadcast once via ray.put (candidates ≪ corpus, so the broadcast
+    side is tiny even when the corpus is 10^12 docs)."""
+    import ray
+    texts_ref = ray.put(texts_by_key)
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        sims = [ngram_jaccard(texts[x], texts[y], k) for x, y in zip(a, b)]
+        return batch.append_column("jaccard", pa.array(sims, pa.float64()))
+
+    return pairs.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
+               jaccard_threshold: float = 0.8, k: int = 5,
+               num_perm: int = 64, bands: int = 16, concurrency=4):
+    """Full near-duplicate removal: MinHash-LSH candidates → exact
+    n-gram-Jaccard verify → drop every doc with a verified duplicate of
+    smaller key. Returns the surviving Dataset.
+
+    Shuffle payload is (band, bucket, key) triples only; texts are
+    re-read for just the candidate keys with a pushed-down filter, so
+    the wide steps never move document bodies."""
+    import ray
+    pairs = minhash_lsh_candidates(ds, text_col=text_col, key_col=key_col,
+                                   num_perm=num_perm, bands=bands,
+                                   concurrency=concurrency)
+    pair_tbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+    if pair_tbl.num_rows == 0:
+        return ds
+    cand_keys = np.unique(np.concatenate([
+        pair_tbl.column("a").to_numpy(zero_copy_only=False),
+        pair_tbl.column("b").to_numpy(zero_copy_only=False)]))
+
+    def gather_cand(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.select([key_col, text_col]).filter(
+            pa.array(np.isin(keys, cand_keys)))
+
+    cand_tbl = pa.concat_tables(
+        ds.map_batches(gather_cand, batch_format="pyarrow",
+                       zero_copy_batch=True).iter_batches(
+                           batch_format="pyarrow"))
+    texts_by_key = dict(zip(cand_tbl.column(key_col).to_pylist(),
+                            cand_tbl.column(text_col).to_pylist()))
+    scored = jaccard_for_pairs(ray.data.from_arrow(pair_tbl), texts_by_key,
+                               k=k)
+    verified = pa.concat_tables(scored.iter_batches(batch_format="pyarrow"))
+    jac = verified.column("jaccard").to_numpy(zero_copy_only=False)
+    dupes = np.unique(np.maximum(
+        verified.column("a").to_numpy(zero_copy_only=False),
+        verified.column("b").to_numpy(zero_copy_only=False))
+        [jac >= jaccard_threshold])
+    dupes_ref = ray.put(dupes)
+
+    def drop_dupes(batch: pa.Table) -> pa.Table:
+        drop = ray.get(dupes_ref)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(keys, drop)))
+
+    return ds.map_batches(drop_dupes, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def simhash_candidates(ds, *, text_col: str = "text",
+                       key_col: str = "doc_id", max_hamming: int = 3,
+                       concurrency=4):
+    """Near-dup candidate pairs via banded SimHash.
+
+    A 64-bit simhash split into 4 × 16-bit bands: any two hashes within
+    Hamming distance 3 agree on at least one band (pigeonhole), so a
+    groupby on (band, band_value) finds all such pairs; an exact popcount
+    verify filters the bucket collisions. Same shuffle shape as MinHash
+    LSH — only (band, value, key, simhash) quads move."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        keys = np.asarray(batch.column(key_col).to_numpy(zero_copy_only=False))
+        sh = simhash(texts)
+        n = len(texts)
+        parts = []
+        for b in range(4):
+            band_val = ((sh >> np.uint64(16 * b)) &
+                        np.uint64(0xFFFF)).astype(np.int32)
+            parts.append(pa.table({
+                "band": pa.array(np.full(n, b, dtype=np.int32)),
+                "value": pa.array(band_val),
+                "key": pa.array(keys),
+                "simhash": pa.array(sh.view(np.int64)),
+            }))
+        return pa.concat_tables(parts)
+
+    bucketed = ds.map_batches(sigs, batch_format="pyarrow",
+                              concurrency=concurrency)
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_numpy(zero_copy_only=False)
+        hashes = batch.column("simhash").to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        order = np.argsort(keys)
+        keys, hashes = keys[order], hashes[order]
+        out = {"a": [], "b": [], "hamming": []}
+        for i in range(len(keys)):
+            x = hashes[i] ^ hashes[i + 1:]
+            ham = np.zeros(len(x), dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            hit = np.nonzero(ham <= max_hamming)[0]
+            for j in hit:
+                out["a"].append(int(keys[i]))
+                out["b"].append(int(keys[i + 1 + j]))
+                out["hamming"].append(int(ham[j]))
+        return pa.table({"a": pa.array(out["a"], pa.int64()),
+                         "b": pa.array(out["b"], pa.int64()),
+                         "hamming": pa.array(out["hamming"], pa.int64())})
+
+    pairs = bucketed.groupby(["band", "value"]).map_groups(
+        emit_pairs, batch_format="pyarrow")
+
+    def dedup_batch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(subset=["a", "b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return pairs.groupby("a").map_groups(dedup_batch, batch_format="pyarrow")
+
+
+def embedding_near_dup(ds, *, threshold: float = 0.4,
+                       vec_col: str = "embedding", key_col: str = "vec_id",
+                       dtype=np.float64):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine(a, b) ≥ threshold.
+
+    The full normalized matrix is collected once on the driver and
+    broadcast via ray.put; each batch then does one matmul against it —
+    exact, no shuffle. This is the small-side-broadcast regime (matrix ≤
+    a few GB); beyond that use `lsh_topk`-style bucketing from
+    ops/similarity.py as the approximate scale path."""
+    import ray
+    from parquet_rs_ray.ops.similarity import _normalize, _stack
+
+    side = pa.concat_tables(
+        ds.select_columns([key_col, vec_col]).iter_batches(
+            batch_format="pyarrow"))
+    all_keys = side.column(key_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(all_keys)
+    all_keys = all_keys[order]
+    mat = _normalize(_stack(side.column(vec_col), dtype=dtype))[order]
+    bcast = ray.put((all_keys, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        keys_all, m_all = ray.get(bcast)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vecs = _normalize(_stack(batch.column(vec_col), dtype=dtype))
+        scores = vecs @ m_all.T  # (n, N)
+        hit = (scores >= threshold) & (keys[:, None] < keys_all[None, :])
+        ii, jj = np.nonzero(hit)
+        return pa.table({
+            "id_a": pa.array(keys[ii], pa.int64()),
+            "id_b": pa.array(keys_all[jj], pa.int64()),
+            "score": pa.array(np.round(scores[ii, jj], 6), pa.float64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)

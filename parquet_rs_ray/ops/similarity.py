@@ -131,3 +131,53 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, nbits: int = 12,
     cand = bucketed.map_batches(in_ring, batch_format="pyarrow",
                                 zero_copy_batch=True)
     return brute_force_topk(cand, q, k=k, vec_col=vec_col, key_col=key_col)
+
+
+# ------------------------------------------------------------------ IVF
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int = 8,
+            seed: int = 7) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (seeded init,
+    fixed iteration count). Returns L2-normalized centroids."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(nlist, len(sample)),
+                     replace=False)
+    cent = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, *, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, sample_size: int = 4096,
+             vec_col: str = "embedding", key_col: str = "vec_id",
+             seed: int = 7):
+    """IVF approximate cosine top-k: coarse k-means centroids trained on
+    a driver-side sample, every vector assigned to its nearest centroid
+    inside map_batches, and only vectors in the nprobe closest cells of
+    any query are scored exactly.
+
+    The centroid matrix (nlist × dim) is the broadcast small side; the
+    corpus never shuffles — each batch self-filters to probed cells, so
+    ~nprobe/nlist of the data reaches the exact scorer."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    sample = _normalize(_stack(pa.concat_tables(
+        ds.select_columns([vec_col]).limit(sample_size).iter_batches(
+            batch_format="pyarrow")).column(vec_col)))
+    cent = _kmeans(sample, nlist, seed=seed)
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    probed = np.unique(probe.ravel())
+
+    def in_cells(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_stack(batch.column(vec_col)))
+        cells = np.argmax(vecs @ cent.T, axis=1)
+        return batch.filter(pa.array(np.isin(cells, probed)))
+
+    cand = ds.map_batches(in_cells, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return brute_force_topk(cand, q, k=k, vec_col=vec_col, key_col=key_col)

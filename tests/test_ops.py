@@ -203,3 +203,78 @@ def test_sample_frames():
     assert out["frame_idx"].tolist() == [0, 1, 2, 3]
     joined = b"".join(out["frame_bytes"])
     assert joined == bytes(range(100))
+
+
+def test_near_dedup_drops_verified_dupes(ray_session):
+    import ray
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different content with no overlap at all " * 20
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [base, near, other],
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = dedup.near_dedup(ds, jaccard_threshold=0.5, concurrency=2)
+    assert sorted(out.to_pandas()["doc_id"].tolist()) == [1, 3]
+
+
+def test_simhash_candidates_buckets(ray_session):
+    import ray
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)
+    other = "completely different content with no overlap at all " * 20
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [base, near, other],
+    })
+    ds = ray.data.from_arrow(tbl)
+    pairs = dedup.simhash_candidates(ds, max_hamming=6,
+                                     concurrency=2).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_near_dup_matches_bruteforce(ray_session):
+    import ray
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = dedup.embedding_near_dup(ds, threshold=0.9).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    m = vecs.astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    want = {(i, j) for i in range(40) for j in range(i + 1, 40)
+            if s[i, j] >= 0.9}
+    assert got == want and (3, 7) in got
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    import ray
+    rng = np.random.default_rng(11)
+    # clustered data so IVF cells are meaningful
+    centers = rng.standard_normal((4, 16)).astype(np.float32) * 3
+    vecs = np.vstack([c + rng.standard_normal((50, 16)).astype(np.float32)
+                      for c in centers])
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl)
+    q = vecs[[0, 60, 120]]
+    exact = similarity.brute_force_topk(ds, q, k=5).to_pandas()
+    approx = similarity.ivf_topk(ds, q, k=5, nlist=4, nprobe=2,
+                                 sample_size=200).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact.query_idx == qi].vec_id)
+        a = set(approx[approx.query_idx == qi].vec_id)
+        assert len(e & a) >= 4  # ≥80% recall per query
