@@ -26,12 +26,23 @@ from .selector import CodecSelector
 META_COLUMNS = ("path",)
 
 
+def _pin_arrow_threads() -> None:
+    """Cap Arrow's intra-op thread pools inside Ray workers. Each worker
+    is scheduled as 1 CPU; Arrow's default pool is cpu_count threads, so
+    a 31-actor pool would run 31×32 threads and thrash the node once the
+    pool covers most cores (measured: per-actor throughput halves)."""
+    if pa.cpu_count() > 2:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+
+
 class EncodeActor:
     """Stateful encode stage: one selector (with reusable FSST tables /
     dictionary scratch) per actor, set up once in __init__ (not per batch)."""
 
     def __init__(self, block_codec: str | None = None,
                  enable_fsst: bool = True, force_codec: str | None = None):
+        _pin_arrow_threads()
         self.selector = CodecSelector(enable_fsst=enable_fsst,
                                       force_codec=force_codec,
                                       block_codec=block_codec)
@@ -64,6 +75,7 @@ class EncodeActor:
 def decode_batch(batch: pa.Table) -> pa.Table:
     """Decode stage: page rows → original-schema table(s). Stateless —
     runs as Ray tasks (no actor pool needed)."""
+    _pin_arrow_threads()
     rows = batch.to_pylist()
     blocks: dict[tuple, list[dict]] = defaultdict(list)
     for r in rows:

@@ -33,6 +33,7 @@ from .codecs import delta as delta_codec
 from .codecs import delta_bytes, forpack, plain, rlebool
 
 SAMPLE_VALUES = 2048
+PROBE_BYTES = 96 * 1024
 FSST_MIN_AVG_LEN = 4.0
 FSST_REUSE_TOLERANCE = 1.15
 AUTO_BLOCK_CODEC = "zstd"  # tried on top of the winner when mode="auto"
@@ -75,6 +76,10 @@ class CodecSelector:
         self.force_codec = force_codec
         self.block_codec = block_codec
         self._fsst_tables: dict[str, tuple[fsst.SymbolTable, float]] = {}
+        # negative cache: after FSST loses a page's ranking, skip the
+        # probe (train + trial encode) for the next pages of that column
+        self._fsst_skip: dict[str, int] = {}
+        self._fsst_backoff: dict[str, int] = {}
 
     # ------------------------------------------------------------------
     def _finish(self, codec: str, data: bytes, dict_page: bytes,
@@ -159,7 +164,12 @@ class CodecSelector:
         n = len(values)
         total_bytes = int(values.offsets[-1])
         avg_len = total_bytes / n
+        # probe cap: 512 values AND ~96 KiB of payload — long values (html
+        # blobs) would otherwise make the probe as big as the page itself
         k = min(n, 512)
+        if int(values.offsets[k] - values.offsets[0]) > PROBE_BYTES:
+            k = max(16, int(np.searchsorted(
+                values.offsets, values.offsets[0] + PROBE_BYTES)))
         head = _slice_values(values, k)
         head_bytes = int(head.offsets[-1])
         auto = self.block_codec == "auto"
@@ -193,13 +203,19 @@ class CodecSelector:
                 dict_payload = (data, dpage, entries)
                 ests.append((float(stacked(data) + stacked(dpage)) if auto
                              else float(len(data) + len(dpage)), "RLE_DICTIONARY"))
+        fsst_probed = False
         if (self.enable_fsst and avg_len >= FSST_MIN_AVG_LEN
                 and (distinct is None or distinct * 16 > n)):
-            fs = self._fsst_estimate(column, values, head)
-            if fs is not None:
-                est_codes, table, probe_len = fs
-                ests.append((stacked(est_codes) * (total_bytes / probe_len),
-                             "FSST"))
+            skip = self._fsst_skip.get(column, 0)
+            if skip > 0:
+                self._fsst_skip[column] = skip - 1
+            else:
+                fsst_probed = True
+                fs = self._fsst_estimate(column, values, head)
+                if fs is not None:
+                    est_codes, table, probe_len = fs
+                    ests.append((stacked(est_codes) * (total_bytes / probe_len),
+                                 "FSST"))
         # rank with cost hysteresis: a codec that is cheaper to run wins
         # unless the expensive one is smaller by ~5% per cost tier
         cost_rank = {"PLAIN": 0, "DELTA_LENGTH_BYTE_ARRAY": 0,
@@ -210,6 +226,16 @@ class CodecSelector:
             margin = 1.05 ** (cost_rank[best_codec] - cost_rank[codec])
             if cost_rank[codec] < cost_rank[best_codec] and est <= best_est * margin:
                 best_est, best_codec = est, codec
+        if fsst_probed:
+            # losing probe → exponential backoff (7 → 14 → … → 64 pages);
+            # winning probe → reset and keep probing every page
+            if best_codec == "FSST":
+                self._fsst_skip[column] = 0
+                self._fsst_backoff[column] = 7
+            else:
+                b = self._fsst_backoff.get(column, 7)
+                self._fsst_skip[column] = b
+                self._fsst_backoff[column] = min(64, b * 2)
         # materialize the winner
         if best_codec == "RLE_DICTIONARY" and dict_payload is not None:
             data, dpage, entries = dict_payload
