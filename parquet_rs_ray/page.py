@@ -19,6 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .errors import DecodeError, FormatError
 from .codecs import (ByteArrayVals, PhysicalType, dictionary, delta,
                      delta_bytes, forpack, fsst, levels, plain, rlebool,
                      physical_of_arrow, values_from_arrow, values_to_arrow)
@@ -89,7 +90,7 @@ def encode_with(codec: str, phys: PhysicalType, values, type_length: int = 0,
         return delta_bytes.encode_delta_byte_array(values), b"", 0
     if codec == "FSST":
         return fsst.encode(values, fsst_table), b"", 0
-    raise ValueError(f"unknown codec {codec}")
+    raise FormatError(f"unknown codec {codec}")
 
 
 def decode_with(codec: str, phys: PhysicalType, data: bytes, dict_page: bytes,
@@ -115,7 +116,7 @@ def decode_with(codec: str, phys: PhysicalType, data: bytes, dict_page: bytes,
         return delta_bytes.decode_delta_byte_array(data, num_values)
     if codec == "FSST":
         return fsst.decode(data)
-    raise ValueError(f"unknown codec {codec}")
+    raise FormatError(f"unknown codec {codec}")
 
 
 def page_slices(arr: pa.Array, budget: int = DATA_PAGE_SIZE) -> list[tuple[int, int]]:
@@ -271,7 +272,23 @@ def _encode_list_chunk(column: str, col_idx: int, arr: pa.Array, *,
 
 
 def decode_page_row(row: dict) -> pa.Array:
-    """Decode one page row → Arrow array with nulls restored."""
+    """Decode one page row → Arrow array with nulls restored.
+
+    Corrupt input (truncated buffers, bad lengths, garbage compressed
+    bytes) raises DecodeError naming the page (≙ reference corrupt-file
+    tests, `src/file/reader.rs:532-592`)."""
+    try:
+        return _decode_page_row(row)
+    except (FormatError, DecodeError):
+        raise
+    except Exception as exc:
+        raise DecodeError(
+            f"page decode failed: column={row.get('column')!r} "
+            f"codec={row.get('codec')!r} page={row.get('page_id')} "
+            f"block={row.get('block_id')!r}: {exc}") from exc
+
+
+def _decode_page_row(row: dict) -> pa.Array:
     if row["phys"] == "LIST":
         from .codecs import listcodec
         target = pickle.loads(row["arrow_type"])
