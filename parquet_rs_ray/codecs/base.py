@@ -70,8 +70,15 @@ def physical_of_arrow(typ: pa.DataType) -> PhysicalType:
     if pa.types.is_boolean(typ):
         return PhysicalType.BOOLEAN
     if pa.types.is_integer(typ) and typ.bit_width <= 32:
+        # uint32 needs INT64 storage (UINT_32 values exceed int32 range);
+        # narrower unsigned types fit int32 (≙ logical UINT_8/16 on INT32,
+        # `src/schema/types.rs:299-331` combos)
+        if typ == pa.uint32():
+            return PhysicalType.INT64
         return PhysicalType.INT32
-    if pa.types.is_integer(typ) or pa.types.is_timestamp(typ) or pa.types.is_time64(typ):
+    if (pa.types.is_integer(typ) or pa.types.is_timestamp(typ)
+            or pa.types.is_time64(typ) or pa.types.is_date64(typ)
+            or pa.types.is_duration(typ)):
         return PhysicalType.INT64
     if pa.types.is_date32(typ) or pa.types.is_time32(typ):
         return PhysicalType.INT32
@@ -97,6 +104,13 @@ def _storage_array(arr: pa.Array) -> pa.Array:
         return arr.cast(pa.int64())
     if pa.types.is_date32(t) or pa.types.is_time32(t):
         return arr.cast(pa.int32())
+    if t == pa.uint32():
+        return arr.cast(pa.int64())
+    if t == pa.uint64():
+        # bit-reinterpret: values ≥ 2^63 can't cast; same-width wrap is
+        # lossless and reversed on decode
+        return pa.array(arr.to_numpy(zero_copy_only=False)
+                        .astype(np.int64, copy=False, casting="unsafe"))
     if pa.types.is_integer(t) and t.bit_width <= 32 and t != pa.int32():
         return arr.cast(pa.int32())
     if pa.types.is_integer(t) and t.bit_width == 64 and t != pa.int64():
@@ -137,11 +151,9 @@ def values_from_arrow(arr: pa.Array):
             data = data[:offsets[-1]]
         return phys, ByteArrayVals(offsets, data)
     if phys == PhysicalType.FIXED_LEN_BYTE_ARRAY:
-        if pa.types.is_decimal(arr.type):
-            width = 16
-            arr = arr.cast(pa.binary(16))
-        else:
-            width = arr.type.byte_width
+        # decimal128 shares the fixed-width layout (16-byte values buffer);
+        # pyarrow has no decimal↔binary cast, so read the buffer directly
+        width = 16 if pa.types.is_decimal(arr.type) else arr.type.byte_width
         data = np.frombuffer(arr.buffers()[1], dtype=np.uint8,
                              count=len(arr) * width, offset=arr.offset * width)
         offsets = np.arange(len(arr) + 1, dtype=np.int64) * width
@@ -154,10 +166,19 @@ def values_to_arrow(phys: PhysicalType, values, target_type: pa.DataType) -> pa.
     if phys == PhysicalType.BOOLEAN:
         return pa.array(np.asarray(values, dtype=np.bool_), type=pa.bool_())
     if phys in NUMPY_DTYPE:
+        if target_type == pa.uint64():
+            # inverse of the encode-side bit reinterpretation
+            return pa.array(np.asarray(values, dtype=np.int64)
+                            .view(np.uint64))
         arr = pa.array(values)
         return arr if arr.type == target_type else arr.cast(target_type)
     if phys in (PhysicalType.BYTE_ARRAY, PhysicalType.FIXED_LEN_BYTE_ARRAY):
         v: ByteArrayVals = values
+        if pa.types.is_decimal(target_type):
+            # rebuild the fixed-width decimal buffer directly (no cast
+            # path exists from binary in pyarrow)
+            return pa.Array.from_buffers(
+                target_type, len(v), [None, pa.py_buffer(v.data.tobytes())])
         offsets32 = v.offsets.astype(np.int32)
         arr = pa.Array.from_buffers(
             pa.binary(), len(v),
