@@ -34,6 +34,10 @@ LINEAGE_SCHEMA = pa.schema([
     ("path", pa.string()),
     ("block_file", pa.string()),
     ("rows", pa.int64()),
+    # blocks this shard produced in total — lets the driver commit a
+    # shard as soon as all its lineage rows arrive without any serial
+    # footer prefetch of expected row counts before the pipeline starts
+    ("n_blocks", pa.int64()),
     ("plain_bytes", pa.int64()),
     ("encoded_bytes", pa.int64()),
     ("codecs_json", pa.string()),
@@ -59,6 +63,10 @@ class EncodeWriteActor(EncodeActor):
         out_rows = []
         # one output file per block id
         import pyarrow.compute as pc
+        blocks_per_path: dict[str, set] = defaultdict(set)
+        for p, bid in zip(pages.column("path").to_pylist(),
+                          pages.column("block_id").to_pylist()):
+            blocks_per_path[p].add(bid)
         for block_id in pages.column("block_id").unique().to_pylist():
             block = pages.filter(pc.equal(pages.column("block_id"), block_id))
             fname = os.path.join(self.data_dir, f"{block_id}.parquet")
@@ -71,8 +79,10 @@ class EncodeWriteActor(EncodeActor):
                 h.update(hashlib.sha256(buf).digest())
             codecs = Counter(zip(block.column("column").to_pylist(),
                                  block.column("codec").to_pylist()))
+            bpath = block.column("path")[0].as_py()
             out_rows.append({
-                "path": block.column("path")[0].as_py(),
+                "path": bpath,
+                "n_blocks": len(blocks_per_path[bpath]),
                 "block_file": fname,
                 "rows": int(block.column("block_rows")[0].as_py()),
                 "plain_bytes": int(sum(block.column("plain_size").to_pylist())),
@@ -116,11 +126,6 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
     if not todo:
         return summary
 
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(32) as ex:
-        expected_rows = dict(zip(todo, ex.map(
-            lambda p: pq.ParquetFile(p).metadata.num_rows, todo)))
-
     # fused read→encode→write: ship shard paths, not row data (see
     # EncodeShardActor); one shard per actor call
     ds = ray.data.from_items([{"path": p} for p in todo],
@@ -133,14 +138,16 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         concurrency=concurrency)
 
-    # stream lineage rows; commit a shard once all its rows have arrived
+    # stream lineage rows; commit a shard once all its block rows arrived
+    # (each lineage row carries the shard's total block count, so no
+    # serial metadata prefetch happens before the pipeline starts)
     acc: dict[str, list[dict]] = defaultdict(list)
     got_rows: Counter = Counter()
     for row in lineage.iter_rows():
         p = row["path"]
         acc[p].append(row)
         got_rows[p] += row["rows"]
-        if got_rows[p] >= expected_rows.get(p, float("inf")):
+        if len(acc[p]) >= row["n_blocks"]:
             blocks = acc.pop(p)
             plain_b = sum(b["plain_bytes"] for b in blocks)
             enc_b = sum(b["encoded_bytes"] for b in blocks)
