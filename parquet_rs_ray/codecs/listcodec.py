@@ -1,19 +1,27 @@
-"""LIST column encoding (Dremel nesting, flattened).
+"""Nested column encoding (Dremel nesting, flattened).
 
-The reference encodes nesting with repetition/definition levels
-(`/root/reference/src/record/reader.rs:109-121`, levels computed per
-leaf). For Arrow `list<T>` we store the equivalent information as the
-offsets array (delta-binary-packed — offsets are sorted so deltas are
-list lengths) plus the child values encoded with their own codec chosen
-by the selector. Reconstruction is `ListArray.from_arrays(offsets,
-values)` — identical information content to (rep, def) levels for one
-nesting depth.
+The reference encodes nesting with repetition/definition levels computed
+per leaf during a schema-tree walk (`/root/reference/src/record/reader.rs:109-121`,
+`src/schema/types.rs:546-564`). For Arrow nested arrays we store the
+equivalent information structurally, one self-describing blob per page:
 
-Layout:
-    vlq(num_lists) vlq(len(offsets_block)) offsets_block(DELTA_BINARY_PACKED i32)
-    vlq(len(child_codec)) child_codec_utf8
-    vlq(len(child_meta_json)) child_meta_json
-    child data bytes
+* LIST   — validity bitmap (RLE, ≙ def levels at this depth) + offsets
+           (delta-binary-packed; deltas are list lengths ≙ rep levels) +
+           recursively-encoded child values.
+* STRUCT — validity bitmap + each field recursively encoded (≙ GroupType
+           with its leaf columns DFS-flattened, `types.rs:652-695`).
+* PRIM   — validity bitmap + non-null values through the codec
+           auto-selector (the leaf column case).
+
+Arbitrary nesting depth (list<struct<list<...>>>) is supported by
+recursion; every level carries its own validity, exactly the information
+max_def_level/max_rep_level encode in the reference.
+
+Blob grammar (all lengths VLQ):
+    kind:u8  vlq(n)  vlq(len(validity)) validity
+    LIST:   vlq(len(offsets_block)) offsets_block  child_blob
+    STRUCT: vlq(num_fields) { vlq(len(name)) name vlq(len(blob)) blob }*
+    PRIM:   vlq(len(codec)) codec vlq(len(meta_json)) meta_json dict data
 """
 
 from __future__ import annotations
@@ -22,59 +30,153 @@ import json
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..bitio import decode_vlq, encode_vlq
-from . import delta
+from . import delta, levels
 from .base import PhysicalType, physical_of_arrow, values_from_arrow, values_to_arrow
 
 CODEC_ID = "LIST"
 
+KIND_PRIM, KIND_LIST, KIND_STRUCT = 0, 1, 2
 
-def encode(arr: pa.ListArray, selector, column: str) -> bytes:
-    if arr.null_count:
-        # null lists encode as empty; validity travels in the page's levels
-        arr = arr.fill_null([])
-    offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False),
-                         dtype=np.int32)
-    values = arr.values.slice(offsets[0], offsets[-1] - offsets[0])
-    if offsets[0] != 0:
-        offsets = offsets - offsets[0]
-    phys = physical_of_arrow(values.type)
-    _, vals = values_from_arrow(values)
-    enc = selector.select_and_encode(phys, vals, column=column + ".element")
-    off_block = delta.encode(offsets, is_int32=True)
-    child_meta = json.dumps({
+
+def is_nested(typ: pa.DataType) -> bool:
+    return (pa.types.is_list(typ) or pa.types.is_large_list(typ)
+            or pa.types.is_struct(typ))
+
+
+def _validity_block(arr: pa.Array) -> bytes:
+    if arr.null_count == 0:
+        return b""
+    valid = np.asarray(arr.is_valid().to_numpy(zero_copy_only=False))
+    return levels.encode_validity(valid)
+
+
+def _apply_validity(arr: pa.Array, vblock: bytes, n: int) -> pa.Array:
+    if not vblock:
+        return arr
+    valid = levels.decode_validity(vblock, n)
+    # take with a null-masked identity index nulls out invalid slots for
+    # any type (struct/list/prim alike)
+    idx = pa.array(np.arange(n, dtype=np.int64), mask=~valid)
+    return arr.take(idx)
+
+
+def encode(arr: pa.Array, selector, column: str) -> bytes:
+    """Any Arrow array (arbitrarily nested) → self-describing blob."""
+    t = arr.type
+    out = bytearray()
+    if pa.types.is_large_list(t):
+        arr = arr.cast(pa.list_(t.value_type))
+        t = arr.type
+    if pa.types.is_list(t):
+        out += bytes([KIND_LIST])
+        out += encode_vlq(len(arr))
+        vb = _validity_block(arr)
+        out += encode_vlq(len(vb))
+        out += vb
+        if arr.null_count:
+            arr = arr.fill_null([])
+        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False),
+                             dtype=np.int32)
+        values = arr.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        if offsets[0] != 0:
+            offsets = offsets - offsets[0]
+        off_block = delta.encode(offsets, is_int32=True)
+        out += encode_vlq(len(off_block))
+        out += off_block
+        out += encode(values, selector, column + ".element")
+        return bytes(out)
+    if pa.types.is_struct(t):
+        out += bytes([KIND_STRUCT])
+        out += encode_vlq(len(arr))
+        vb = _validity_block(arr)
+        out += encode_vlq(len(vb))
+        out += vb
+        out += encode_vlq(t.num_fields)
+        for i in range(t.num_fields):
+            name = t.field(i).name.encode()
+            out += encode_vlq(len(name))
+            out += name
+            blob = encode(arr.field(i), selector, f"{column}.{t.field(i).name}")
+            out += encode_vlq(len(blob))
+            out += blob
+        return bytes(out)
+    # ---- PRIM leaf
+    out += bytes([KIND_PRIM])
+    out += encode_vlq(len(arr))
+    vb = _validity_block(arr)
+    out += encode_vlq(len(vb))
+    out += vb
+    phys = physical_of_arrow(t)
+    _, vals = values_from_arrow(arr)  # drops nulls; validity restores them
+    type_length = t.byte_width if phys == PhysicalType.FIXED_LEN_BYTE_ARRAY else 0
+    enc = selector.select_and_encode(phys, vals, column=column,
+                                     type_length=type_length)
+    meta = json.dumps({
         "phys": phys.value,
-        "type": str(values.type),
-        "n": len(values),
+        "n": len(vals),
+        "type_length": type_length,
         "block_codec": enc.block_codec,
         "data_raw_len": enc.data_raw_len,
         "dict_raw_len": enc.dict_raw_len,
         "num_entries": enc.num_entries,
         "dict_len": len(enc.dict_page),
-    })
-    out = bytearray()
-    out += encode_vlq(len(arr))
-    out += encode_vlq(len(off_block))
-    out += off_block
+    }).encode()
     cc = enc.codec.encode()
     out += encode_vlq(len(cc))
     out += cc
-    cm = child_meta.encode()
-    out += encode_vlq(len(cm))
-    out += cm
+    out += encode_vlq(len(meta))
+    out += meta
     out += enc.dict_page
     out += enc.data
     return bytes(out)
 
 
-def decode(data: bytes, target_type: pa.DataType) -> pa.ListArray:
+def decode(data: bytes, target_type: pa.DataType) -> pa.Array:
     from ..page import decode_with  # local import to avoid cycle
     buf = memoryview(data)
-    n, pos = decode_vlq(buf, 0)
-    off_len, pos = decode_vlq(buf, pos)
-    offsets = delta.decode(bytes(buf[pos:pos + off_len]), is_int32=True)
-    pos += off_len
+    arr, _ = _decode_at(buf, 0, target_type, decode_with)
+    return arr
+
+
+def _decode_at(buf: memoryview, pos: int, target_type: pa.DataType,
+               decode_with) -> tuple[pa.Array, int]:
+    kind = buf[pos]
+    pos += 1
+    n, pos = decode_vlq(buf, pos)
+    vlen, pos = decode_vlq(buf, pos)
+    vblock = bytes(buf[pos:pos + vlen])
+    pos += vlen
+    if kind == KIND_LIST:
+        if pa.types.is_large_list(target_type):
+            target_type = pa.list_(target_type.value_type)
+        off_len, pos = decode_vlq(buf, pos)
+        offsets = delta.decode(bytes(buf[pos:pos + off_len]), is_int32=True)
+        pos += off_len
+        values, pos = _decode_at(buf, pos, target_type.value_type, decode_with)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()), values)
+        return _apply_validity(arr, vblock, n), pos
+    if kind == KIND_STRUCT:
+        nf, pos = decode_vlq(buf, pos)
+        children, names = [], []
+        for _ in range(nf):
+            nl, pos = decode_vlq(buf, pos)
+            name = bytes(buf[pos:pos + nl]).decode()
+            pos += nl
+            bl, pos = decode_vlq(buf, pos)
+            # slice: a PRIM child consumes to the end of the buffer it is
+            # handed, so each field decodes from its own delimited view
+            child, _ = _decode_at(buf[pos:pos + bl], 0,
+                                  target_type.field(name).type, decode_with)
+            pos += bl
+            children.append(child)
+            names.append(name)
+        arr = pa.StructArray.from_arrays(children, names)
+        return _apply_validity(arr, vblock, n), pos
+    # ---- PRIM leaf
     cc_len, pos = decode_vlq(buf, pos)
     codec = bytes(buf[pos:pos + cc_len]).decode()
     pos += cc_len
@@ -83,17 +185,28 @@ def decode(data: bytes, target_type: pa.DataType) -> pa.ListArray:
     pos += cm_len
     dict_page = bytes(buf[pos:pos + meta["dict_len"]])
     pos += meta["dict_len"]
+    # a PRIM's data runs to the end of its delimited blob (the caller
+    # hands a sliced view: STRUCT fields via vlq length, LIST child and
+    # the top level as the buffer tail)
     payload = bytes(buf[pos:])
     if meta["block_codec"]:
         codec_obj = pa.Codec(meta["block_codec"])
         if payload:
-            payload = codec_obj.decompress(payload, meta["data_raw_len"]).to_pybytes()
+            payload = codec_obj.decompress(
+                payload, meta["data_raw_len"]).to_pybytes()
         if dict_page:
-            dict_page = codec_obj.decompress(dict_page, meta["dict_raw_len"]).to_pybytes()
+            dict_page = codec_obj.decompress(
+                dict_page, meta["dict_raw_len"]).to_pybytes()
     phys = PhysicalType(meta["phys"])
-    vals = decode_with(codec, phys, payload, dict_page,
-                       meta["num_entries"], meta["n"])
-    child_type = target_type.value_type
-    values = values_to_arrow(phys, vals, child_type)
-    return pa.ListArray.from_arrays(pa.array(offsets.astype(np.int32),
-                                             pa.int32()), values)
+    vals = decode_with(codec, phys, payload, dict_page, meta["num_entries"],
+                       meta["n"], meta["type_length"])
+    arr = values_to_arrow(phys, vals, target_type)
+    if vblock:
+        valid = levels.decode_validity(vblock, n)
+        take_idx = np.full(n, -1, dtype=np.int64)
+        take_idx[valid] = np.arange(int(valid.sum()))
+        idx = pa.array(np.maximum(take_idx, 0), mask=~valid)
+        arr = arr.take(idx)
+    if arr.type != target_type:
+        arr = arr.cast(target_type)
+    return arr, len(buf)

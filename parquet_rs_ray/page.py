@@ -185,7 +185,8 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
     """Encode one column of one block into page rows."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+    from .codecs import listcodec as _nested
+    if _nested.is_nested(arr.type):
         return _encode_list_chunk(column, col_idx, arr, selector=selector,
                                   path=path, block_id=block_id,
                                   block_rows=block_rows, n_cols=n_cols)
@@ -228,17 +229,26 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
 def _encode_list_chunk(column: str, col_idx: int, arr: pa.Array, *,
                        selector, path: str, block_id: str, block_rows: int,
                        n_cols: int) -> list[dict]:
-    """list<T> columns (≙ Dremel REPEATED, one nesting level): offsets +
-    child values via `codecs/listcodec.py`; pages cut on child-value
-    budget."""
+    """Nested columns — list<T>, struct<...>, arbitrary depth (≙ Dremel
+    REPEATED/GROUP): validity + offsets + recursively-encoded children
+    via `codecs/listcodec.py`; pages cut on estimated underlying bytes."""
     from .codecs import listcodec
     if pa.types.is_large_list(arr.type):
         arr = arr.cast(pa.list_(arr.type.value_type))
     atype = pickle.dumps(arr.type)
-    # page cut on underlying child bytes
+    # page cut on underlying bytes
     n = len(arr)
-    lens = pc.list_value_length(arr).fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
-    item_w = max(1, (arr.type.value_type.bit_width // 8) if arr.type.value_type.bit_width else 8)
+    if pa.types.is_list(arr.type):
+        lens = pc.list_value_length(arr).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        vt = arr.type.value_type
+        try:
+            item_w = max(1, vt.bit_width // 8)
+        except ValueError:  # variable-width or nested child
+            item_w = max(8, arr.nbytes // max(1, int(lens.sum())))
+    else:  # struct: flat per-row estimate from total buffer bytes
+        lens = np.ones(n, dtype=np.int64)
+        item_w = max(8, arr.nbytes // max(1, n))
     cum = np.cumsum(lens * item_w + 8)
     cuts = [0]
     while cuts[-1] < n:

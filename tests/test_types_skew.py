@@ -84,3 +84,27 @@ def test_skewed_lang_distribution_dictionary():
     assert rows[0]["codec"] == "RLE_DICTIONARY"
     assert sum(r["encoded_size"] for r in rows) < 0.1 * sum(
         r["plain_size"] for r in rows)
+
+
+NESTED_CASES = [
+    pa.array([[1, None, 3], None, [], [4, 5]], pa.list_(pa.int64())),
+    pa.array([{"a": 1, "b": "x"}, None, {"a": None, "b": "z"}],
+             pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    pa.array([[{"u": 1.5}, None], None, [{"u": None}]],
+             pa.list_(pa.struct([("u", pa.float64())]))),
+    pa.array([{"pos": [1, 2], "tag": "t"}, {"pos": None, "tag": None}],
+             pa.struct([("pos", pa.list_(pa.int32())), ("tag", pa.string())])),
+    pa.array([[[1], [None, 2]], None], pa.list_(pa.list_(pa.int64()))),
+    pa.array([["a", None, "bb"], []], pa.list_(pa.string())),
+]
+
+
+@pytest.mark.parametrize("col", NESTED_CASES,
+                         ids=[str(c.type) for c in NESTED_CASES])
+@pytest.mark.parametrize("block_codec", [None, "auto"])
+def test_nested_roundtrip(col, block_codec):
+    """Dremel-style nesting with per-level validity: null elements inside
+    lists, null structs, struct-of-list, list-of-struct, list-of-list
+    (≙ record assembly over def/rep levels, `record/reader.rs:382-472`)."""
+    _, got = _roundtrip_col(col, block_codec=block_codec)
+    assert got.to_pylist() == col.to_pylist()
