@@ -117,6 +117,24 @@ def run_bench(num_cpus: int) -> dict:
         lambda: build_global_dictionary(
             ray.data.read_parquet(f"{SF_DIR}/documents.parquet"), "lang"))
 
+    # training-data ops at sf scale: full near-dedup and ANN top-k
+    from parquet_rs_ray.ops.dedup import near_dedup
+    from parquet_rs_ray.ops.similarity import brute_force_topk
+    import numpy as np
+    import pyarrow.dataset as pads
+    queries["near_dedup_documents"] = _timed(
+        lambda: near_dedup(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"]),
+            concurrency=(2, num_cpus)).count())
+    qtbl = pads.dataset(f"{SF_DIR}/embeddings.parquet").head(8)
+    qmat = np.vstack([np.asarray(v, dtype=np.float32)
+                      for v in qtbl.column("embedding").to_pylist()])
+    queries["topk_similarity_embeddings"] = _timed(
+        lambda: brute_force_topk(
+            ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+            qmat, k=10))
+
     ray.shutdown()
     total = sum(queries.values())
     return {

@@ -35,15 +35,9 @@ def _block_distinct(num_salts: int, column: str):
 
 def _fallback_hash(vals: pa.Array) -> pa.Array:
     # deterministic per-value hash without pc.hash64 (not in all pyarrow
-    # versions): fnv-1a over utf-8 bytes, vectorized via numpy
-    s = vals.cast(pa.string()).to_pylist()
-    out = np.empty(len(s), dtype=np.uint64)
-    for i, v in enumerate(s):
-        h = np.uint64(1469598103934665603)
-        for b in v.encode():
-            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return pa.array(out, pa.uint64())
+    # versions): the vectorized batch hash from ops/dedup
+    from .ops.dedup import _hash_strings
+    return pa.array(_hash_strings(vals.cast(pa.string())), pa.uint64())
 
 
 def _dedup_group(batch: pa.Table) -> pa.Table:
