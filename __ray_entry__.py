@@ -273,6 +273,30 @@ def _ivf_topk_embeddings(sf_dir: str):
     return ivf_topk(ds, q, k=5, nlist=8, nprobe=3)
 
 
+def _media_features_documents(sf_dir: str):
+    """Multimodal plumbing through the driver: promote text bytes to the
+    media convention, run the actor-pool decode stage (deterministic
+    stub — real codec libs are the seam), emit per-doc features
+    (rows-only; stub-defined)."""
+    import pyarrow as pa
+    import ray
+    from parquet_rs_ray.ops.multimodal import attach_media, decode_images
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def promote(batch: pa.Table) -> pa.Table:
+        batch = batch.set_column(
+            batch.column_names.index("text"), "media",
+            batch.column("text").cast(pa.binary()))
+        return attach_media(batch, payload_col="media", fmt="jpeg",
+                            meta={"synthetic": True})
+
+    media = ds.map_batches(promote, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return decode_images(media, batch_size=64, concurrency=2, fake=True)
+
+
 _TABLES = {
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -309,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores_documents"] = _quality_scores_documents
     q["fingerprints_documents"] = _fingerprints_documents
     q["minhash_candidates_documents"] = _minhash_candidates_documents
+    q["media_features_documents"] = _media_features_documents
     q["embedding_near_dup_embeddings"] = _embedding_near_dup_embeddings
     q["near_dedup_documents"] = _near_dedup_documents
     q["simhash_candidates_documents"] = _simhash_candidates_documents
