@@ -202,6 +202,8 @@ def _decode_at(buf: memoryview, pos: int, target_type: pa.DataType,
                        meta["n"], meta["type_length"])
     arr = values_to_arrow(phys, vals, target_type)
     if vblock:
+        if meta["n"] == 0:
+            return pa.nulls(n, target_type), len(buf)
         valid = levels.decode_validity(vblock, n)
         take_idx = np.full(n, -1, dtype=np.int64)
         take_idx[valid] = np.arange(int(valid.sum()))

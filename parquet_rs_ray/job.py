@@ -187,6 +187,10 @@ def decode_job(out_dir: str):
     # (seconds of serial metadata fetch for thousands of small block
     # files); one file == one block == one decode batch, as decode_batch
     # requires
-    eds = ray.data.read_parquet_bulk(files, override_num_blocks=len(files))
+    if hasattr(ray.data, "read_parquet_bulk"):
+        eds = ray.data.read_parquet_bulk(files,
+                                         override_num_blocks=len(files))
+    else:  # removed in newer Ray; plain read keeps 1 file = 1 block
+        eds = ray.data.read_parquet(files, override_num_blocks=len(files))
     return eds.map_batches(decode_batch, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)

@@ -325,6 +325,8 @@ def _decode_page_row(row: dict) -> pa.Array:
                          row["num_entries"], n_nonnull, row["type_length"])
     arr = values_to_arrow(phys, values, target)
     if row["null_count"]:
+        if n_nonnull == 0:
+            return pa.nulls(n, target)
         valid = levels.decode_validity(row["levels"], n)
         # scatter non-null values into a nullable array
         take_idx = np.full(n, -1, dtype=np.int64)
