@@ -165,6 +165,17 @@ def _exact_dedup_documents(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_chars"])
 
 
+def _exact_dedup_join_documents(sf_dir: str):
+    """Exact dedup, fully-distributed variant: winners hash-joined back
+    instead of broadcast (the 10^12-distinct-keys regime)."""
+    import ray
+    from parquet_rs_ray.ops.dedup import exact_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "n_chars"])
+    out = exact_dedup(ds, "text", "doc_id", mode="join", num_partitions=8)
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
 def _token_counts_documents(sf_dir: str):
     import ray
     from parquet_rs_ray.ops.textstats import token_counts
@@ -327,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["encoded_pages_documents"] = _encoded_pages_documents
     q["compression_ratio_documents"] = _compression_ratio
     q["exact_dedup_documents"] = _exact_dedup_documents
+    q["exact_dedup_join_documents"] = _exact_dedup_join_documents
     q["token_counts_documents"] = _token_counts_documents
     q["topk_similarity_embeddings"] = _topk_similarity_embeddings
     q["lang_id_documents"] = _lang_id_documents
@@ -356,6 +368,9 @@ def oracle_sql() -> dict[str, str]:
     sql["global_lang_dictionary"] = (
         "SELECT DISTINCT lang FROM documents ORDER BY lang")
     sql["exact_dedup_documents"] = (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN "
+        "(SELECT MIN(doc_id) FROM documents GROUP BY text)")
+    sql["exact_dedup_join_documents"] = (
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN "
         "(SELECT MIN(doc_id) FROM documents GROUP BY text)")
     sql["token_counts_documents"] = (

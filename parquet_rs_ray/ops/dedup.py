@@ -71,13 +71,18 @@ def _hash_strings(arr: pa.Array) -> np.ndarray:
     return out
 
 
-def exact_dedup(ds, text_col: str, key_col: str):
+def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
+                num_partitions: int = 32):
     """Keep the min-`key_col` row per distinct `text_col` value.
 
     Stage 1 (combiner, no shuffle): per-batch dedup → (hash, key) only.
     Stage 2 (shuffle): groupby(hash) over the compact pairs → winner key.
-    Stage 3 (broadcast-join-free): semi-join winners back by key via a
-    second pass filter on the original dataset.
+    Stage 3, two regimes:
+      * ``mode="broadcast"`` — winner keys fit memory (≤ ~10^9): collect
+        once, ``ray.put``, filter the original dataset per batch.
+      * ``mode="join"`` — winner set itself is huge (near-unique corpus
+        at 10^12 docs): distributed hash join of the tagged dataset
+        against the winner (hash, key) pairs; nothing touches the driver.
     """
     import ray
 
@@ -87,7 +92,7 @@ def exact_dedup(ds, text_col: str, key_col: str):
         order = np.lexsort((keys, h))
         hs, ks = h[order], keys[order]
         first = np.concatenate(([True], hs[1:] != hs[:-1]))
-        return pa.table({"h": hs[first], "k": ks[first]})
+        return pa.table({"h": hs[first].view(np.int64), "k": ks[first]})
 
     pairs = ds.map_batches(to_pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -102,6 +107,20 @@ def exact_dedup(ds, text_col: str, key_col: str):
 
     winners = pairs.groupby("h").map_groups(min_per_group,
                                             batch_format="pyarrow")
+
+    if mode == "join":
+        def tag(batch: pa.Table) -> pa.Table:
+            h = _hash_strings(batch.column(text_col)).view(np.int64)
+            return batch.append_column("__h", pa.array(h, pa.int64()))
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        win = winners.rename_columns({"h": "__h", "k": "__k"})
+        out = tagged.join(win, "inner", num_partitions,
+                          on=("__h", key_col), right_on=("__h", "__k"))
+        return out.drop_columns(["__h", "__k"]) if "__k" in (
+            out.schema().names) else out.drop_columns(["__h"])
+
     keep = np.sort(winners.select_columns(["k"]).to_pandas()["k"].to_numpy())
     keep_ref = ray.put(keep)  # broadcast once; read per task, not per batch
 

@@ -28,15 +28,18 @@ def test_hash_strings_matches_slice_offset():
     assert sliced.tolist() == full[1:3].tolist()
 
 
-def test_exact_dedup(ray_session):
+@pytest.mark.parametrize("mode", ["broadcast", "join"])
+def test_exact_dedup(ray_session, mode):
     import ray
     tbl = pa.table({
         "doc_id": pa.array([5, 1, 2, 3, 4], pa.int64()),
         "text": ["dup", "dup", "unique1", "dup", "unique2"],
     })
     ds = ray.data.from_arrow(tbl)
-    out = dedup.exact_dedup(ds, "text", "doc_id").to_pandas()
+    out = dedup.exact_dedup(ds, "text", "doc_id", mode=mode,
+                            num_partitions=4).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [1, 2, 4]
+    assert sorted(out.columns) == ["doc_id", "text"]
 
 
 def test_minhash_lsh_finds_near_dup(ray_session):
