@@ -9,8 +9,6 @@
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 
@@ -37,8 +35,9 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
                      vec_col: str = "embedding", key_col: str = "vec_id",
                      dtype=np.float32):
     """Exact cosine top-k for each query row. Returns a pa.Table
-    (query_idx, vec_id, score) of k rows per query, merged on the driver
-    from per-batch partial top-ks (k × num_queries small).
+    (query_idx, vec_id, score) of k rows per query; per-batch partial
+    top-ks reduce distributedly (groupby query_idx), so the driver only
+    ever sees k × num_queries rows.
 
     ``dtype=np.float64`` gives oracle-exact doubles for verification;
     float32 is the scale default (half the bytes through the matmul)."""
@@ -64,19 +63,22 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
                          "vec_id": pa.array(rows["vec_id"], pa.int64()),
                          "score": pa.array(rows["score"], pa.float64())})
 
-    parts = ds.map_batches(partial_topk, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas()
-    out = {"query_idx": [], "vec_id": [], "score": []}
-    for qi, grp in parts.groupby("query_idx"):
-        top = heapq.nlargest(k, grp.itertuples(index=False),
-                             key=lambda r: (r.score, -r.vec_id))
-        for r in top:
-            out["query_idx"].append(qi)
-            out["vec_id"].append(r.vec_id)
-            out["score"].append(round(float(r.score), 6))
-    return pa.table({"query_idx": pa.array(out["query_idx"], pa.int32()),
-                     "vec_id": pa.array(out["vec_id"], pa.int64()),
-                     "score": pa.array(out["score"], pa.float64())})
+    def final_topk(group: pa.Table) -> pa.Table:
+        # distributed reduce: one group = one query; k rows survive, so
+        # the driver collects only k × num_queries rows total
+        scores = group.column("score").to_numpy(zero_copy_only=False)
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -scores))[:k]
+        return pa.table({
+            "query_idx": group.column("query_idx").take(pa.array(order)),
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "score": pa.array(np.round(scores[order], 6), pa.float64()),
+        })
+
+    reduced = ds.map_batches(partial_topk, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("query_idx").map_groups(final_topk, batch_format="pyarrow")
+    return pa.concat_tables(reduced.iter_batches(batch_format="pyarrow"))
 
 
 class LshIndexActor:
