@@ -127,9 +127,12 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
         return summary
 
     # fused read→encode→write: ship shard paths, not row data (see
-    # EncodeShardActor); one shard per actor call
+    # EncodeShardActor); several shards per actor call — per-task
+    # dispatch overhead at 1 task/shard costs ~30% wall at ~90ms shards
+    ncpu = int(ray.cluster_resources().get("CPU", 32))
+    nblocks = min(len(todo), max(4 * ncpu, 32))
     ds = ray.data.from_items([{"path": p} for p in todo],
-                             override_num_blocks=len(todo))
+                             override_num_blocks=nblocks)
     lineage = ds.map_batches(
         EncodeShardActor,
         fn_constructor_kwargs={"out_dir": out_dir,
@@ -187,10 +190,15 @@ def decode_job(out_dir: str):
     # (seconds of serial metadata fetch for thousands of small block
     # files); one file == one block == one decode batch, as decode_batch
     # requires
+    # task granularity: several block files per read task (decode_batch
+    # groups by block_id internally, and its n_pages assertion fails
+    # loudly if a file were ever split); 1 task per file costs 3× in
+    # per-task overhead at thousands of ~MB files
+    ncpu = int(ray.cluster_resources().get("CPU", 32))
+    nb = min(len(files), max(4 * ncpu, 32))
     if hasattr(ray.data, "read_parquet_bulk"):
-        eds = ray.data.read_parquet_bulk(files,
-                                         override_num_blocks=len(files))
-    else:  # removed in newer Ray; plain read keeps 1 file = 1 block
-        eds = ray.data.read_parquet(files, override_num_blocks=len(files))
+        eds = ray.data.read_parquet_bulk(files, override_num_blocks=nb)
+    else:  # removed in newer Ray
+        eds = ray.data.read_parquet(files, override_num_blocks=nb)
     return eds.map_batches(decode_batch, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=None)
