@@ -91,6 +91,40 @@ def cmd_inspect(encoded_dir: str) -> int:
     return 0
 
 
+def cmd_encode(inputs: list[str], out_dir: str, block_codec: str | None,
+               concurrency: int) -> int:
+    """Run (or resume) the resumable encode job over input shards."""
+    import glob as _glob
+    ray = _ray()
+    from .job import encode_job
+
+    paths: list[str] = []
+    for pat in inputs:
+        hits = sorted(_glob.glob(pat))
+        paths.extend(hits if hits else [pat])
+    s = encode_job(paths, out_dir, concurrency=concurrency,
+                   block_codec=block_codec)
+    print(json.dumps(s))
+    return 0
+
+
+def cmd_decode(encoded_dir: str, out_dir: str | None) -> int:
+    """Decode committed blocks back to the original schema; write
+    partitioned parquet when --out is given, else print row count."""
+    ray = _ray()
+    from .job import decode_job
+
+    ds = decode_job(encoded_dir)
+    if out_dir:
+        ds.write_parquet(out_dir)
+        print(json.dumps({"written": out_dir}))
+    else:
+        n = ds.map_batches(lambda b: {"n": [b.num_rows]},
+                           batch_format="pyarrow").sum("n")
+        print(json.dumps({"rows": int(n)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="parquet_rs_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -108,12 +142,29 @@ def main(argv: list[str] | None = None) -> int:
     p_inspect = sub.add_parser("inspect", help="summarize encoded output")
     p_inspect.add_argument("encoded_dir")
 
+    p_enc = sub.add_parser("encode", help="resumable encode job")
+    p_enc.add_argument("inputs", nargs="+",
+                       help="parquet shard paths or globs")
+    p_enc.add_argument("out_dir")
+    p_enc.add_argument("--block-codec", default="auto")
+    p_enc.add_argument("--concurrency", type=int, default=8)
+
+    p_dec = sub.add_parser("decode", help="decode committed blocks")
+    p_dec.add_argument("encoded_dir")
+    p_dec.add_argument("--out", default=None,
+                       help="write decoded parquet here (else count rows)")
+
     args = ap.parse_args(argv)
     if args.cmd == "read":
         cols = args.columns.split(",") if args.columns else None
         return cmd_read(args.path, args.num_rows, cols)
     if args.cmd == "schema":
         return cmd_schema(args.path, args.verbose)
+    if args.cmd == "encode":
+        bc = None if args.block_codec in ("none", "") else args.block_codec
+        return cmd_encode(args.inputs, args.out_dir, bc, args.concurrency)
+    if args.cmd == "decode":
+        return cmd_decode(args.encoded_dir, args.out)
     return cmd_inspect(args.encoded_dir)
 
 

@@ -141,3 +141,27 @@ def test_cli_read():
     assert len(lines) == 3
     row = json.loads(lines[0])
     assert set(row) == {"doc_id", "lang"}
+
+
+def test_cli_encode_decode(tmp_path):
+    enc_dir = str(tmp_path / "enc")
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "encode",
+         f"{SF}/documents.parquet", enc_dir, "--concurrency", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["shards_encoded"] == 1 and s["rows"] == 500
+    assert s["encoded_bytes"] < s["plain_bytes"]
+    # resume: second run skips the committed shard
+    out2 = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "encode",
+         f"{SF}/documents.parquet", enc_dir, "--concurrency", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    s2 = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert s2["shards_skipped"] == 1 and s2["shards_encoded"] == 0
+    out3 = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "decode", enc_dir],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out3.returncode == 0, out3.stderr
+    assert json.loads(out3.stdout.strip().splitlines()[-1]) == {"rows": 500}
