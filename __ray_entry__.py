@@ -45,21 +45,35 @@ def _stats_documents(sf_dir: str):
     (SURVEY §2.9): per-page min/max/null_count folded into chunk stats."""
     import json
     import pandas as pd
+    import pyarrow as pa
     import ray
     from parquet_rs_ray.pipeline import encode_dataset
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     pages = encode_dataset(ds, concurrency=4)
-    cols = pages.select_columns(["column", "num_values", "null_count",
-                                 "stats_json"]).to_pandas()
-    n_rows = int(cols[cols["column"] == "n_chars"]["num_values"].sum())
-    sub = cols[cols["column"] == "n_chars"]
-    mins = [json.loads(s).get("min") for s in sub["stats_json"]]
-    maxs = [json.loads(s).get("max") for s in sub["stats_json"]]
+
+    def page_stats(batch: pa.Table) -> pa.Table:
+        rows = {"n": [], "mn": [], "mx": []}
+        for col, nv, sj in zip(batch.column("column").to_pylist(),
+                               batch.column("num_values").to_pylist(),
+                               batch.column("stats_json").to_pylist()):
+            if col != "n_chars":
+                continue
+            st = json.loads(sj)
+            rows["n"].append(nv)
+            rows["mn"].append(int(float(st["min"])))
+            rows["mx"].append(int(float(st["max"])))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+    # fold per-page stats distributedly; one row reaches the driver
+    folded = pages.map_batches(page_stats, batch_format="pyarrow") \
+        .aggregate(ray.data.aggregate.Sum("n"),
+                   ray.data.aggregate.Min("mn"),
+                   ray.data.aggregate.Max("mx"))
     return pd.DataFrame({
-        "n_rows": [n_rows],
-        "min_n_chars": [min(int(float(m)) for m in mins if m is not None)],
-        "max_n_chars": [max(int(float(m)) for m in maxs if m is not None)],
+        "n_rows": [int(folded["sum(n)"])],
+        "min_n_chars": [int(folded["min(mn)"])],
+        "max_n_chars": [int(folded["max(mx)"])],
     })
 
 
@@ -92,14 +106,18 @@ def _encoded_pages_documents(sf_dir: str):
 
 
 def _compression_ratio(sf_dir: str):
-    """Whole-table compression summary (rows-only check)."""
-    import pandas as pd
+    """Whole-table compression summary (rows-only check). Aggregated in
+    Ray (groupby column) so only #columns rows reach the driver — at
+    100 TB the per-page lineage itself is big."""
     import ray
     from parquet_rs_ray.pipeline import encode_dataset
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     pages = encode_dataset(ds, concurrency=4)
-    df = pages.select_columns(["column", "plain_size", "encoded_size"]).to_pandas()
-    g = df.groupby("column", as_index=False).sum()
+    agg = pages.groupby("column").aggregate(
+        ray.data.aggregate.Sum("plain_size"),
+        ray.data.aggregate.Sum("encoded_size"))
+    g = agg.to_pandas().rename(columns={
+        "sum(plain_size)": "plain_size", "sum(encoded_size)": "encoded_size"})
     g["ratio"] = g["encoded_size"] / g["plain_size"]
     assert (g["encoded_size"] <= g["plain_size"]).all(), \
         "codec selector must never lose to PLAIN"
