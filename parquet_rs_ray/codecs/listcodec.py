@@ -38,12 +38,12 @@ from .base import PhysicalType, physical_of_arrow, values_from_arrow, values_to_
 
 CODEC_ID = "LIST"
 
-KIND_PRIM, KIND_LIST, KIND_STRUCT = 0, 1, 2
+KIND_PRIM, KIND_LIST, KIND_STRUCT, KIND_MAP = 0, 1, 2, 3
 
 
 def is_nested(typ: pa.DataType) -> bool:
     return (pa.types.is_list(typ) or pa.types.is_large_list(typ)
-            or pa.types.is_struct(typ))
+            or pa.types.is_struct(typ) or pa.types.is_map(typ))
 
 
 def _validity_block(arr: pa.Array) -> bytes:
@@ -87,6 +87,28 @@ def encode(arr: pa.Array, selector, column: str) -> bytes:
         out += encode_vlq(len(off_block))
         out += off_block
         out += encode(values, selector, column + ".element")
+        return bytes(out)
+    if pa.types.is_map(t):
+        # MAP ≙ LIST of (key, value) entries (Dremel MAP_KEY_VALUE,
+        # `src/basic.rs:56-146`); keys are non-null by construction
+        out += bytes([KIND_MAP])
+        out += encode_vlq(len(arr))
+        vb = _validity_block(arr)
+        out += encode_vlq(len(vb))
+        out += vb
+        offsets = np.asarray(arr.offsets.to_numpy(zero_copy_only=False),
+                             dtype=np.int32)
+        keys = arr.keys.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        items = arr.items.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        if offsets[0] != 0:
+            offsets = offsets - offsets[0]
+        off_block = delta.encode(offsets, is_int32=True)
+        out += encode_vlq(len(off_block))
+        out += off_block
+        kb = encode(keys, selector, column + ".key")
+        out += encode_vlq(len(kb))
+        out += kb
+        out += encode(items, selector, column + ".value")
         return bytes(out)
     if pa.types.is_struct(t):
         out += bytes([KIND_STRUCT])
@@ -141,8 +163,20 @@ def decode(data: bytes, target_type: pa.DataType) -> pa.Array:
     return arr
 
 
+def _validity_buffers(vblock: bytes, n: int):
+    """(validity buffer | None, null_count) from an RLE validity block."""
+    if not vblock:
+        return None, 0
+    valid = levels.decode_validity(vblock, n)
+    buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    return buf, int(n - valid.sum())
+
+
 def _decode_at(buf: memoryview, pos: int, target_type: pa.DataType,
                decode_with) -> tuple[pa.Array, int]:
+    # nested levels are rebuilt with Array.from_buffers against the
+    # exact target type — field names and non-nullable child fields
+    # survive (a cast-based rebuild cannot add non-nullability back)
     kind = buf[pos]
     pos += 1
     n, pos = decode_vlq(buf, pos)
@@ -150,18 +184,41 @@ def _decode_at(buf: memoryview, pos: int, target_type: pa.DataType,
     vblock = bytes(buf[pos:pos + vlen])
     pos += vlen
     if kind == KIND_LIST:
-        if pa.types.is_large_list(target_type):
-            target_type = pa.list_(target_type.value_type)
+        want_large = pa.types.is_large_list(target_type)
+        lt = pa.list_(target_type.value_field) if want_large else target_type
         off_len, pos = decode_vlq(buf, pos)
         offsets = delta.decode(bytes(buf[pos:pos + off_len]), is_int32=True)
         pos += off_len
-        values, pos = _decode_at(buf, pos, target_type.value_type, decode_with)
-        arr = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32), pa.int32()), values)
-        return _apply_validity(arr, vblock, n), pos
+        values, pos = _decode_at(buf, pos, lt.value_type, decode_with)
+        vbuf, nulls = _validity_buffers(vblock, n)
+        off_buf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+        arr = pa.Array.from_buffers(lt, n, [vbuf, off_buf],
+                                    null_count=nulls, children=[values])
+        if want_large:
+            arr = arr.cast(target_type)
+        return arr, pos
+    if kind == KIND_MAP:
+        off_len, pos = decode_vlq(buf, pos)
+        offsets = delta.decode(bytes(buf[pos:pos + off_len]), is_int32=True)
+        pos += off_len
+        kb_len, pos = decode_vlq(buf, pos)
+        keys, _ = _decode_at(buf[pos:pos + kb_len], 0, target_type.key_type,
+                             decode_with)
+        pos += kb_len
+        items, pos = _decode_at(buf, pos, target_type.item_type, decode_with)
+        entries_type = pa.struct([target_type.key_field,
+                                  target_type.item_field])
+        entries = pa.Array.from_buffers(entries_type, len(keys), [None],
+                                        null_count=0,
+                                        children=[keys, items])
+        vbuf, nulls = _validity_buffers(vblock, n)
+        off_buf = pa.py_buffer(offsets.astype(np.int32).tobytes())
+        arr = pa.Array.from_buffers(target_type, n, [vbuf, off_buf],
+                                    null_count=nulls, children=[entries])
+        return arr, pos
     if kind == KIND_STRUCT:
         nf, pos = decode_vlq(buf, pos)
-        children, names = [], []
+        children = []
         for _ in range(nf):
             nl, pos = decode_vlq(buf, pos)
             name = bytes(buf[pos:pos + nl]).decode()
@@ -173,9 +230,10 @@ def _decode_at(buf: memoryview, pos: int, target_type: pa.DataType,
                                   target_type.field(name).type, decode_with)
             pos += bl
             children.append(child)
-            names.append(name)
-        arr = pa.StructArray.from_arrays(children, names)
-        return _apply_validity(arr, vblock, n), pos
+        vbuf, nulls = _validity_buffers(vblock, n)
+        arr = pa.Array.from_buffers(target_type, n, [vbuf],
+                                    null_count=nulls, children=children)
+        return arr, pos
     # ---- PRIM leaf
     cc_len, pos = decode_vlq(buf, pos)
     codec = bytes(buf[pos:pos + cc_len]).decode()

@@ -259,10 +259,9 @@ def _encode_list_chunk(column: str, col_idx: int, arr: pa.Array, *,
     for pid, (s, e) in enumerate(ranges):
         page_arr = arr.slice(s, e - s)
         null_count = page_arr.null_count
+        # top-level validity travels INSIDE the nested blob (every
+        # nesting level carries its own), so no page-level level bytes
         level_bytes = b""
-        if null_count:
-            valid = np.asarray(page_arr.is_valid().to_numpy(zero_copy_only=False))
-            level_bytes = levels.encode_validity(valid)
         data = listcodec.encode(page_arr, selector, column)
         psize = int(lens[s:e].sum()) * item_w + 4 * (e - s)
         rows.append({
@@ -302,11 +301,8 @@ def _decode_page_row(row: dict) -> pa.Array:
     if row["phys"] == "LIST":
         from .codecs import listcodec
         target = pickle.loads(row["arrow_type"])
+        # validity at every nesting level is inside the blob
         arr = listcodec.decode(row["data"], target)
-        if row["null_count"]:
-            valid = levels.decode_validity(row["levels"], row["num_values"])
-            mask = pa.array(~valid)
-            arr = pc.if_else(mask, pa.scalar(None, type=arr.type), arr)
         if arr.type != target:
             arr = arr.cast(target)
         return arr
