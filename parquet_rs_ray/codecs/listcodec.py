@@ -10,6 +10,8 @@ equivalent information structurally, one self-describing blob per page:
            recursively-encoded child values.
 * STRUCT — validity bitmap + each field recursively encoded (≙ GroupType
            with its leaf columns DFS-flattened, `types.rs:652-695`).
+* MAP    — validity bitmap + offsets + keys and values recursively
+           encoded (≙ MAP/MAP_KEY_VALUE, `src/basic.rs:56-146`).
 * PRIM   — validity bitmap + non-null values through the codec
            auto-selector (the leaf column case).
 
@@ -20,8 +22,13 @@ max_def_level/max_rep_level encode in the reference.
 Blob grammar (all lengths VLQ):
     kind:u8  vlq(n)  vlq(len(validity)) validity
     LIST:   vlq(len(offsets_block)) offsets_block  child_blob
+    MAP:    vlq(len(offsets_block)) offsets_block
+            vlq(len(keys_blob)) keys_blob  items_blob
     STRUCT: vlq(num_fields) { vlq(len(name)) name vlq(len(blob)) blob }*
     PRIM:   vlq(len(codec)) codec vlq(len(meta_json)) meta_json dict data
+
+Decode rebuilds each level with `Array.from_buffers` against the exact
+target type, so field names and non-nullable child fields survive.
 """
 
 from __future__ import annotations
@@ -30,7 +37,6 @@ import json
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..bitio import decode_vlq, encode_vlq
 from . import delta, levels
@@ -51,16 +57,6 @@ def _validity_block(arr: pa.Array) -> bytes:
         return b""
     valid = np.asarray(arr.is_valid().to_numpy(zero_copy_only=False))
     return levels.encode_validity(valid)
-
-
-def _apply_validity(arr: pa.Array, vblock: bytes, n: int) -> pa.Array:
-    if not vblock:
-        return arr
-    valid = levels.decode_validity(vblock, n)
-    # take with a null-masked identity index nulls out invalid slots for
-    # any type (struct/list/prim alike)
-    idx = pa.array(np.arange(n, dtype=np.int64), mask=~valid)
-    return arr.take(idx)
 
 
 def encode(arr: pa.Array, selector, column: str) -> bytes:
