@@ -185,6 +185,11 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
     """Encode one column of one block into page rows."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        # dictionary-typed Arrow input (e.g. read_parquet with
+        # read_dictionary): decode to values — the selector re-derives
+        # its own dictionary encoding when it wins on bytes
+        arr = arr.dictionary_decode()
     from .codecs import listcodec as _nested
     if _nested.is_nested(arr.type):
         return _encode_list_chunk(column, col_idx, arr, selector=selector,

@@ -108,3 +108,15 @@ def test_nested_roundtrip(col, block_codec):
     (≙ record assembly over def/rep levels, `record/reader.rs:382-472`)."""
     _, got = _roundtrip_col(col, block_codec=block_codec)
     assert got.to_pylist() == col.to_pylist()
+
+
+def test_dictionary_typed_input_roundtrip():
+    """dictionary<string> Arrow input (read_parquet read_dictionary):
+    decoded to values at encode; selector re-derives its own dict."""
+    col = pa.array(["a", "b", "a", None, "c"] * 40).dictionary_encode()
+    sel = CodecSelector()
+    rows = encode_column_chunk("c", 0, pa.chunked_array([col]), selector=sel,
+                               path="", block_id="b", block_rows=len(col),
+                               n_cols=1)
+    got = pa.concat_arrays([decode_page_row(r) for r in rows])
+    assert got.to_pylist() == col.to_pylist()
