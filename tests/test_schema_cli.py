@@ -165,3 +165,43 @@ def test_cli_encode_decode(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=300)
     assert out3.returncode == 0, out3.stderr
     assert json.loads(out3.stdout.strip().splitlines()[-1]) == {"rows": 500}
+
+
+def test_cli_encode_kill_midrun_resumes(tmp_path):
+    """North-rule resume: kill the encode process mid-run; the restart
+    skips committed shards and the decoded output is complete."""
+    import glob
+    import pyarrow.parquet as pq
+    from parquet_rs_ray.webgen import write_web_shards
+
+    shards = write_web_shards(str(tmp_path / "web"), 500, 12)
+    enc_dir = str(tmp_path / "enc")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "encode",
+         *shards, enc_dir, "--concurrency", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, cwd="/root/repo")
+    # wait for the first manifest commits, then kill hard
+    import time
+    mdir = str(tmp_path / "enc" / "manifest")
+    for _ in range(600):
+        if glob.glob(mdir + "/*.json"):
+            break
+        time.sleep(0.1)
+    proc.kill()
+    proc.wait(timeout=60)
+    committed_before = len(glob.glob(mdir + "/*.json"))
+    assert 0 < committed_before  # something committed before the kill
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "encode",
+         *shards, enc_dir, "--concurrency", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert out.returncode == 0, out.stderr
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["shards_skipped"] >= committed_before
+    assert s["shards_skipped"] + s["shards_encoded"] == 12
+    # decoded output covers every input row exactly once
+    out2 = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "decode", enc_dir],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert json.loads(out2.stdout.strip().splitlines()[-1]) == {
+        "rows": 500 * 12}
