@@ -102,13 +102,31 @@ class EncodeShardActor(EncodeWriteActor):
     store — only paths in, lineage rows out."""
 
     def __call__(self, batch) -> pa.Table:
-        tables = []
-        for path in batch["path"].to_pylist() if isinstance(batch, pa.Table) else batch["path"]:
-            tbl = pq.read_table(path)
-            tbl = tbl.append_column("path", pa.array([path] * tbl.num_rows))
-            tables.append(EncodeActor.__call__(self, tbl))
-        pages = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-        return self._write_blocks(pages)
+        paths = (batch["path"].to_pylist() if isinstance(batch, pa.Table)
+                 else list(batch["path"]))
+        lineage = []
+        for path in paths:
+            # row-group-wise streaming read: a shard is never fully held
+            # in actor memory (giant shards at 100 TB scale), and each
+            # block file is written the moment its row group is encoded
+            pf = pq.ParquetFile(path)
+            rows_out = []
+            for rg in range(pf.metadata.num_row_groups):
+                tbl = pf.read_row_group(rg)
+                tbl = tbl.append_column(
+                    "path", pa.array([path] * tbl.num_rows))
+                pages = EncodeActor.__call__(self, tbl)
+                rows_out.append(self._write_blocks(pages))
+            per_path = pa.concat_tables(rows_out) if len(rows_out) > 1 \
+                else rows_out[0]
+            # n_blocks was computed per row group; fix up to the shard
+            # total so the driver commits only when the whole shard landed
+            total = per_path.num_rows
+            per_path = per_path.set_column(
+                per_path.column_names.index("n_blocks"), "n_blocks",
+                pa.array([total] * total, pa.int64()))
+            lineage.append(per_path)
+        return pa.concat_tables(lineage) if len(lineage) > 1 else lineage[0]
 
 
 def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
