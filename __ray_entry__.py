@@ -287,6 +287,21 @@ def _simhash_candidates_documents(sf_dir: str):
     return simhash_candidates(ds, max_hamming=6, concurrency=2)
 
 
+def _lsh_topk_embeddings(sf_dir: str):
+    """Hyperplane-LSH approximate top-k (rows-only; bucket-ring search —
+    recall vs brute force asserted in tests/test_ops.py)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray
+    from parquet_rs_ray.ops.similarity import lsh_topk
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        filter=pads.field("vec_id") < 3).sort_by("vec_id")
+    q = np.vstack([np.asarray(v, dtype=np.float32)
+                   for v in qtbl.column("embedding").to_pylist()])
+    return lsh_topk(ds, q, k=5, nbits=10, concurrency=2)
+
+
 def _ivf_topk_embeddings(sf_dir: str):
     """IVF (kmeans-cell) approximate top-k (rows-only; approximate by
     design — recall vs brute force is asserted in tests/test_ops.py)."""
@@ -368,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["near_dedup_documents"] = _near_dedup_documents
     q["simhash_candidates_documents"] = _simhash_candidates_documents
     q["ivf_topk_embeddings"] = _ivf_topk_embeddings
+    q["lsh_topk_embeddings"] = _lsh_topk_embeddings
     q["filter_pushdown_documents"] = _filter_pushdown_documents
     q["project_convert_events"] = _project_convert_events
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
