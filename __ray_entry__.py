@@ -171,6 +171,25 @@ def _agg_after_decode_lineitem(sf_dir: str):
     return out.rename_columns({k: v for k, v in ren.items() if k in names})
 
 
+def _json_extract_events(sf_dir: str):
+    """Per-record parser over the JSON props column (≙ record-layer
+    typed accessors, api.rs:53-360): extract props.k as an int."""
+    import json
+    import pyarrow as pa
+    import ray
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] if p else None
+              for p in batch.column("props").to_pylist()]
+        return pa.table({"event_id": batch.column("event_id"),
+                         "k": pa.array(ks, pa.int64())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "props"])
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # -------------------------------------------------- training-data ops
 
 def _exact_dedup_documents(sf_dir: str):
@@ -386,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lsh_topk_embeddings"] = _lsh_topk_embeddings
     q["filter_pushdown_documents"] = _filter_pushdown_documents
     q["project_convert_events"] = _project_convert_events
+    q["json_extract_events"] = _json_extract_events
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
     return q
 
@@ -433,6 +453,9 @@ def oracle_sql() -> dict[str, str]:
         "WHERE lang = 'en' AND n_chars > 500")
     sql["project_convert_events"] = (
         "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events")
+    sql["json_extract_events"] = (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events")
     sql["agg_after_decode_lineitem"] = (
         "SELECT l_returnflag, COUNT(*) AS cnt, MIN(l_quantity) AS min_qty, "
         "MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag")
