@@ -190,6 +190,41 @@ def _json_extract_events(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def _top100_orders(sf_dir: str):
+    """Distributed sort (all-to-all range shuffle) + limit: top 100
+    orders by price, orderkey tiebreak for determinism."""
+    import ray
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(100)
+
+
+def _customer_order_totals(sf_dir: str):
+    """Grouped aggregate with exact integer-cents sums (bit-exact vs the
+    SQL oracle — double summation order would not be)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "cents": pa.array(cents)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    out = ds.map_batches(to_cents, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("o_custkey").aggregate(ray.data.aggregate.Count(),
+                                        ray.data.aggregate.Sum("cents"))
+    ren = {"count()": "cnt", "sum(cents)": "total_cents"}
+    names = out.schema().names
+    return out.rename_columns({k: v for k, v in ren.items() if k in names})
+
+
 # -------------------------------------------------- training-data ops
 
 def _exact_dedup_documents(sf_dir: str):
@@ -406,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["filter_pushdown_documents"] = _filter_pushdown_documents
     q["project_convert_events"] = _project_convert_events
     q["json_extract_events"] = _json_extract_events
+    q["top100_orders"] = _top100_orders
+    q["customer_order_totals"] = _customer_order_totals
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
     return q
 
@@ -453,6 +490,13 @@ def oracle_sql() -> dict[str, str]:
         "WHERE lang = 'en' AND n_chars > 500")
     sql["project_convert_events"] = (
         "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events")
+    sql["top100_orders"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")
+    sql["customer_order_totals"] = (
+        "SELECT o_custkey, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents FROM orders GROUP BY o_custkey")
     sql["json_extract_events"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
         "FROM events")
