@@ -7,7 +7,8 @@ JSON line: {"metric", "value", "unit": "sec", "queries", "sf", "num_cpus",
 ...extras}.
 
 --scaling: runs the headline encode job twice in fresh subprocesses
-(num_cpus=8 then num_cpus=32) on the same input and reports throughput at
+(default num_cpus=4 then 16 — the linear regime on this single-socket
+box; see BASELINE.md notes) on the same input and reports throughput at
 both plus the scaling efficiency (north_rule: ≥ 0.8 between N and 4N).
 """
 
