@@ -271,11 +271,18 @@ class MinHashActor:
 
 def minhash_lsh_candidates(ds, *, text_col: str = "text",
                            key_col: str = "doc_id", num_perm: int = 64,
-                           bands: int = 16, concurrency=4):
+                           bands: int = 16, concurrency=4,
+                           max_bucket: int = 512):
     """Candidate near-duplicate pairs via banded minhash LSH.
 
     map_batches(MinHashActor) → groupby(band, bucket) → pairs within
-    buckets of size ≥ 2. Only (band, bucket, key) triples shuffle."""
+    buckets of size ≥ 2. Only (band, bucket, key) triples shuffle.
+
+    ``max_bucket`` caps pair emission per bucket: a degenerate bucket
+    (boilerplate-heavy corpora collapse many docs into one band value)
+    would otherwise emit O(bucket²) pairs; the cap keeps the smallest
+    ``max_bucket`` keys — real near-dup pairs still collide in the other
+    bands, so recall loss is confined to pathological buckets."""
     buckets = ds.map_batches(
         MinHashActor,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
@@ -283,7 +290,7 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text",
         batch_format="pyarrow", concurrency=concurrency)
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
-        keys = sorted(batch.column("key").to_pylist())
+        keys = sorted(batch.column("key").to_pylist())[:max_bucket]
         out = []
         if len(keys) >= 2:
             for i in range(len(keys)):
@@ -401,7 +408,7 @@ def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
 def simhash_candidates(ds, *, text_col: str = "text",
                        key_col: str = "doc_id", max_hamming: int = 3,
-                       concurrency=4):
+                       concurrency=4, max_bucket: int = 512):
     """Near-dup candidate pairs via banded SimHash.
 
     A 64-bit simhash split into 4 × 16-bit bands: any two hashes within
@@ -434,7 +441,7 @@ def simhash_candidates(ds, *, text_col: str = "text",
         keys = batch.column("key").to_numpy(zero_copy_only=False)
         hashes = batch.column("simhash").to_numpy(zero_copy_only=False) \
             .view(np.uint64)
-        order = np.argsort(keys)
+        order = np.argsort(keys)[:max_bucket]  # cap degenerate buckets
         keys, hashes = keys[order], hashes[order]
         out = {"a": [], "b": [], "hamming": []}
         for i in range(len(keys)):
