@@ -225,6 +225,34 @@ def _customer_order_totals(sf_dir: str):
     return out.rename_columns({k: v for k, v in ren.items() if k in names})
 
 
+def _sessionize_events(sf_dir: str):
+    """Windowed aggregate Ray Data lacks natively: 30-min-gap sessions
+    per user via groupby(user).map_groups (ops/temporal.py)."""
+    import ray
+    from parquet_rs_ray.ops.temporal import sessionize
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
+
+
+def _asof_purchase_click_events(sf_dir: str):
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it (ops/temporal.py composition — union +
+    groupby(key) + per-group searchsorted)."""
+    import pyarrow.dataset as pads
+    import ray
+    from parquet_rs_ray.ops.temporal import asof_join
+    f = f"{sf_dir}/events.parquet"
+    left = ray.data.read_parquet(
+        f, columns=["event_id", "user_id", "ts"],
+        filter=(pads.field("event_type") == "purchase"))
+    right = ray.data.read_parquet(
+        f, columns=["user_id", "ts"],
+        filter=(pads.field("event_type") == "click"))
+    return asof_join(left, right, key_col="user_id", ts_col="ts",
+                     right_ts_name="last_click_ts")
+
+
 # -------------------------------------------------- training-data ops
 
 def _exact_dedup_documents(sf_dir: str):
@@ -442,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["project_convert_events"] = _project_convert_events
     q["json_extract_events"] = _json_extract_events
     q["top100_orders"] = _top100_orders
+    q["sessionize_events"] = _sessionize_events
+    q["asof_purchase_click_events"] = _asof_purchase_click_events
     q["customer_order_totals"] = _customer_order_totals
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
     return q
@@ -490,6 +520,21 @@ def oracle_sql() -> dict[str, str]:
         "WHERE lang = 'en' AND n_chars > 500")
     sql["project_convert_events"] = (
         "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events")
+    sql["sessionize_events"] = (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "
+        "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > "
+        "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+        "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id "
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+        "SELECT user_id, CAST(sid AS BIGINT) AS session_id, "
+        "COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
+        "FROM s GROUP BY user_id, sid")
+    sql["asof_purchase_click_events"] = (
+        "SELECT p.event_id, p.user_id, p.ts, "
+        "(SELECT MAX(c.ts) FROM events c WHERE c.user_id = p.user_id "
+        "AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts "
+        "FROM events p WHERE p.event_type = 'purchase'")
     sql["top100_orders"] = (
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")

@@ -281,3 +281,36 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
         e = set(exact[exact.query_idx == qi].vec_id)
         a = set(approx[approx.query_idx == qi].vec_id)
         assert len(e & a) >= 4  # ≥80% recall per query
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray
+    from parquet_rs_ray.ops.temporal import sessionize
+    us = 60_000_000
+    tbl = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 10 * us, 50 * us, 5 * us], pa.timestamp("us")),
+    })
+    out = sessionize(ray.data.from_arrow(tbl), gap_minutes=30).to_pandas()
+    out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["session_id"].tolist() == [1, 2, 1]
+
+
+def test_asof_join_matches_and_nulls(ray_session):
+    import ray
+    from parquet_rs_ray.ops.temporal import asof_join
+    us = 60_000_000
+    left = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_id": pa.array([100, 101, 102], pa.int64()),
+        "ts": pa.array([20 * us, 60 * us, 7 * us], pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([0, 30 * us], pa.timestamp("us")),
+    }))
+    out = asof_join(left, right, key_col="user_id", ts_col="ts",
+                    right_ts_name="m").to_pandas().sort_values("event_id")
+    got = [None if v != v else int(v.timestamp() * 60) for v in out["m"]]
+    assert got == [0, 30, None]  # minutes (NaT != NaT)
