@@ -312,5 +312,5 @@ def test_asof_join_matches_and_nulls(ray_session):
     }))
     out = asof_join(left, right, key_col="user_id", ts_col="ts",
                     right_ts_name="m").to_pandas().sort_values("event_id")
-    got = [None if v != v else int(v.timestamp() * 60) for v in out["m"]]
+    got = [None if v != v else int(v.timestamp() // 60) for v in out["m"]]
     assert got == [0, 30, None]  # minutes (NaT != NaT)
