@@ -235,6 +235,18 @@ def _sessionize_events(sf_dir: str):
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def _range_join_orders(sf_dir: str):
+    """Range join: price bands as the broadcast small side
+    (ops/temporal.py range_join_broadcast)."""
+    import ray
+    from parquet_rs_ray.ops.temporal import range_join_broadcast
+    bands = [("low", 0.0, 100_000.0), ("mid", 100_000.0, 300_000.0),
+             ("high", 300_000.0, 1e12)]
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+    return range_join_broadcast(ds, bands, value_col="o_totalprice")
+
+
 def _asof_purchase_click_events(sf_dir: str):
     """As-of join: each purchase matched to the same user's most recent
     click at-or-before it (ops/temporal.py composition — union +
@@ -471,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["json_extract_events"] = _json_extract_events
     q["top100_orders"] = _top100_orders
     q["sessionize_events"] = _sessionize_events
+    q["range_join_orders"] = _range_join_orders
     q["asof_purchase_click_events"] = _asof_purchase_click_events
     q["customer_order_totals"] = _customer_order_totals
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
@@ -530,6 +543,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, CAST(sid AS BIGINT) AS session_id, "
         "COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
         "FROM s GROUP BY user_id, sid")
+    sql["range_join_orders"] = (
+        "SELECT o.o_orderkey, o.o_totalprice, b.band FROM orders o "
+        "LEFT JOIN (VALUES ('low', 0.0, 100000.0), "
+        "('mid', 100000.0, 300000.0), ('high', 300000.0, 1e12)) "
+        "b(band, lo, hi) ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi")
     sql["asof_purchase_click_events"] = (
         "SELECT p.event_id, p.user_id, p.ts, "
         "(SELECT MAX(c.ts) FROM events c WHERE c.user_id = p.user_id "

@@ -104,3 +104,33 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
         return out.append_column(right_ts_name, matched)
 
     return both.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def range_join_broadcast(ds, ranges, *, value_col: str,
+                         label_name: str = "band"):
+    """Range join against a small interval table: each row labeled with
+    the interval [lo, hi) containing ``value_col`` (null when none).
+
+    ``ranges`` = [(label, lo, hi), ...], non-overlapping. The interval
+    table is the broadcast small side (`ray.put` once, searchsorted per
+    batch) — the canonical alternative to an all-to-all interval join
+    when one side is tiny."""
+    import ray
+
+    rs = sorted(ranges, key=lambda r: r[1])
+    labels = [r[0] for r in rs]
+    los = np.array([r[1] for r in rs], dtype=np.float64)
+    his = np.array([r[2] for r in rs], dtype=np.float64)
+    bcast = ray.put((labels, los, his))
+
+    def label(batch: pa.Table) -> pa.Table:
+        lb, lo, hi = ray.get(bcast)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi[np.maximum(idx, 0)])
+        out = [lb[i] if k else None for i, k in zip(idx, ok)]
+        return batch.append_column(label_name, pa.array(out, pa.string()))
+
+    return ds.map_batches(label, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -314,3 +314,14 @@ def test_asof_join_matches_and_nulls(ray_session):
                     right_ts_name="m").to_pandas().sort_values("event_id")
     got = [None if v != v else int(v.timestamp() // 60) for v in out["m"]]
     assert got == [0, 30, None]  # minutes (NaT != NaT)
+
+
+def test_range_join_broadcast(ray_session):
+    import ray
+    from parquet_rs_ray.ops.temporal import range_join_broadcast
+    tbl = pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "v": pa.array([5.0, 150.0, 99.9, -1.0], pa.float64())})
+    out = range_join_broadcast(
+        ray.data.from_arrow(tbl), [("a", 0.0, 100.0), ("b", 100.0, 200.0)],
+        value_col="v").to_pandas().sort_values("id")
+    assert out["band"].tolist() == ["a", "b", "a", None]
