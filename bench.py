@@ -136,6 +136,23 @@ def run_bench(num_cpus: int) -> dict:
             ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet"),
             qmat, k=10))
 
+    # temporal custom operators (windowed aggregate + as-of join)
+    from parquet_rs_ray.ops.temporal import asof_join, sessionize
+    queries["sessionize_events"] = _timed(
+        lambda: sessionize(
+            ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                                  columns=["user_id", "ts"])).count())
+    queries["asof_join_events"] = _timed(
+        lambda: asof_join(
+            ray.data.read_parquet(
+                f"{SF_DIR}/events.parquet",
+                columns=["event_id", "user_id", "ts"],
+                filter=(pads.field("event_type") == "purchase")),
+            ray.data.read_parquet(
+                f"{SF_DIR}/events.parquet", columns=["user_id", "ts"],
+                filter=(pads.field("event_type") == "click")),
+            key_col="user_id", ts_col="ts").count())
+
     ray.shutdown()
     total = sum(queries.values())
     return {
