@@ -154,6 +154,18 @@ def _project_convert_events(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def _pruned_scan_lineitem(sf_dir: str):
+    """Predicate + projection pushdown over OUR encoded format: only the
+    projected columns' pages decode, and blocks whose stats exclude the
+    predicate never decompress (pipeline.prune_pages)."""
+    import ray
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    pages = encode_dataset(ds, concurrency=4)
+    return decode_dataset(pages, columns=["l_orderkey", "l_extendedprice"],
+                          predicate=("l_extendedprice", ">", 90000.0))
+
+
 def _agg_after_decode_lineitem(sf_dir: str):
     """Aggregate over the DECODED output — proves the engine's output
     composes with downstream Ray Data queries (order-independent aggs)."""
@@ -487,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["asof_purchase_click_events"] = _asof_purchase_click_events
     q["customer_order_totals"] = _customer_order_totals
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
+    q["pruned_scan_lineitem"] = _pruned_scan_lineitem
     return q
 
 
@@ -563,6 +576,9 @@ def oracle_sql() -> dict[str, str]:
     sql["json_extract_events"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
         "FROM events")
+    sql["pruned_scan_lineitem"] = (
+        "SELECT l_orderkey, l_extendedprice FROM lineitem "
+        "WHERE l_extendedprice > 90000.0")
     sql["agg_after_decode_lineitem"] = (
         "SELECT l_returnflag, COUNT(*) AS cnt, MIN(l_quantity) AS min_qty, "
         "MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag")

@@ -197,9 +197,10 @@ def committed_block_files(out_dir: str) -> list[str]:
     return sorted(files)
 
 
-def decode_job(out_dir: str):
+def decode_job(out_dir: str, *, columns=None, predicate=None):
     """Dataset over the committed encoded blocks, decoded to the original
-    schema (streaming; one encoded block file == one decode task batch)."""
+    schema (streaming). ``columns``/``predicate`` push projection and
+    block-stats pruning below the decode (see pipeline.prune_pages)."""
     import ray
     files = committed_block_files(out_dir)
     if not files:
@@ -218,5 +219,5 @@ def decode_job(out_dir: str):
         eds = ray.data.read_parquet_bulk(files, override_num_blocks=nb)
     else:  # removed in newer Ray
         eds = ray.data.read_parquet(files, override_num_blocks=nb)
-    return eds.map_batches(decode_batch, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None)
+    from .pipeline import decode_dataset
+    return decode_dataset(eds, columns=columns, predicate=predicate)

@@ -113,11 +113,102 @@ def encode_dataset(ds, *, concurrency=(1, 8), block_codec: str | None = None,
         concurrency=concurrency)
 
 
-def decode_dataset(encoded_ds):
-    """Dataset of page rows → Dataset with the original schema (streaming)."""
-    return encoded_ds.map_batches(
+_PRED_OPS = {
+    "==": lambda mn, mx, v: mn <= v <= mx,
+    ">": lambda mn, mx, v: mx > v,
+    ">=": lambda mn, mx, v: mx >= v,
+    "<": lambda mn, mx, v: mn < v,
+    "<=": lambda mn, mx, v: mn <= v,
+}
+
+
+def prune_pages(encoded_ds, *, columns=None, predicate=None):
+    """Projection + predicate pushdown over the encoded page dataset
+    (the feature the reference leaves unchecked, `README.md:67-81`):
+
+    * ``columns`` — keep only these columns' pages (others are never
+      decompressed or decoded);
+    * ``predicate`` — ``(column, op, value)`` with op ∈ ==,<,<=,>,>= :
+      drop whole BLOCKS whose per-page min/max stats prove no row can
+      match (conservative — exact filtering still happens after decode).
+    """
+    import json as _json
+
+    col, op, val = predicate if predicate else (None, None, None)
+    keep_cols = set(columns) | ({col} if col else set()) if columns else None
+
+    def prune(batch: pa.Table) -> pa.Table:
+        drop_blocks: set = set()
+        if col is not None:
+            check = _PRED_OPS[op]
+            can_match: dict = {}
+            for bid, c, sj in zip(batch.column("block_id").to_pylist(),
+                                  batch.column("column").to_pylist(),
+                                  batch.column("stats_json").to_pylist()):
+                if c != col:
+                    continue
+                st = _json.loads(sj)
+                mn, mx = st.get("min"), st.get("max")
+                # stats are stored stringly (page._stats_json): parse
+                # numerics back; strings/ISO timestamps compare
+                # lexicographically, except 64-char-truncated ones where
+                # pruning would be unsound
+                page_ok = True
+                if mn is not None and mx is not None:
+                    if isinstance(val, bool) or not isinstance(
+                            val, (int, float)):
+                        sval = str(val)
+                        if len(mn) < 64 and len(mx) < 64:
+                            page_ok = check(mn, mx, sval)
+                    else:
+                        try:
+                            page_ok = check(float(mn), float(mx),
+                                            float(val))
+                        except ValueError:
+                            pass
+                can_match[bid] = can_match.get(bid, False) or page_ok
+            drop_blocks = {bid for bid, ok in can_match.items() if not ok}
+        mask = []
+        for bid, c in zip(batch.column("block_id").to_pylist(),
+                          batch.column("column").to_pylist()):
+            ok = bid not in drop_blocks
+            if ok and keep_cols is not None:
+                ok = c in keep_cols
+            mask.append(ok)
+        return batch.filter(pa.array(mask))
+
+    return encoded_ds.map_batches(prune, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+
+
+def decode_dataset(encoded_ds, *, columns=None, predicate=None):
+    """Dataset of page rows → Dataset with the original schema
+    (streaming). ``columns`` / ``predicate`` push projection and
+    block-level stats pruning below the decode; the predicate is then
+    applied exactly on the decoded rows."""
+    if columns or predicate:
+        encoded_ds = prune_pages(encoded_ds, columns=columns,
+                                 predicate=predicate)
+    out = encoded_ds.map_batches(
         decode_batch, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None)
+    if predicate:
+        import pyarrow.compute as _pc
+        col, op, val = predicate
+        kernels = {"==": _pc.equal, ">": _pc.greater,
+                   ">=": _pc.greater_equal, "<": _pc.less,
+                   "<=": _pc.less_equal}
+
+        def exact(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(kernels[op](batch.column(col), val))
+            return batch.select(columns) if columns else batch
+
+        out = out.map_batches(exact, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    elif columns:
+        out = out.map_batches(lambda b: b.select(columns),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return out
 
 
 def roundtrip(ds, **kwargs):

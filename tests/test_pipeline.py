@@ -110,3 +110,26 @@ def test_all_block_codecs_roundtrip(ray_session):
         out = pa.concat_tables(
             list(decode_dataset(enc).iter_batches(batch_format="pyarrow")))
         assert out.sort_by("a").equals(tbl), codec
+
+
+def test_predicate_projection_pushdown(ray_session):
+    """Stats-based block pruning + projection over the encoded format:
+    pruned page rows shrink, and the result is exact."""
+    import ray
+    import numpy as np
+    import pyarrow as pa
+    from parquet_rs_ray.pipeline import (decode_dataset, encode_dataset,
+                                         prune_pages)
+    # two well-separated key ranges → prunable blocks
+    t1 = pa.table({"k": pa.array(np.arange(0, 1000), pa.int64()),
+                   "v": pa.array(["a"] * 1000)})
+    t2 = pa.table({"k": pa.array(np.arange(50_000, 51_000), pa.int64()),
+                   "v": pa.array(["b"] * 1000)})
+    ds = ray.data.from_arrow([t1, t2])
+    pages = encode_dataset(ds, concurrency=2).materialize()
+    pruned = prune_pages(pages, columns=["k"], predicate=("k", ">=", 50_000))
+    assert pruned.count() < pages.count()  # blocks + columns dropped
+    out = decode_dataset(pages, columns=["k"],
+                         predicate=("k", ">=", 50_000)).to_pandas()
+    assert sorted(out.columns) == ["k"]
+    assert len(out) == 1000 and out["k"].min() == 50_000
