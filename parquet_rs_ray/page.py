@@ -152,6 +152,72 @@ def page_slices(arr: pa.Array, budget: int = DATA_PAGE_SIZE) -> list[tuple[int, 
     return list(zip(cuts[:-1], cuts[1:]))
 
 
+BLOOM_MIN_BITS = 1024   # 128 B floor
+BLOOM_MAX_BITS = 1 << 16  # 8 KiB cap (~1% of a 1 MiB page as hex)
+
+
+def _bloom_hashes(arr: pa.Array, phys: PhysicalType):
+    """uint64 content hashes for bloom membership (None = unsupported)."""
+    if arr.null_count:
+        arr = arr.drop_null()
+    if len(arr) == 0:
+        return None
+    if phys == PhysicalType.BYTE_ARRAY:
+        if len(arr) and arr.nbytes / len(arr) > 256:
+            return None  # giant blobs: equality lookup is not a use case
+        from .ops.dedup import _hash_strings
+        return _hash_strings(arr)
+    if (phys in (PhysicalType.INT32, PhysicalType.INT64)
+            and pa.types.is_integer(arr.type)
+            and arr.type not in (pa.uint64(),)):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        # splitmix64 finalizer
+        with np.errstate(over="ignore"):
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return v ^ (v >> np.uint64(31))
+    return None
+
+
+def bloom_from_hashes(h: np.ndarray) -> str:
+    """Hashes → hex bloom, 2 probes per value; sized ~8 bits per value
+    (power of two within [1 KiB, 8 KiB] worth of bits) so the filter
+    never saturates on big pages."""
+    nbits = BLOOM_MIN_BITS
+    while nbits < 8 * len(h) and nbits < BLOOM_MAX_BITS:
+        nbits <<= 1
+    bits = np.zeros(nbits // 8, dtype=np.uint8)
+    for shift in (0, 32):
+        idx = ((h >> np.uint64(shift)) & np.uint64(nbits - 1)) \
+            .astype(np.int64)
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bits.tobytes().hex()
+
+
+def bloom_might_contain(bloom_hex: str, value) -> bool:
+    """Membership probe for a scalar (str/bytes/int) against a page
+    bloom; filter size is implicit in the hex length."""
+    if isinstance(value, str):
+        value = value.encode()
+    if isinstance(value, bytes):
+        from .ops.dedup import _hash_strings
+        h = int(_hash_strings(pa.array([value], pa.binary()))[0])
+    else:
+        v = np.uint64(np.int64(int(value)))
+        with np.errstate(over="ignore"):
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = int(v ^ (v >> np.uint64(31)))
+    bits = bytes.fromhex(bloom_hex)
+    nbits = len(bits) * 8
+    for shift in (0, 32):
+        idx = (h >> shift) & (nbits - 1)
+        if not (bits[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
+
+
 def _stats_json(arr: pa.Array, phys: PhysicalType, distinct: int | None) -> str:
     """Per-page typed stats ≙ `src/file/statistics.rs:244-322` (min/max/
     null_count/distinct_count), computed with Arrow kernels (SURVEY §2.9).
@@ -160,6 +226,9 @@ def _stats_json(arr: pa.Array, phys: PhysicalType, distinct: int | None) -> str:
     out: dict = {"null_count": arr.null_count}
     if distinct is not None:
         out["distinct_count"] = distinct
+    bh = _bloom_hashes(arr, phys)
+    if bh is not None:
+        out["bloom"] = bloom_from_hashes(bh)
     if (phys in (PhysicalType.BYTE_ARRAY, PhysicalType.FIXED_LEN_BYTE_ARRAY)
             and len(arr) and arr.nbytes / len(arr) > 256):
         return json.dumps(out, ensure_ascii=True)

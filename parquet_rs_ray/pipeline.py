@@ -154,6 +154,11 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
                 # lexicographically, except 64-char-truncated ones where
                 # pruning would be unsound
                 page_ok = True
+                if op == "==" and st.get("bloom"):
+                    from .page import bloom_might_contain
+                    page_ok = bloom_might_contain(st["bloom"], val)
+                    can_match[bid] = can_match.get(bid, False) or page_ok
+                    continue
                 if mn is not None and mx is not None:
                     if isinstance(val, bool) or not isinstance(
                             val, (int, float)):

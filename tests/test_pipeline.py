@@ -133,3 +133,37 @@ def test_predicate_projection_pushdown(ray_session):
                          predicate=("k", ">=", 50_000)).to_pandas()
     assert sorted(out.columns) == ["k"]
     assert len(out) == 1000 and out["k"].min() == 50_000
+
+
+def test_bloom_equality_pruning(ray_session):
+    """Per-page bloom filters prune equality predicates that min/max
+    stats cannot (point lookup on a high-cardinality key column)."""
+    import ray
+    import numpy as np
+    import pyarrow as pa
+    from parquet_rs_ray.pipeline import (decode_dataset, encode_dataset,
+                                         prune_pages)
+    rng = np.random.default_rng(9)
+    # interleaved key ranges → min/max overlap, only bloom can prune
+    t1 = pa.table({"k": pa.array(rng.permutation(np.arange(0, 20000, 2)),
+                                 pa.int64())})
+    t2 = pa.table({"k": pa.array(rng.permutation(np.arange(1, 20000, 2)),
+                                 pa.int64())})
+    ds = ray.data.from_arrow([t1, t2])
+    pages = encode_dataset(ds, concurrency=2).materialize()
+    target = 4242  # even → lives only in t1's block
+    pruned = prune_pages(pages, predicate=("k", "==", target))
+    assert pruned.count() < pages.count()
+    out = decode_dataset(pages, predicate=("k", "==", target)).to_pandas()
+    assert out["k"].tolist() == [target]
+    # string bloom: urls
+    urls = [f"https://example.com/{i}" for i in range(5000)]
+    tbl = pa.table({"url": pa.array(urls, pa.string())})
+    p2 = encode_dataset(ray.data.from_arrow(tbl),
+                        concurrency=2).materialize()
+    out2 = decode_dataset(
+        p2, predicate=("url", "==", urls[17])).to_pandas()
+    assert out2["url"].tolist() == [urls[17]]
+    none = decode_dataset(
+        p2, predicate=("url", "==", "https://nope.invalid/x")).to_pandas()
+    assert len(none) == 0
