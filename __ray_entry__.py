@@ -166,6 +166,17 @@ def _pruned_scan_lineitem(sf_dir: str):
                           predicate=("l_extendedprice", ">", 90000.0))
 
 
+def _point_lookup_orders(sf_dir: str):
+    """Point lookup through the encoded format: per-page bloom filters
+    prune every block whose key set provably excludes the target."""
+    import ray
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    pages = encode_dataset(ds, concurrency=4)
+    return decode_dataset(pages, columns=["o_orderkey", "o_totalprice"],
+                          predicate=("o_orderkey", "==", 777))
+
+
 def _agg_after_decode_lineitem(sf_dir: str):
     """Aggregate over the DECODED output — proves the engine's output
     composes with downstream Ray Data queries (order-independent aggs)."""
@@ -500,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_order_totals"] = _customer_order_totals
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
     q["pruned_scan_lineitem"] = _pruned_scan_lineitem
+    q["point_lookup_orders"] = _point_lookup_orders
     return q
 
 
@@ -576,6 +588,8 @@ def oracle_sql() -> dict[str, str]:
     sql["json_extract_events"] = (
         "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
         "FROM events")
+    sql["point_lookup_orders"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = 777")
     sql["pruned_scan_lineitem"] = (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
         "WHERE l_extendedprice > 90000.0")
