@@ -119,3 +119,53 @@ def test_full_page_roundtrip_nullable_mixed(data):
                                block_id="b", block_rows=n, n_cols=1)
     got = pa.concat_arrays([decode_page_row(r) for r in rows])
     assert got.to_pylist() == col.combine_chunks().to_pylist()
+
+
+def _nested_type(draw, depth):
+    leaf = st.sampled_from([pa.int64(), pa.float64(), pa.string()])
+    if depth <= 0:
+        return draw(leaf)
+    kind = draw(st.sampled_from(["leaf", "list", "struct"]))
+    if kind == "leaf":
+        return draw(leaf)
+    if kind == "list":
+        return pa.list_(_nested_type(draw, depth - 1))
+    nf = draw(st.integers(1, 3))
+    return pa.struct([(f"f{i}", _nested_type(draw, depth - 1))
+                      for i in range(nf)])
+
+
+def _value_for(draw, typ):
+    if draw(st.integers(0, 9)) == 0:
+        return None
+    if pa.types.is_int64(typ):
+        return draw(st.integers(-2**40, 2**40))
+    if pa.types.is_float64(typ):
+        return draw(st.floats(allow_nan=False, allow_infinity=False))
+    if pa.types.is_string(typ):
+        return draw(st.text(max_size=12))
+    if pa.types.is_list(typ):
+        return [_value_for(draw, typ.value_type)
+                for _ in range(draw(st.integers(0, 4)))]
+    if pa.types.is_struct(typ):
+        return {typ.field(i).name: _value_for(draw, typ.field(i).type)
+                for i in range(typ.num_fields)}
+    raise AssertionError(typ)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_random_nested_roundtrip(data):
+    """Fuzz the nested codec with random type trees (depth ≤ 3, nulls at
+    every level) — ≙ the reference's AFL fuzz harness intent, aimed at
+    the record-assembly layer."""
+    typ = _nested_type(data.draw, 3)
+    n = data.draw(st.integers(1, 60))
+    vals = [_value_for(data.draw, typ) for _ in range(n)]
+    col = pa.array(vals, typ)
+    sel = CodecSelector(block_codec=data.draw(
+        st.sampled_from([None, "auto"])))
+    rows = encode_column_chunk("c", 0, pa.chunked_array([col]), selector=sel,
+                               path="", block_id="b", block_rows=n, n_cols=1)
+    got = pa.concat_arrays([decode_page_row(r) for r in rows])
+    assert got.to_pylist() == col.to_pylist()
