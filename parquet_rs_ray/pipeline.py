@@ -113,6 +113,15 @@ def encode_dataset(ds, *, concurrency=(1, 8), block_codec: str | None = None,
         concurrency=concurrency)
 
 
+def _normalize_predicates(predicate):
+    """One ``(col, op, val)`` or a list of them (AND semantics)."""
+    if not predicate:
+        return []
+    if isinstance(predicate, tuple):
+        return [predicate]
+    return list(predicate)
+
+
 _PRED_OPS = {
     "==": lambda mn, mx, v: mn <= v <= mx,
     ">": lambda mn, mx, v: mx > v,
@@ -134,12 +143,13 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
     """
     import json as _json
 
-    col, op, val = predicate if predicate else (None, None, None)
-    keep_cols = set(columns) | ({col} if col else set()) if columns else None
+    preds = _normalize_predicates(predicate)
+    pred_cols = {p[0] for p in preds}
+    keep_cols = (set(columns) | pred_cols) if columns else None
 
     def prune(batch: pa.Table) -> pa.Table:
         drop_blocks: set = set()
-        if col is not None:
+        for col, op, val in preds:  # AND semantics: any pred can drop
             check = _PRED_OPS[op]
             can_match: dict = {}
             for bid, c, sj in zip(batch.column("block_id").to_pylist(),
@@ -172,7 +182,7 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
                         except ValueError:
                             pass
                 can_match[bid] = can_match.get(bid, False) or page_ok
-            drop_blocks = {bid for bid, ok in can_match.items() if not ok}
+            drop_blocks |= {bid for bid, ok in can_match.items() if not ok}
         mask = []
         for bid, c in zip(batch.column("block_id").to_pylist(),
                           batch.column("column").to_pylist()):
@@ -199,13 +209,14 @@ def decode_dataset(encoded_ds, *, columns=None, predicate=None):
         batch_size=None)
     if predicate:
         import pyarrow.compute as _pc
-        col, op, val = predicate
+        preds = _normalize_predicates(predicate)
         kernels = {"==": _pc.equal, ">": _pc.greater,
                    ">=": _pc.greater_equal, "<": _pc.less,
                    "<=": _pc.less_equal}
 
         def exact(batch: pa.Table) -> pa.Table:
-            batch = batch.filter(kernels[op](batch.column(col), val))
+            for col, op, val in preds:
+                batch = batch.filter(kernels[op](batch.column(col), val))
             return batch.select(columns) if columns else batch
 
         out = out.map_batches(exact, batch_format="pyarrow",

@@ -167,3 +167,20 @@ def test_bloom_equality_pruning(ray_session):
     none = decode_dataset(
         p2, predicate=("url", "==", "https://nope.invalid/x")).to_pandas()
     assert len(none) == 0
+
+
+def test_multi_predicate_pushdown(ray_session):
+    import ray
+    import numpy as np
+    import pyarrow as pa
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+    tbl = pa.table({
+        "k": pa.array(np.arange(2000), pa.int64()),
+        "grp": pa.array(["a" if i % 2 else "b" for i in range(2000)]),
+    })
+    pages = encode_dataset(ray.data.from_arrow(tbl),
+                           concurrency=2).materialize()
+    out = decode_dataset(pages, predicate=[("k", ">=", 100),
+                                           ("k", "<", 110),
+                                           ("grp", "==", "a")]).to_pandas()
+    assert sorted(out["k"].tolist()) == [101, 103, 105, 107, 109]
