@@ -155,17 +155,24 @@ def main(argv: list[str] | None = None) -> int:
                        help="write decoded parquet here (else count rows)")
 
     args = ap.parse_args(argv)
-    if args.cmd == "read":
-        cols = args.columns.split(",") if args.columns else None
-        return cmd_read(args.path, args.num_rows, cols)
-    if args.cmd == "schema":
-        return cmd_schema(args.path, args.verbose)
-    if args.cmd == "encode":
-        bc = None if args.block_codec in ("none", "") else args.block_codec
-        return cmd_encode(args.inputs, args.out_dir, bc, args.concurrency)
-    if args.cmd == "decode":
-        return cmd_decode(args.encoded_dir, args.out)
-    return cmd_inspect(args.encoded_dir)
+    try:
+        if args.cmd == "read":
+            cols = args.columns.split(",") if args.columns else None
+            return cmd_read(args.path, args.num_rows, cols)
+        if args.cmd == "schema":
+            return cmd_schema(args.path, args.verbose)
+        if args.cmd == "encode":
+            bc = None if args.block_codec in ("none", "") else args.block_codec
+            return cmd_encode(args.inputs, args.out_dir, bc, args.concurrency)
+        if args.cmd == "decode":
+            return cmd_decode(args.encoded_dir, args.out)
+        return cmd_inspect(args.encoded_dir)
+    finally:
+        # the CLI owns its Ray session (driver contract: library never
+        # inits/shuts down; scripts do) — leave the machine clean
+        import ray
+        if ray.is_initialized():
+            ray.shutdown()
 
 
 if __name__ == "__main__":
