@@ -184,3 +184,45 @@ def test_multi_predicate_pushdown(ray_session):
                                            ("k", "<", 110),
                                            ("grp", "==", "a")]).to_pandas()
     assert sorted(out["k"].tolist()) == [101, 103, 105, 107, 109]
+
+
+def test_pushdown_random_predicates(ray_session):
+    """Property: pruned+filtered decode ≡ decode-then-filter for random
+    data and predicates (pruning must never drop a matching row)."""
+    import ray
+    import numpy as np
+    import pyarrow as pa
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+    rng = np.random.default_rng(123)
+    tables = []
+    for b in range(4):
+        n = 3000
+        tables.append(pa.table({
+            "k": pa.array(rng.integers(0, 5000, n), pa.int64()),
+            "s": pa.array([f"w{int(x)}" for x in
+                           rng.integers(0, 200, n)], pa.string()),
+            "f": pa.array(rng.normal(size=n), pa.float64()),
+        }))
+    full = pa.concat_tables(tables)
+    pages = encode_dataset(ray.data.from_arrow(tables),
+                           concurrency=2).materialize()
+    cases = [
+        [("k", "==", int(full.column("k")[5].as_py()))],
+        [("k", ">=", 2500), ("k", "<", 2600)],
+        [("s", "==", "w17")],
+        [("f", ">", 1.5), ("k", "<", 1000)],
+        [("k", "==", -1)],  # no match anywhere
+    ]
+    df = full.to_pandas()
+    ops = {"==": "eq", ">": "gt", ">=": "ge", "<": "lt", "<=": "le"}
+    for preds in cases:
+        got = decode_dataset(pages, predicate=preds).to_pandas()
+        want = df
+        for c, op, v in preds:
+            want = want[getattr(want[c], ops[op])(v)]
+        if len(want) == 0:
+            assert len(got) == 0, preds
+            continue
+        g = got.sort_values(["k", "s", "f"]).reset_index(drop=True)
+        w = want.sort_values(["k", "s", "f"]).reset_index(drop=True)
+        assert len(g) == len(w) and (g.values == w.values).all(), preds
