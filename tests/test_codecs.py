@@ -300,3 +300,29 @@ def test_fsst_table_roundtrip():
     t2, pos = fsst.SymbolTable.deserialize(data)
     assert pos == len(data)
     assert t2.symbols == t.symbols
+
+
+@pytest.mark.parametrize("codec,typ,vals", [
+    ("PLAIN", pa.string(), ["a", "bb", "", "ccc"] * 50),
+    ("DELTA_LENGTH_BYTE_ARRAY", pa.binary(), [b"x" * i for i in range(100)]),
+    ("DELTA_BYTE_ARRAY", pa.string(),
+     [f"https://site/{i:06d}" for i in range(200)]),
+    ("RLE_DICTIONARY", pa.string(), ["en", "de", "fr"] * 100),
+    ("FSST", pa.string(), ["the quick brown fox " * 3] * 150),
+    ("DELTA_BINARY_PACKED", pa.int64(), list(range(0, 5000, 7))),
+    ("FOR", pa.int64(), [10_000_000 + i for i in range(500)]),
+    ("RLE", pa.bool_(), [True] * 100 + [False] * 37),
+])
+def test_force_codec_roundtrip(codec, typ, vals):
+    """Every codec is reachable via force_codec (≙ explicitly-chosen
+    encodings per type, `writer.rs:731-792`), not only when it wins."""
+    from parquet_rs_ray.page import decode_page_row, encode_column_chunk
+    from parquet_rs_ray.selector import CodecSelector
+    col = pa.array(vals, typ)
+    sel = CodecSelector(force_codec=codec)
+    rows = encode_column_chunk("c", 0, pa.chunked_array([col]), selector=sel,
+                               path="", block_id="b", block_rows=len(col),
+                               n_cols=1)
+    assert all(r["codec"] == codec for r in rows)
+    got = pa.concat_arrays([decode_page_row(r) for r in rows])
+    assert got.to_pylist() == col.to_pylist()
