@@ -13,7 +13,6 @@ page (`dict`), the RLE'd def-levels/null bitmap (`levels`,
 from __future__ import annotations
 
 import json
-import pickle
 
 import numpy as np
 import pyarrow as pa
@@ -56,6 +55,33 @@ PAGE_SCHEMA = pa.schema([
     ("dict_raw_len", pa.int64()),
     ("stats_json", pa.string()),
 ])
+
+
+def type_to_bytes(t: pa.DataType) -> bytes:
+    """Arrow type → IPC-serialized single-field schema bytes. The on-disk
+    `arrow_type` cell must never be pickled: CLI decode/read/inspect accept
+    arbitrary paths, and unpickling attacker-controlled bytes executes code.
+    Arrow IPC schema parsing is data-only (≙ the reference's thrift
+    metadata, which has no such hazard)."""
+    return pa.schema([pa.field("c", t)]).serialize().to_pybytes()
+
+
+_TYPE_CACHE: dict[bytes, pa.DataType] = {}
+
+
+def type_from_bytes(b: bytes) -> pa.DataType:
+    """Inverse of type_to_bytes, with a cache (every page of a column
+    chunk carries the same serialized type)."""
+    t = _TYPE_CACHE.get(b)
+    if t is None:
+        try:
+            t = pa.ipc.read_schema(pa.BufferReader(b)).field(0).type
+        except pa.ArrowInvalid as exc:
+            raise DecodeError(f"bad arrow_type cell: {exc}") from exc
+        if len(_TYPE_CACHE) > 4096:
+            _TYPE_CACHE.clear()
+        _TYPE_CACHE[b] = t
+    return t
 
 
 def plain_size_of(phys: PhysicalType, values, type_length: int = 0) -> int:
@@ -221,8 +247,19 @@ def bloom_might_contain(bloom_hex: str, value) -> bool:
 def _stats_json(arr: pa.Array, phys: PhysicalType, distinct: int | None) -> str:
     """Per-page typed stats ≙ `src/file/statistics.rs:244-322` (min/max/
     null_count/distinct_count), computed with Arrow kernels (SURVEY §2.9).
-    min/max are skipped for huge-blob pages (an extra full memory pass for
-    stats nobody range-prunes on)."""
+
+    min/max are stored TYPED with a `kind` tag (≙ the reference's typed
+    statistics + per-logical-type sort orders, `src/basic.rs:284-341`):
+    ints as exact JSON integers (no float64 precision loss past 2^53),
+    floats as floats, decimals as exact decimal strings, bytes as hex
+    (order-preserving), strings/timestamps as strings. `trunc` marks a
+    truncated MAX, which under-reports the upper bound and must disable
+    pruning (a truncated *min* only widens the range — always safe).
+    min/max are skipped for huge-blob pages (an extra full memory pass
+    for stats nobody range-prunes on)."""
+    import datetime
+    from decimal import Decimal
+
     out: dict = {"null_count": arr.null_count}
     if distinct is not None:
         out["distinct_count"] = distinct
@@ -236,13 +273,37 @@ def _stats_json(arr: pa.Array, phys: PhysicalType, distinct: int | None) -> str:
         if len(arr) - arr.null_count > 0:
             mm = pc.min_max(arr)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            kind = None
+            trunc = False
             if isinstance(mn, bytes):
+                kind = "bytes"
+                trunc = len(mx) > 64
                 mn, mx = mn[:64].hex(), mx[:64].hex()
             elif isinstance(mn, str):
+                kind = "str"
+                trunc = len(mx) > 64
                 mn, mx = mn[:64], mx[:64]
-            else:
+            elif isinstance(mn, bool):
+                kind = "bool"
+            elif isinstance(mn, int):
+                kind = "int"
+            elif isinstance(mn, float):
+                kind = "float"
+                if mn != mn or mx != mx:  # NaN bound: no sound pruning
+                    kind = None
+            elif isinstance(mn, Decimal):
+                kind = "dec"
                 mn, mx = str(mn), str(mx)
-            out["min"], out["max"] = mn, mx
+            elif isinstance(mn, (datetime.datetime, datetime.date,
+                                 datetime.time)):
+                # str() of datetimes is lexicographically order-consistent
+                # (fractional seconds only append to the string)
+                kind = "str"
+                mn, mx = str(mn), str(mx)
+            if kind is not None:
+                out["min"], out["max"], out["kind"] = mn, mx, kind
+                if trunc:
+                    out["trunc"] = True
     except pa.ArrowNotImplementedError:
         pass
     return json.dumps(out, ensure_ascii=True)
@@ -266,7 +327,7 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
                                   block_rows=block_rows, n_cols=n_cols)
     phys = physical_of_arrow(arr.type)
     type_length = arr.type.byte_width if phys == PhysicalType.FIXED_LEN_BYTE_ARRAY else 0
-    atype = pickle.dumps(arr.type)
+    atype = type_to_bytes(arr.type)
     ranges = page_slices(arr) or [(0, 0)]
     rows = []
     n_pages = len(ranges)
@@ -309,7 +370,7 @@ def _encode_list_chunk(column: str, col_idx: int, arr: pa.Array, *,
     from .codecs import listcodec
     if pa.types.is_large_list(arr.type):
         arr = arr.cast(pa.list_(arr.type.value_type))
-    atype = pickle.dumps(arr.type)
+    atype = type_to_bytes(arr.type)
     # page cut on underlying bytes
     n = len(arr)
     if pa.types.is_list(arr.type):
@@ -374,14 +435,14 @@ def decode_page_row(row: dict) -> pa.Array:
 def _decode_page_row(row: dict) -> pa.Array:
     if row["phys"] == "LIST":
         from .codecs import listcodec
-        target = pickle.loads(row["arrow_type"])
+        target = type_from_bytes(row["arrow_type"])
         # validity at every nesting level is inside the blob
         arr = listcodec.decode(row["data"], target)
         if arr.type != target:
             arr = arr.cast(target)
         return arr
     phys = PhysicalType(row["phys"])
-    target = pickle.loads(row["arrow_type"])
+    target = type_from_bytes(row["arrow_type"])
     n = row["num_values"]
     data, dict_page = row["data"], row["dict"]
     if row.get("block_codec"):

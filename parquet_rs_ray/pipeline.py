@@ -131,6 +131,50 @@ _PRED_OPS = {
 }
 
 
+def _stats_can_match(st: dict, op: str, val) -> bool:
+    """Sound typed min/max check: True unless the page's stats PROVE no
+    row can satisfy ``col op val``. Typed comparisons mirror the
+    reference's per-type sort orders (`src/basic.rs:284-341`): ints
+    compare exactly (Python int/float cross-compare is exact, no float64
+    rounding), bytes compare as order-preserving hex, decimals as exact
+    Decimals. Any type mismatch or truncated max ⇒ conservatively True."""
+    import datetime
+    from decimal import Decimal, InvalidOperation
+
+    mn, mx = st.get("min"), st.get("max")
+    if mn is None or mx is None:
+        return True
+    check = _PRED_OPS[op]
+    kind = st.get("kind")
+    if st.get("trunc") and op in (">", ">=", "=="):
+        return True  # truncated max under-reports the upper bound
+    if kind == "bytes":
+        if not isinstance(val, bytes):
+            return True
+        return check(mn, mx, val.hex())
+    if kind == "str":
+        if isinstance(val, (datetime.datetime, datetime.date,
+                            datetime.time)):
+            if getattr(val, "tzinfo", None) is not None:
+                return True  # tz-aware strings don't order vs naive
+            val = str(val)
+        if not isinstance(val, str):
+            return True
+        return check(mn, mx, val)
+    if kind == "dec":
+        try:
+            v = Decimal(val) if isinstance(val, (int, Decimal)) \
+                else Decimal(str(val))
+        except (InvalidOperation, TypeError, ValueError):
+            return True
+        return check(Decimal(mn), Decimal(mx), v)
+    if kind in ("int", "float", "bool"):
+        if not isinstance(val, (bool, int, float)):
+            return True
+        return check(mn, mx, val)
+    return True
+
+
 def prune_pages(encoded_ds, *, columns=None, predicate=None):
     """Projection + predicate pushdown over the encoded page dataset
     (the feature the reference leaves unchecked, `README.md:67-81`):
@@ -150,7 +194,6 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
     def prune(batch: pa.Table) -> pa.Table:
         drop_blocks: set = set()
         for col, op, val in preds:  # AND semantics: any pred can drop
-            check = _PRED_OPS[op]
             can_match: dict = {}
             for bid, c, sj in zip(batch.column("block_id").to_pylist(),
                                   batch.column("column").to_pylist(),
@@ -158,29 +201,13 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
                 if c != col:
                     continue
                 st = _json.loads(sj)
-                mn, mx = st.get("min"), st.get("max")
-                # stats are stored stringly (page._stats_json): parse
-                # numerics back; strings/ISO timestamps compare
-                # lexicographically, except 64-char-truncated ones where
-                # pruning would be unsound
-                page_ok = True
-                if op == "==" and st.get("bloom"):
+                if op == "==" and st.get("bloom") and isinstance(
+                        val, (str, bytes, int)) and not isinstance(val, bool):
                     from .page import bloom_might_contain
-                    page_ok = bloom_might_contain(st["bloom"], val)
-                    can_match[bid] = can_match.get(bid, False) or page_ok
-                    continue
-                if mn is not None and mx is not None:
-                    if isinstance(val, bool) or not isinstance(
-                            val, (int, float)):
-                        sval = str(val)
-                        if len(mn) < 64 and len(mx) < 64:
-                            page_ok = check(mn, mx, sval)
-                    else:
-                        try:
-                            page_ok = check(float(mn), float(mx),
-                                            float(val))
-                        except ValueError:
-                            pass
+                    page_ok = bloom_might_contain(st["bloom"], val) \
+                        and _stats_can_match(st, op, val)
+                else:
+                    page_ok = _stats_can_match(st, op, val)
                 can_match[bid] = can_match.get(bid, False) or page_ok
             drop_blocks |= {bid for bid, ok in can_match.items() if not ok}
         mask = []
@@ -216,7 +243,13 @@ def decode_dataset(encoded_ds, *, columns=None, predicate=None):
 
         def exact(batch: pa.Table) -> pa.Table:
             for col, op, val in preds:
-                batch = batch.filter(kernels[op](batch.column(col), val))
+                arr = batch.column(col)
+                try:  # typed scalar: plain ints above int64 range (uint64
+                    # columns) fail pyarrow's scalar inference
+                    sval = pa.scalar(val, type=arr.type)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+                    sval = val
+                batch = batch.filter(kernels[op](arr, sval))
             return batch.select(columns) if columns else batch
 
         out = out.map_batches(exact, batch_format="pyarrow",

@@ -226,3 +226,76 @@ def test_pushdown_random_predicates(ray_session):
         g = got.sort_values(["k", "s", "f"]).reset_index(drop=True)
         w = want.sort_values(["k", "s", "f"]).reset_index(drop=True)
         assert len(g) == len(w) and (g.values == w.values).all(), preds
+
+
+def test_pushdown_typed_predicates(ray_session):
+    """Typed stats soundness: bytes (hex order), uint64 / int64 past
+    2^53 (no float64 rounding), negatives, timestamps, and >64-char
+    strings (truncated max ⇒ pruning disabled) — pruned decode must
+    equal decode-then-filter, and separated ranges must actually prune."""
+    import datetime
+    import ray
+    from parquet_rs_ray.pipeline import (decode_dataset, encode_dataset,
+                                         prune_pages)
+
+    rng = np.random.default_rng(7)
+    base = 1 << 62
+    long_a = "a" * 200
+    long_z = "z" * 200
+
+    def mk(lo_bytes, int_off, ts_day, s_val):
+        n = 500
+        return pa.table({
+            "b": pa.array([bytes([lo_bytes + (i % 16)]) for i in range(n)],
+                          pa.binary()),
+            "big": pa.array(np.arange(int_off, int_off + n), pa.int64()),
+            "u": pa.array(np.arange(n, dtype=np.uint64)
+                          + np.uint64(2 ** 63 if int_off else 0)),
+            "neg": pa.array(rng.integers(-10**6, -1, n), pa.int64()),
+            "ts": pa.array([datetime.datetime(2024, 1, ts_day, i % 24)
+                            for i in range(n)], pa.timestamp("us")),
+            "longs": pa.array([s_val + str(i % 7) for i in range(n)]),
+        })
+
+    t1 = mk(0x00, 0, 1, long_a)          # low bytes, small ints, Jan 1
+    t2 = mk(0xA0, base, 20, long_z)      # high bytes, huge ints, Jan 20
+    full = pa.concat_tables([t1, t2])
+    pages = encode_dataset(ray.data.from_arrow([t1, t2]),
+                           concurrency=2).materialize()
+
+    cases = [
+        ("b", ">", b"\x00"),            # the ADVICE bytes-vs-str repro
+        ("b", ">=", b"\xa0"),
+        ("b", "<", b"\x10"),
+        ("b", "==", b"\xa5"),
+        ("big", ">=", base),            # exactly 2^62: float64-exact trap
+        ("big", "==", base + 3),
+        ("big", "<", 100),
+        ("u", ">=", 2 ** 63 + 5),       # unsigned, above int64 range
+        ("neg", "<", -500_000),
+        ("ts", ">=", datetime.datetime(2024, 1, 10)),
+        ("ts", "==", datetime.datetime(2024, 1, 1, 0)),
+        ("longs", ">", long_z),         # truncated max: must not prune
+        ("longs", "<=", long_a + "0"),
+    ]
+    import pyarrow.compute as pc2
+    kern = {"==": pc2.equal, ">": pc2.greater, ">=": pc2.greater_equal,
+            "<": pc2.less, "<=": pc2.less_equal}
+    for col, op, val in cases:
+        batches = [b for b in decode_dataset(pages, predicate=(col, op, val))
+                   .iter_batches(batch_format="pyarrow") if b.num_rows]
+        want = full.filter(kern[op](
+            full.column(col), pa.scalar(val, full.schema.field(col).type)))
+        if not batches:
+            assert want.num_rows == 0, (col, op, val)
+            continue
+        got = pa.concat_tables(batches, promote_options="default")
+        assert got.num_rows == want.num_rows, (col, op, val)
+        assert got.sort_by("big").equals(want.sort_by("big")), (col, op, val)
+
+    # separated ranges must actually drop blocks (pruning effective)
+    for col, op, val in [("b", ">=", b"\xa0"), ("big", "<", 100),
+                         ("u", ">=", 2 ** 63),
+                         ("ts", ">=", datetime.datetime(2024, 1, 10))]:
+        pruned = prune_pages(pages, predicate=(col, op, val))
+        assert pruned.count() < pages.count(), (col, op, val)
