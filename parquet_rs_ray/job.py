@@ -8,11 +8,15 @@ Flow (streaming end to end, SURVEY §3.1/§4.2):
         ──driver streams lineage, commits manifest entry when a shard's
           row count completes──▶ resumable output
 
-Output layout: {out_dir}/data/{block_id}.parquet (one file per block ≙
-row group — partitioned output, never one giant file), manifest at
-{out_dir}/manifest/. A killed run restarts by skipping committed shards;
-orphan block files from uncommitted shards are ignored by decode (only
-manifest-referenced blocks are read).
+Output layout: {out_dir}/data/{container}.parquet — ONE container file
+per input shard holding one parquet ROW GROUP per encoded block
+(≙ the reference's single-file row-group packing,
+`src/file/writer.rs:119-249`): partitioned output whose file count is
+bounded by shard count, not block count, with per-block random access
+via row-group footers. Manifest at {out_dir}/manifest/. A killed run
+restarts by skipping committed shards; containers are written to a
+.tmp name and atomically renamed only when the shard completes, so
+orphans from uncommitted shards are never referenced by decode.
 """
 
 from __future__ import annotations
@@ -45,6 +49,34 @@ LINEAGE_SCHEMA = pa.schema([
 ])
 
 
+class _BlockContainer:
+    """One output parquet file holding MANY encoded blocks, one parquet
+    row group per block (≙ the reference's single-file row-group packing,
+    `/root/reference/src/file/writer.rs:119-249`). At 100 TB, one file
+    per block would mean ~10^8 files — a filesystem-metadata scale
+    hazard; a container per input shard bounds file count at one per
+    shard while parquet row-group footers keep per-block random access."""
+
+    def __init__(self, data_dir: str):
+        self.final = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.parquet")
+        self.tmp = self.final + ".tmp"
+        self.writer: pq.ParquetWriter | None = None
+
+    def append_block(self, block: pa.Table) -> str:
+        if self.writer is None:
+            # page payloads are already compressed — don't recompress
+            self.writer = pq.ParquetWriter(self.tmp, block.schema,
+                                           compression="none")
+        self.writer.write_table(block)  # one row group per block
+        return self.final
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.close()
+            os.replace(self.tmp, self.final)  # commit atomically
+            self.writer = None
+
+
 class EncodeWriteActor(EncodeActor):
     """Encode a block and persist its page rows; emit one lineage row per
     (path, block). Writing happens inside the task so the pipeline stays
@@ -57,11 +89,14 @@ class EncodeWriteActor(EncodeActor):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pages = super().__call__(batch)
-        return self._write_blocks(pages)
+        container = _BlockContainer(self.data_dir)
+        lineage = self._write_blocks(pages, container)
+        container.close()
+        return lineage
 
-    def _write_blocks(self, pages: pa.Table) -> pa.Table:
+    def _write_blocks(self, pages: pa.Table,
+                      container: _BlockContainer) -> pa.Table:
         out_rows = []
-        # one output file per block id
         import pyarrow.compute as pc
         blocks_per_path: dict[str, set] = defaultdict(set)
         for p, bid in zip(pages.column("path").to_pylist(),
@@ -69,11 +104,7 @@ class EncodeWriteActor(EncodeActor):
             blocks_per_path[p].add(bid)
         for block_id in pages.column("block_id").unique().to_pylist():
             block = pages.filter(pc.equal(pages.column("block_id"), block_id))
-            fname = os.path.join(self.data_dir, f"{block_id}.parquet")
-            tmp = fname + f".tmp-{uuid.uuid4().hex[:8]}"
-            # page payloads are already compressed — don't recompress
-            pq.write_table(block, tmp, compression="none")
-            os.replace(tmp, fname)
+            fname = container.append_block(block)
             h = hashlib.sha256()
             for buf in block.column("data").to_pylist():
                 h.update(hashlib.sha256(buf).digest())
@@ -108,15 +139,18 @@ class EncodeShardActor(EncodeWriteActor):
         for path in paths:
             # row-group-wise streaming read: a shard is never fully held
             # in actor memory (giant shards at 100 TB scale), and each
-            # block file is written the moment its row group is encoded
+            # block is appended to the shard's container file the moment
+            # its row group is encoded (one row group per block)
             pf = pq.ParquetFile(path)
+            container = _BlockContainer(self.data_dir)
             rows_out = []
             for rg in range(pf.metadata.num_row_groups):
                 tbl = pf.read_row_group(rg)
                 tbl = tbl.append_column(
                     "path", pa.array([path] * tbl.num_rows))
                 pages = EncodeActor.__call__(self, tbl)
-                rows_out.append(self._write_blocks(pages))
+                rows_out.append(self._write_blocks(pages, container))
+            container.close()
             per_path = pa.concat_tables(rows_out) if len(rows_out) > 1 \
                 else rows_out[0]
             # n_blocks was computed per row group; fix up to the shard
@@ -191,9 +225,10 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
 
 def committed_block_files(out_dir: str) -> list[str]:
     entries = manifest.load(os.path.join(out_dir, "manifest"))
-    files: list[str] = []
+    files: set[str] = set()
     for e in entries.values():
-        files.extend(json.loads(e["output"]))
+        files.update(json.loads(e["output"]))  # container files: many
+        # blocks share one file, so dedupe
     return sorted(files)
 
 
@@ -207,12 +242,11 @@ def decode_job(out_dir: str, *, columns=None, predicate=None):
         raise FileNotFoundError(f"no committed blocks under {out_dir}")
     # read_parquet_bulk: skips the per-file footer prefetch on the driver
     # (seconds of serial metadata fetch for thousands of small block
-    # files); one file == one block == one decode batch, as decode_batch
-    # requires
-    # task granularity: several block files per read task (decode_batch
-    # groups by block_id internally, and its n_pages assertion fails
-    # loudly if a file were ever split); 1 task per file costs 3× in
-    # per-task overhead at thousands of ~MB files
+    # files). One container file holds one shard's blocks as parquet
+    # row groups; parquet reads are row-group granular, so a block's
+    # pages can never split across read tasks (decode_batch groups by
+    # block_id internally and its n_pages assertion fails loudly if
+    # that invariant ever broke).
     ncpu = int(ray.cluster_resources().get("CPU", 32))
     nb = min(len(files), max(4 * ncpu, 32))
     if hasattr(ray.data, "read_parquet_bulk"):

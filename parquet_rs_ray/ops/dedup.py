@@ -290,39 +290,98 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text",
         batch_format="pyarrow", concurrency=concurrency)
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
-        keys = sorted(batch.column("key").to_pylist())[:max_bucket]
-        out = []
-        if len(keys) >= 2:
-            for i in range(len(keys)):
-                for j in range(i + 1, len(keys)):
-                    out.append({"a": keys[i], "b": keys[j]})
-        return pa.Table.from_pylist(out, schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64())]))
+        # vectorized upper-triangle emission: no Python per-pair loop
+        keys = np.sort(np.asarray(
+            batch.column("key").to_numpy(zero_copy_only=False)))[:max_bucket]
+        n = len(keys)
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(n, 1)
+        return pa.table({"a": pa.array(keys[ii], pa.int64()),
+                         "b": pa.array(keys[jj], pa.int64())})
 
     pairs = buckets.groupby(["band", "bucket"]).map_groups(
         emit_pairs, batch_format="pyarrow")
     # distinct pairs (a pair can fire in several bands)
-    def dedup_batch(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-    return pairs.groupby("a").map_groups(dedup_batch, batch_format="pyarrow")
+    return _distinct_pairs(pairs)
+
+
+def _distinct_pairs(pairs, *, num_partitions: int = 64, extra_cols=()):
+    """Distinct (a, b) rows, distributed: partition by hash(a) so every
+    copy of a pair lands in one partition, then per-partition numpy
+    lexsort-unique. One map_groups call per PARTITION (not per key) —
+    dispatch overhead stays O(num_partitions) however many pairs."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            part = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    >> np.uint64(52)).astype(np.int64) % num_partitions
+        return batch.append_column("__part", pa.array(part))
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        sa, sb = a[order], b[order]
+        first = np.concatenate(
+            ([True], (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])))
+        out = {"a": pa.array(sa[first], pa.int64()),
+               "b": pa.array(sb[first], pa.int64())}
+        for c in extra_cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)[order]
+            out[c] = pa.array(v[first])
+        return pa.table(out)
+
+    return pairs.map_batches(add_part, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("__part").map_groups(uniq, batch_format="pyarrow")
 
 
 def simhash(texts: list[str], nbits: int = 64) -> np.ndarray:
-    """64-bit simhash per document over word-level features (vectorized:
-    one `_hash_strings` pass per doc, bit votes and sign fold in numpy)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    shifts = np.arange(nbits, dtype=np.uint64)
+    """64-bit simhash per document over word-level features.
+
+    Fully batch-vectorized: ONE `_hash_strings` pass over every word of
+    every document, per-document bit votes via `np.add.reduceat` (same
+    segment trick as `_batch_shingles`), sign fold in numpy. No per-doc
+    Python hashing."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    all_words: list[str] = []
+    counts = np.empty(n, dtype=np.int64)
     for i, t in enumerate(texts):
-        words = t.split()
-        if not words:
-            continue
-        hs = _hash_strings(pa.array(words, pa.string()))
-        bits = (hs[:, None] >> shifts) & np.uint64(1)
-        score = bits.sum(axis=0).astype(np.int64) * 2 - len(words)
-        signs = (score > 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(signs << shifts)
-    return out
+        w = t.split()
+        all_words.extend(w)
+        counts[i] = len(w)
+    if not all_words:
+        return out
+    hs = _hash_strings(pa.array(all_words, pa.string()))
+    shifts = np.arange(nbits, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    red_starts = np.minimum(starts, len(hs) - 1)
+    votes = np.add.reduceat(bits, red_starts, axis=0).astype(np.int64)
+    votes[counts == 0] = 0
+    score = votes * 2 - counts[:, None]
+    signs = (score > 0).astype(np.uint64)
+    return np.bitwise_or.reduce(signs << shifts, axis=1)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no per-value Python loop)."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -336,11 +395,30 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 # ------------------------------------------------- near-dedup pipelines
 
+def pair_jaccard(texts_a, texts_b, k: int = 5) -> np.ndarray:
+    """Exact word-k-gram Jaccard per aligned (texts_a[i], texts_b[i])
+    pair. All shingles of all pair texts are hashed in ONE
+    `_batch_shingles` pass; per-pair set ops run on sorted numpy
+    arrays. Identical definition to `ngram_jaccard` (padded < k-word
+    docs, hash-set semantics)."""
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    flat, seg = _batch_shingles(list(texts_a) + list(texts_b), k)
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        sa = np.unique(flat[seg[i]:seg[i + 1]])
+        sb = np.unique(flat[seg[n + i]:seg[n + i + 1]])
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        out[i] = 1.0 if union == 0 else inter / union
+    return out
+
+
 def jaccard_for_pairs(pairs, texts_by_key: dict, k: int = 5):
-    """Exact word-k-gram Jaccard for each (a, b) candidate pair, run as a
-    map_batches stage over the pairs dataset with the candidate texts
-    broadcast once via ray.put (candidates ≪ corpus, so the broadcast
-    side is tiny even when the corpus is 10^12 docs)."""
+    """Exact Jaccard for (a, b) candidate pairs with the candidate texts
+    broadcast once via ray.put — the SMALL-candidate-set regime only
+    (near_dedup's default path keeps texts distributed instead)."""
     import ray
     texts_ref = ray.put(texts_by_key)
 
@@ -348,62 +426,69 @@ def jaccard_for_pairs(pairs, texts_by_key: dict, k: int = 5):
         texts = ray.get(texts_ref)
         a = batch.column("a").to_pylist()
         b = batch.column("b").to_pylist()
-        sims = [ngram_jaccard(texts[x], texts[y], k) for x, y in zip(a, b)]
+        sims = pair_jaccard([texts[x] for x in a], [texts[y] for y in b], k)
         return batch.append_column("jaccard", pa.array(sims, pa.float64()))
 
     return pairs.map_batches(score, batch_format="pyarrow",
                              zero_copy_batch=True)
 
 
+def _join_partitions(requested: int | None) -> int:
+    """Join partition count bounded by cluster CPUs: each hash-join
+    partition is backed by an aggregator actor reserving a CPU, so
+    asking for more partitions than cores deadlocks a small cluster
+    (and buys nothing — partitions beyond cores just queue)."""
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 32))
+    cap = max(2, ncpu)
+    return cap if requested is None else max(2, min(requested, cap))
+
+
 def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
                jaccard_threshold: float = 0.8, k: int = 5,
-               num_perm: int = 64, bands: int = 16, concurrency=4):
+               num_perm: int = 64, bands: int = 16, concurrency=4,
+               num_partitions: int | None = None):
     """Full near-duplicate removal: MinHash-LSH candidates → exact
     n-gram-Jaccard verify → drop every doc with a verified duplicate of
     smaller key. Returns the surviving Dataset.
 
-    Shuffle payload is (band, bucket, key) triples only; texts are
-    re-read for just the candidate keys with a pushed-down filter, so
-    the wide steps never move document bodies."""
-    import ray
+    Fully distributed — nothing is materialized on the driver:
+    candidate texts are attached to the pairs dataset by two
+    distributed hash joins (shuffling only candidate-pair rows, never
+    the whole corpus), Jaccard runs as a map_batches stage, and the
+    verified drop set is removed with a distributed left-anti join.
+    Boilerplate-heavy web corpora where candidates ≈ corpus therefore
+    cannot OOM the driver; shuffle payload stays (band, bucket, key)
+    triples plus candidate texts only."""
+    num_partitions = _join_partitions(num_partitions)
     pairs = minhash_lsh_candidates(ds, text_col=text_col, key_col=key_col,
                                    num_perm=num_perm, bands=bands,
                                    concurrency=concurrency)
-    pair_tbl = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
-    if pair_tbl.num_rows == 0:
-        return ds
-    cand_keys = np.unique(np.concatenate([
-        pair_tbl.column("a").to_numpy(zero_copy_only=False),
-        pair_tbl.column("b").to_numpy(zero_copy_only=False)]))
+    texts = ds.map_batches(lambda b: b.select([key_col, text_col]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    ta = texts.map_batches(
+        lambda b: pa.table({"a": b.column(key_col),
+                            "text_a": b.column(text_col)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tb = texts.map_batches(
+        lambda b: pa.table({"b": b.column(key_col),
+                            "text_b": b.column(text_col)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    withtexts = pairs.join(ta, "inner", num_partitions, on=("a",)) \
+        .join(tb, "inner", num_partitions, on=("b",))
 
-    def gather_cand(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        return batch.select([key_col, text_col]).filter(
-            pa.array(np.isin(keys, cand_keys)))
+    def score(batch: pa.Table) -> pa.Table:
+        sims = pair_jaccard(batch.column("text_a").to_pylist(),
+                            batch.column("text_b").to_pylist(), k)
+        keep = sims >= jaccard_threshold
+        # verified dupe = larger key of the pair
+        drop = np.maximum(
+            batch.column("a").to_numpy(zero_copy_only=False)[keep],
+            batch.column("b").to_numpy(zero_copy_only=False)[keep])
+        return pa.table({key_col: pa.array(np.unique(drop), pa.int64())})
 
-    cand_tbl = pa.concat_tables(
-        ds.map_batches(gather_cand, batch_format="pyarrow",
-                       zero_copy_batch=True).iter_batches(
-                           batch_format="pyarrow"))
-    texts_by_key = dict(zip(cand_tbl.column(key_col).to_pylist(),
-                            cand_tbl.column(text_col).to_pylist()))
-    scored = jaccard_for_pairs(ray.data.from_arrow(pair_tbl), texts_by_key,
-                               k=k)
-    verified = pa.concat_tables(scored.iter_batches(batch_format="pyarrow"))
-    jac = verified.column("jaccard").to_numpy(zero_copy_only=False)
-    dupes = np.unique(np.maximum(
-        verified.column("a").to_numpy(zero_copy_only=False),
-        verified.column("b").to_numpy(zero_copy_only=False))
-        [jac >= jaccard_threshold])
-    dupes_ref = ray.put(dupes)
-
-    def drop_dupes(batch: pa.Table) -> pa.Table:
-        drop = ray.get(dupes_ref)
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(keys, drop)))
-
-    return ds.map_batches(drop_dupes, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    drops = withtexts.map_batches(score, batch_format="pyarrow")
+    return ds.join(drops, "left_anti", num_partitions, on=(key_col,))
 
 
 def simhash_candidates(ds, *, text_col: str = "text",
@@ -438,35 +523,27 @@ def simhash_candidates(ds, *, text_col: str = "text",
                               concurrency=concurrency)
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
+        # vectorized: upper-triangle index pairs + SWAR popcount verify
         keys = batch.column("key").to_numpy(zero_copy_only=False)
         hashes = batch.column("simhash").to_numpy(zero_copy_only=False) \
             .view(np.uint64)
         order = np.argsort(keys)[:max_bucket]  # cap degenerate buckets
         keys, hashes = keys[order], hashes[order]
-        out = {"a": [], "b": [], "hamming": []}
-        for i in range(len(keys)):
-            x = hashes[i] ^ hashes[i + 1:]
-            ham = np.zeros(len(x), dtype=np.int64)
-            while x.any():
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
-            hit = np.nonzero(ham <= max_hamming)[0]
-            for j in hit:
-                out["a"].append(int(keys[i]))
-                out["b"].append(int(keys[i + 1 + j]))
-                out["hamming"].append(int(ham[j]))
-        return pa.table({"a": pa.array(out["a"], pa.int64()),
-                         "b": pa.array(out["b"], pa.int64()),
-                         "hamming": pa.array(out["hamming"], pa.int64())})
+        n = len(keys)
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(n, 1)
+        ham = _popcount64(hashes[ii] ^ hashes[jj])
+        hit = ham <= max_hamming
+        return pa.table({"a": pa.array(keys[ii[hit]], pa.int64()),
+                         "b": pa.array(keys[jj[hit]], pa.int64()),
+                         "hamming": pa.array(ham[hit], pa.int64())})
 
     pairs = bucketed.groupby(["band", "value"]).map_groups(
         emit_pairs, batch_format="pyarrow")
-
-    def dedup_batch(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates(subset=["a", "b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return pairs.groupby("a").map_groups(dedup_batch, batch_format="pyarrow")
+    return _distinct_pairs(pairs, extra_cols=("hamming",))
 
 
 def embedding_near_dup(ds, *, threshold: float = 0.4,

@@ -325,3 +325,33 @@ def test_range_join_broadcast(ray_session):
         ray.data.from_arrow(tbl), [("a", 0.0, 100.0), ("b", 100.0, 200.0)],
         value_col="v").to_pandas().sort_values("id")
     assert out["band"].tolist() == ["a", "b", "a", None]
+
+
+def test_near_dedup_majority_dups_distributed(ray_session):
+    """Scale-shape regression: >50% of docs are near-dups across many
+    blocks — the distributed verify (joins + anti-join, no driver
+    materialization of pairs/texts) must keep exactly one doc per
+    near-dup cluster plus all uniques."""
+    import ray
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon ").split()
+    base1 = " ".join(words * 10)                    # 200 words
+    base2 = " ".join(reversed(words * 10))
+    rows_id, rows_text = [], []
+    for i in range(120):                            # cluster 1: ids 0..119
+        rows_id.append(i)
+        rows_text.append(base1.replace("alpha", f"tok{i}", 1))
+    for i in range(120, 240):                       # cluster 2: ids 120..239
+        rows_id.append(i)
+        rows_text.append(base2.replace("sigma", f"tok{i}", 1))
+    for i in range(240, 400):                       # uniques
+        rows_id.append(i)
+        rows_text.append(" ".join(f"u{i}w{j}" for j in range(60)))
+    tables = [pa.table({
+        "doc_id": pa.array(rows_id[s:s + 40], pa.int64()),
+        "text": pa.array(rows_text[s:s + 40], pa.string()),
+    }) for s in range(0, 400, 40)]                  # 10 blocks
+    ds = ray.data.from_arrow(tables)
+    out = dedup.near_dedup(ds, jaccard_threshold=0.5, concurrency=2)
+    got = sorted(out.to_pandas()["doc_id"].tolist())
+    assert got == [0, 120] + list(range(240, 400))

@@ -83,6 +83,16 @@ def test_encode_job_resume_and_decode(ray_session, tmp_path):
     assert len(entries) == 3
     e = next(iter(entries.values()))
     assert e["encoded_bytes"] > 0 and e["codecs"] and e["checksum"]
+    # containerized layout: file count bounded by SHARD count (one
+    # container per shard, one parquet row group per block), and no
+    # orphan .tmp files after commit
+    data_files = [f for f in os.listdir(os.path.join(out_dir, "data"))
+                  if f.endswith(".parquet")]
+    committed = committed_block_files(out_dir)
+    assert len(committed) <= 2 * len(paths)  # 3 shards + 1 re-run shard
+    assert not any(f.endswith(".tmp") for f in data_files)
+    assert all(pq.ParquetFile(f).metadata.num_row_groups >= 1
+               for f in committed)
 
 
 def test_global_dictionary(ray_session):
