@@ -383,6 +383,18 @@ def _embedding_near_dup_embeddings(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.4)
 
 
+def _embedding_near_dup_lsh_embeddings(sf_dir: str):
+    """Embedding near-dup pairs, bucketed LSH scale path (rows-only:
+    recall is approximate by design; per-bucket scoring is exact and
+    tested against the broadcast oracle in tests/test_ops.py)."""
+    import ray
+    from parquet_rs_ray.ops.dedup import embedding_near_dup_lsh
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return embedding_near_dup_lsh(ds, threshold=0.4, nbits=4, n_tables=16,
+                                  concurrency=2)
+
+
 def _near_dedup_documents(sf_dir: str):
     """Full near-dedup: MinHash-LSH candidates → exact n-gram-Jaccard
     verify → drop verified dupes (rows-only; LSH is approximate)."""
@@ -497,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["minhash_candidates_documents"] = _minhash_candidates_documents
     q["media_features_documents"] = _media_features_documents
     q["embedding_near_dup_embeddings"] = _embedding_near_dup_embeddings
+    q["embedding_near_dup_lsh_embeddings"] = _embedding_near_dup_lsh_embeddings
     q["near_dedup_documents"] = _near_dedup_documents
     q["simhash_candidates_documents"] = _simhash_candidates_documents
     q["ivf_topk_embeddings"] = _ivf_topk_embeddings

@@ -54,30 +54,43 @@ class SymbolTable:
         assert len(symbols) <= MAX_SYMBOLS
         self.symbols = symbols
         self.code_of = {s: i for i, s in enumerate(symbols)}
-        # Trie-shaped pattern: group symbols by first byte, suffixes ordered
-        # longest-first — same greedy-longest-match semantics as a flat
-        # length-ordered alternation (symbols with different first bytes
-        # never compete at one position), but far less regex backtracking.
-        groups: dict[bytes, list[bytes]] = {}
-        for s in symbols:
-            groups.setdefault(s[:1], []).append(s[1:])
-        alts = []
-        for first, sufs in sorted(groups.items()):
-            sufs = sorted(sufs, key=len, reverse=True)
-            non_empty = [re.escape(x) for x in sufs if x]
-            has_empty = any(not x for x in sufs)
-            if non_empty:
-                alt = re.escape(first) + b"(?:" + b"|".join(non_empty) + b")"
-                if has_empty:
-                    alt += b"?"
-            else:
-                alt = re.escape(first)
-            alts.append(alt)
-        alts.append(b"[\\s\\S]")  # catch-all single byte -> escape
-        self._re = re.compile(b"|".join(alts), re.DOTALL)
-        # token -> code bytes (escape tokens added lazily; ≤256 of them)
-        self._enc_map: dict[bytes, bytes] = {
-            s: bytes([i]) for i, s in enumerate(symbols)}
+        # encode-side state (matcher regex, token→code map) is built
+        # LAZILY: a decode-only table (deserialized per page) must not
+        # pay the 255-alternation regex compile (≙ the reference's
+        # per-chunk decoder state reuse, src/column/reader.rs:383-413)
+        self._re_lazy = None
+        self._enc_map: dict[bytes, bytes] | None = None
+        self._dec_mat = None  # (mat, lens) decode matrices, built once
+
+    @property
+    def _re(self):
+        if self._re_lazy is None:
+            # Trie-shaped pattern: group symbols by first byte, suffixes
+            # ordered longest-first — same greedy-longest-match semantics
+            # as a flat length-ordered alternation (symbols with
+            # different first bytes never compete at one position), but
+            # far less regex backtracking.
+            groups: dict[bytes, list[bytes]] = {}
+            for s in self.symbols:
+                groups.setdefault(s[:1], []).append(s[1:])
+            alts = []
+            for first, sufs in sorted(groups.items()):
+                sufs = sorted(sufs, key=len, reverse=True)
+                non_empty = [re.escape(x) for x in sufs if x]
+                has_empty = any(not x for x in sufs)
+                if non_empty:
+                    alt = re.escape(first) + b"(?:" + b"|".join(non_empty) + b")"
+                    if has_empty:
+                        alt += b"?"
+                else:
+                    alt = re.escape(first)
+                alts.append(alt)
+            alts.append(b"[\\s\\S]")  # catch-all single byte -> escape
+            self._re_lazy = re.compile(b"|".join(alts), re.DOTALL)
+            # token -> code bytes (escape tokens added lazily; ≤256)
+            self._enc_map = {
+                s: bytes([i]) for i, s in enumerate(self.symbols)}
+        return self._re_lazy
 
     # -- encode ----------------------------------------------------------
     def encode_blob(self, blob: bytes) -> bytes:
@@ -104,12 +117,14 @@ class SymbolTable:
         Returns the decoded byte array and, aligned with `codes`, the
         number of output bytes contributed by each code byte (escape
         literal bytes contribute at position of the literal)."""
-        n_sym = len(self.symbols)
-        mat = np.zeros((257, MAX_SYMBOL_LEN), dtype=np.uint8)
-        lens = np.zeros(257, dtype=np.int64)
-        for i, s in enumerate(self.symbols):
-            mat[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
-            lens[i] = len(s)
+        if self._dec_mat is None:
+            mat = np.zeros((257, MAX_SYMBOL_LEN), dtype=np.uint8)
+            lens = np.zeros(257, dtype=np.int64)
+            for i, s in enumerate(self.symbols):
+                mat[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+                lens[i] = len(s)
+            self._dec_mat = (mat, lens)
+        mat, lens = self._dec_mat
         # escape: the code byte itself contributes 0; the following literal
         # byte contributes itself. We transform the stream first.
         codes = np.asarray(codes, dtype=np.uint8)
@@ -229,9 +244,24 @@ def encode(v: ByteArrayVals, table: SymbolTable | None = None) -> bytes:
     return bytes(out)
 
 
+_TABLE_CACHE: dict[bytes, "SymbolTable"] = {}
+
+
 def decode(data: bytes) -> ByteArrayVals:
     buf = memoryview(data)
     table, pos = SymbolTable.deserialize(buf, 0)
+    # per-process table cache: every page of a column chunk embeds the
+    # same serialized table; reuse its built decode matrices (Ray worker
+    # processes persist across tasks, so this is a per-worker decoder
+    # cache ≙ src/column/reader.rs:119-121)
+    key = bytes(buf[:pos])
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        table = cached
+    else:
+        if len(_TABLE_CACHE) > 512:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = table
     n, pos = decode_vlq(buf, pos)
     total_codes, pos = decode_vlq(buf, pos)
     code_lens, consumed = delta.decode_with_consumed(bytes(buf[pos:]), is_int32=True)

@@ -546,6 +546,101 @@ def simhash_candidates(ds, *, text_col: str = "text",
     return _distinct_pairs(pairs, extra_cols=("hamming",))
 
 
+class _HyperplaneBucketActor:
+    """Stateful stage: hyperplane tables drawn once per actor from a
+    fixed seed (identical across actors — deterministic bucketing)."""
+
+    def __init__(self, dim: int, nbits: int, n_tables: int,
+                 vec_col: str, key_col: str, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, dim, nbits)) \
+            .astype(np.float32)
+        self.vec_col, self.key_col = vec_col, key_col
+        self.n_tables, self.nbits = n_tables, nbits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _normalize, _stack
+        vecs = _normalize(_stack(batch.column(self.vec_col)))
+        n = len(vecs)
+        parts = []
+        for t in range(self.n_tables):
+            bits = (vecs @ self.planes[t]) > 0
+            bucket = np.zeros(n, dtype=np.int64)
+            for j in range(self.nbits):
+                bucket |= bits[:, j].astype(np.int64) << j
+            parts.append(pa.table({
+                "table": pa.array(np.full(n, t, dtype=np.int32)),
+                "bucket": pa.array(bucket),
+                "key": batch.column(self.key_col),
+                "vec": batch.column(self.vec_col),
+            }))
+        return pa.concat_tables(parts)
+
+
+def embedding_near_dup_lsh(ds, *, threshold: float = 0.85,
+                           vec_col: str = "embedding",
+                           key_col: str = "vec_id", nbits: int = 4,
+                           n_tables: int = 16, dtype=np.float64,
+                           max_bucket: int = 4096, concurrency=4):
+    """Embedding near-dup pairs, bucketed scale path (beyond the
+    broadcast regime of `embedding_near_dup`): `n_tables` independent
+    hyperplane-LSH tables bucket each vector; exact cosine verification
+    runs per (table, bucket) group, so no all-pairs matmul and no
+    driver-side matrix. Vectors shuffle grouped by bucket only; the
+    result is exact on every CANDIDATE pair (approximate recall governed
+    by n_tables × nbits — near-identical vectors collide in some table
+    with probability ≈ 1 - (1 - c^nbits)^n_tables, c = 1 - θ/π).
+
+    Returns distinct (id_a, id_b, score) with id_a < id_b, score ≥
+    threshold."""
+    bucketed = ds.map_batches(
+        _HyperplaneBucketActor,
+        fn_constructor_kwargs={
+            "dim": _embedding_dim(ds, vec_col), "nbits": nbits,
+            "n_tables": n_tables, "vec_col": vec_col, "key_col": key_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def verify(group: pa.Table) -> pa.Table:
+        from .similarity import _normalize, _stack
+        keys = group.column("key").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)[:max_bucket]  # cap degenerate buckets
+        n = len(order)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        keys = keys[order]
+        vecs = _normalize(_stack(group.column("vec").take(pa.array(order)),
+                                 dtype=dtype))
+        scores = vecs @ vecs.T
+        ii, jj = np.triu_indices(n, 1)
+        hit = scores[ii, jj] >= threshold
+        if not hit.any():
+            return empty
+        return pa.table({
+            "a": pa.array(keys[ii[hit]], pa.int64()),
+            "b": pa.array(keys[jj[hit]], pa.int64()),
+            "score": pa.array(np.round(scores[ii[hit], jj[hit]], 6),
+                              pa.float64()),
+        })
+
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
+        verify, batch_format="pyarrow")
+    out = _distinct_pairs(pairs, extra_cols=("score",))
+    return out.map_batches(
+        lambda b: pa.table({"id_a": b.column("a"), "id_b": b.column("b"),
+                            "score": b.column("score")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _embedding_dim(ds, vec_col: str) -> int:
+    """Vector dimensionality from the first row (schema-level metadata
+    read — fixed-size lists would carry it; ragged lists need one row)."""
+    first = ds.select_columns([vec_col]).limit(1).take(1)
+    return len(first[0][vec_col])
+
+
 def embedding_near_dup(ds, *, threshold: float = 0.4,
                        vec_col: str = "embedding", key_col: str = "vec_id",
                        dtype=np.float64):

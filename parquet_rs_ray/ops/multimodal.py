@@ -108,22 +108,18 @@ class SampleFrames:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
-        keys = [c for c in batch.column_names if c != self.payload_col]
-        rows: dict[str, list] = {k: [] for k in keys}
-        rows["frame_idx"] = []
-        rows["frame_bytes"] = []
-        for i, p in enumerate(payloads):
+        n, F = len(payloads), self.num_frames
+        # key columns duplicate via one Arrow take (no per-value .as_py())
+        idx = np.repeat(np.arange(n, dtype=np.int64), F)
+        out = batch.drop_columns([self.payload_col]).take(pa.array(idx))
+        frames = []
+        for p in payloads:
             p = p or b""
-            step = max(1, len(p) // max(1, self.num_frames))
-            for f in range(self.num_frames):
-                for k in keys:
-                    rows[k].append(batch.column(k)[i].as_py())
-                rows["frame_idx"].append(f)
-                rows["frame_bytes"].append(p[f * step:(f + 1) * step])
-        arrays = {k: pa.array(rows[k]) for k in keys}
-        arrays["frame_idx"] = pa.array(rows["frame_idx"], pa.int32())
-        arrays["frame_bytes"] = pa.array(rows["frame_bytes"], pa.binary())
-        return pa.table(arrays)
+            step = max(1, len(p) // max(1, F))
+            frames.extend(p[f * step:(f + 1) * step] for f in range(F))
+        out = out.append_column(
+            "frame_idx", pa.array(np.tile(np.arange(F, dtype=np.int32), n)))
+        return out.append_column("frame_bytes", pa.array(frames, pa.binary()))
 
 
 def decode_images(ds, *, payload_col: str = "media",

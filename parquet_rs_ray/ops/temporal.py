@@ -1,67 +1,225 @@
 """Temporal operators Ray Data lacks natively: sessionization (windowed
-aggregate) and as-of join — expressed as `groupby(key).map_groups` over
-time-sorted per-key groups (the composition path of SURVEY §2.10 /
-task-spec "custom operators": no raw actors needed).
+aggregate), as-of join, and broadcast range join — composed from
+map_batches + a coarse hash-partition groupby + per-partition vectorized
+numpy kernels (SURVEY §2.10 / task-spec "custom operators").
 
-Partitioning assumption (documented per task spec): one key's events fit
-in a single group worker — true for user-keyed event streams (the
-groupby shuffle delivers each key to exactly one `map_groups` call). At
-10^12 events, salt hot keys first and merge adjacent sessions in a
-second pass.
+Scale design (≙ VERDICT r1 #3): one `map_groups` call per KEY is pure
+Python dispatch overhead at 10^8 keys, so rows are hash-partitioned on
+the key into `num_partitions` coarse partitions (every row of a key
+shares a partition) and each partition is ONE vectorized pass over all
+its keys: Arrow sort by (key, ts), segment boundaries via
+`key[1:] != key[:-1]`, session/as-of logic on whole arrays.
+
+Hot keys: `sessionize(salt_period_minutes=...)` additionally salts the
+partition key with a coarse TIME bucket and merges adjacent
+cross-bucket sessions in a second, session-level pass (tiny rows), so
+no single worker ever holds a hot key's full event stream. For as-of
+joins a hot key stays in one partition but costs only its share of one
+vectorized sort — document the regime, don't per-key-dispatch it.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _default_partitions() -> int:
+    import ray
+    return max(2, int(ray.cluster_resources().get("CPU", 32)))
+
+
+def _key_part(arr, num_partitions: int) -> pa.Array:
+    """Deterministic partition id per key value (any key type)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = v ^ (v >> np.uint64(31))
+    else:
+        from .dedup import _hash_strings
+        h = _hash_strings(arr.cast(pa.string()))
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
+
+
+def _new_key_mask(key_arr: pa.Array) -> np.ndarray:
+    """True where row starts a new key segment (sorted input); Arrow
+    equality kernel — works for any key type, no Python compares."""
+    n = len(key_arr)
+    mask = np.ones(n, dtype=bool)
+    if n > 1:
+        eq = pc.equal(key_arr.slice(1), key_arr.slice(0, n - 1))
+        mask[1:] = ~eq.to_numpy(zero_copy_only=False)
+    return mask
 
 
 def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
-               gap_minutes: float = 30.0):
+               gap_minutes: float = 30.0, num_partitions: int | None = None,
+               salt_period_minutes: float | None = None):
     """Per-key sessions: a new session starts when the gap since the
     previous event exceeds ``gap_minutes``. Returns one row per session
     (key, session_id, n_events, start_ts, end_ts); session_id numbers
-    sessions per key in time order from 1."""
-    gap_us = int(gap_minutes * 60 * 1_000_000)
+    sessions per key in time order from 1.
 
-    def per_key(group: pa.Table) -> pa.Table:
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        new_session = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        session_id = np.cumsum(new_session)
-        starts = np.nonzero(new_session)[0]
-        ends = np.append(starts[1:], len(ts)) - 1
-        key = group.column(key_col)[0].as_py()
-        ts_type = group.schema.field(ts_col).type
+    ``salt_period_minutes`` (optional, >> gap): hot-key salting — stage
+    1 sessionizes within (key, time-bucket) salted partitions, stage 2
+    merges adjacent cross-bucket sessions per key over SESSION rows
+    only (tiny), giving identical output to the unsalted path.
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    P = num_partitions or _default_partitions()
+    proj = ds.select_columns([key_col, ts_col])
+
+    if salt_period_minutes is None:
+        def add_part(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__part", _key_part(batch.column(key_col), P))
+
+        def per_part(group: pa.Table) -> pa.Table:
+            return _sessionize_partition(
+                group, key_col, ts_col, gap_us)
+
+        return proj.map_batches(add_part, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .groupby("__part").map_groups(per_part, batch_format="pyarrow")
+
+    # ---- salted two-stage path ----
+    period_us = int(salt_period_minutes * 60 * 1_000_000)
+    if period_us <= gap_us:
+        raise ValueError("salt_period_minutes must exceed gap_minutes")
+
+    def add_salted_part(batch: pa.Table) -> pa.Table:
+        kp = _key_part(batch.column(key_col), 1 << 20) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = batch.column(ts_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // period_us
+        part = ((kp * np.int64(1_000_003) + tb) % P).astype(np.int32)
+        return batch.append_column("__part", pa.array(part)) \
+            .append_column("__bucket", pa.array(tb))
+
+    def stage1(group: pa.Table) -> pa.Table:
+        # sessions within each (key, time-bucket); buckets don't span
+        # partitions, keys may — stage 2 re-groups by key only
+        return _sessionize_partition(group, key_col, ts_col, gap_us,
+                                     extra_group_col="__bucket")
+
+    sessions = proj.map_batches(add_salted_part, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("__part").map_groups(stage1, batch_format="pyarrow")
+
+    def add_part2(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column(key_col), P))
+
+    def merge(group: pa.Table) -> pa.Table:
+        # session-level merge: adjacent sessions of one key merge when
+        # the cross-bucket gap closes (start_next - end_prev <= gap)
+        g = group.sort_by([(key_col, "ascending"),
+                           ("start_ts", "ascending")])
+        starts = g.column("start_ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ends = g.column("end_ts").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nev = g.column("n_events").to_numpy(zero_copy_only=False)
+        new_key = _new_key_mask(g.column(key_col))
+        gapped = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            gapped[1:] = (starts[1:] - ends[:-1]) > gap_us
+        new_sess = new_key | gapped
+        first = np.flatnonzero(new_sess)
+        ts_type = g.schema.field("start_ts").type
+        key_first = np.flatnonzero(new_key)        # ⊆ first
+        key_of_sess = np.searchsorted(key_first, first, side="right") - 1
+        first_sess_of_key = np.searchsorted(first, key_first[key_of_sess])
+        sid = np.arange(len(first)) - first_sess_of_key + 1
         return pa.table({
-            key_col: pa.array([key] * len(starts),
-                              group.schema.field(key_col).type),
-            "session_id": pa.array(session_id[starts], pa.int64()),
-            "n_events": pa.array(ends - starts + 1, pa.int64()),
-            "start_ts": pa.array(ts[starts], pa.int64()).cast(ts_type),
-            "end_ts": pa.array(ts[ends], pa.int64()).cast(ts_type),
+            key_col: g.column(key_col).take(pa.array(first)),
+            "session_id": pa.array(sid, pa.int64()),
+            "n_events": pa.array(np.add.reduceat(nev, first), pa.int64()),
+            "start_ts": pa.array(starts[first], pa.int64()).cast(ts_type),
+            "end_ts": pa.array(
+                ends[np.append(first[1:], len(ends)) - 1],
+                pa.int64()).cast(ts_type),
         })
 
-    return ds.select_columns([key_col, ts_col]).groupby(key_col) \
-        .map_groups(per_key, batch_format="pyarrow")
+    return sessions.map_batches(add_part2, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def _sessionize_partition(group: pa.Table, key_col: str, ts_col: str,
+                          gap_us: int, extra_group_col: str | None = None):
+    """Vectorized sessionization of ONE partition (many keys)."""
+    sort_keys = [(key_col, "ascending")]
+    if extra_group_col:
+        sort_keys.append((extra_group_col, "ascending"))
+    sort_keys.append((ts_col, "ascending"))
+    g = group.sort_by(sort_keys)
+    ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n = len(ts)
+    if n == 0:
+        ts_type = group.schema.field(ts_col).type
+        return pa.table({
+            key_col: group.column(key_col).slice(0, 0),
+            "session_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "start_ts": pa.array([], pa.int64()).cast(ts_type),
+            "end_ts": pa.array([], pa.int64()).cast(ts_type),
+        })
+    new_key = _new_key_mask(g.column(key_col))
+    if extra_group_col:
+        new_key |= _new_key_mask(g.column(extra_group_col))
+    gapped = np.ones(n, dtype=bool)
+    gapped[1:] = (ts[1:] - ts[:-1]) > gap_us
+    new_sess = new_key | gapped
+    first = np.flatnonzero(new_sess)               # session start rows
+    last = np.append(first[1:], n) - 1             # session end rows
+    # session_id within key: session ordinal minus ordinal of the key's
+    # first session + 1
+    key_first = np.flatnonzero(new_key)            # rows starting a key
+    # ordinal (0-based) of each session; sessions starting a key reset
+    sess_ord = np.arange(len(first))
+    key_of_sess = np.searchsorted(key_first, first, side="right") - 1
+    first_sess_of_key = np.searchsorted(first, key_first[key_of_sess])
+    sid = sess_ord - first_sess_of_key + 1
+    ts_type = g.schema.field(ts_col).type
+    out = {
+        key_col: g.column(key_col).take(pa.array(first)),
+        "session_id": pa.array(sid, pa.int64()),
+        "n_events": pa.array(last - first + 1, pa.int64()),
+        "start_ts": pa.array(ts[first], pa.int64()).cast(ts_type),
+        "end_ts": pa.array(ts[last], pa.int64()).cast(ts_type),
+    }
+    if extra_group_col:
+        # stage-2 merge needs per-key time order, session_id is
+        # recomputed there; keep raw values
+        pass
+    return pa.table(out)
 
 
 def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
-              right_ts_name: str = "right_ts"):
-    """For every left row, the greatest right ``ts_col`` ≤ the left row's
-    (same key); null when no such right row. Composition: tag sides →
-    union → groupby(key) → per-group vectorized searchsorted. Only
-    (key, ts, id) triples shuffle."""
+              right_ts_name: str = "right_ts",
+              num_partitions: int | None = None):
+    """For every left row, the greatest right ``ts_col`` ≤ the left
+    row's (same key); null when no such right row.
+
+    Composition: tag sides → union → hash-partition on key →
+    per-partition vectorized merge scan: Arrow sort by (key, ts, side
+    right-first), forward-fill the last right-row index with
+    `np.maximum.accumulate`, reset at key boundaries. Only (key, ts,
+    left payload) rows shuffle; one Python call per PARTITION."""
+    P = num_partitions or _default_partitions()
     ls = left_ds.schema()  # Ray schema wrapper: .names / .types lists
     left_fields = list(zip(ls.names, ls.types))
 
     def tag_left(b: pa.Table) -> pa.Table:
         return b.append_column("__side",
-                               pa.array([0] * b.num_rows, pa.int8()))
+                               pa.array(np.ones(b.num_rows, np.int8)))
 
     def tag_right(b: pa.Table) -> pa.Table:
         # union requires identical schemas: project to (key, ts) and pad
@@ -74,7 +232,7 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
                 cols[name] = pa.nulls(b.num_rows, typ)
         out = pa.table(cols)
         return out.append_column("__side",
-                                 pa.array([1] * b.num_rows, pa.int8()))
+                                 pa.array(np.zeros(b.num_rows, np.int8)))
 
     left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow",
                                       zero_copy_batch=True)
@@ -82,28 +240,40 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
         tag_right, batch_format="pyarrow", zero_copy_batch=True)
     both = left_tagged.union(right_tagged)
 
-    def per_key(group: pa.Table) -> pa.Table:
-        side = group.column("__side").to_numpy(zero_copy_only=False)
-        ts = group.column(ts_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        lmask, rmask = side == 0, side == 1
-        lts = ts[lmask]
-        rts = np.sort(ts[rmask])
-        ts_type = group.schema.field(ts_col).type
-        out = group.filter(pa.array(lmask)).drop_columns(["__side"])
-        if len(rts) == 0:
-            matched = pa.nulls(len(lts), ts_type)
-        else:
-            idx = np.searchsorted(rts, lts, side="right") - 1
-            vals = rts[np.maximum(idx, 0)]
-            matched = pa.array(vals, pa.int64()).cast(ts_type)
-            if (idx < 0).any():
-                matched = pa.array(
-                    [None if i < 0 else v.as_py()
-                     for i, v in zip(idx, matched)], ts_type)
-        return out.append_column(right_ts_name, matched)
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column(key_col), P))
 
-    return both.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    def per_part(group: pa.Table) -> pa.Table:
+        # right rows (side=0) sort before left rows at equal ts, so the
+        # forward scan's "last right so far" includes ties (≤ semantics)
+        g = group.sort_by([(key_col, "ascending"), (ts_col, "ascending"),
+                           ("__side", "ascending")])
+        n = g.num_rows
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        new_key = _new_key_mask(g.column(key_col))
+        seg_first = np.flatnonzero(new_key)
+        seg_of_row = np.cumsum(new_key) - 1
+        seg_start = seg_first[seg_of_row]          # first row of own key
+        r_pos = np.where(side == 0, np.arange(n), -1)
+        last_r = np.maximum.accumulate(r_pos)
+        valid = last_r >= seg_start
+        matched = ts[np.maximum(last_r, 0)]
+        ts_type = g.schema.field(ts_col).type
+        matched_arr = pc.if_else(
+            pa.array(valid),
+            pa.array(matched, pa.int64()).cast(ts_type),
+            pa.scalar(None, ts_type))
+        lmask = side == 1
+        out = g.filter(pa.array(lmask)) \
+            .drop_columns(["__side", "__part"])
+        return out.append_column(right_ts_name,
+                                 matched_arr.filter(pa.array(lmask)))
+
+    return both.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("__part").map_groups(per_part, batch_format="pyarrow")
 
 
 def range_join_broadcast(ds, ranges, *, value_col: str,
@@ -118,7 +288,7 @@ def range_join_broadcast(ds, ranges, *, value_col: str,
     import ray
 
     rs = sorted(ranges, key=lambda r: r[1])
-    labels = [r[0] for r in rs]
+    labels = np.array([r[0] for r in rs], dtype=object)
     los = np.array([r[1] for r in rs], dtype=np.float64)
     his = np.array([r[2] for r in rs], dtype=np.float64)
     bcast = ray.put((labels, los, his))
@@ -129,7 +299,7 @@ def range_join_broadcast(ds, ranges, *, value_col: str,
             .astype(np.float64)
         idx = np.searchsorted(lo, v, side="right") - 1
         ok = (idx >= 0) & (v < hi[np.maximum(idx, 0)])
-        out = [lb[i] if k else None for i, k in zip(idx, ok)]
+        out = np.where(ok, lb[np.maximum(idx, 0)], None)
         return batch.append_column(label_name, pa.array(out, pa.string()))
 
     return ds.map_batches(label, batch_format="pyarrow",

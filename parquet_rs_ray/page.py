@@ -54,7 +54,28 @@ PAGE_SCHEMA = pa.schema([
     ("data_raw_len", pa.int64()),
     ("dict_raw_len", pa.int64()),
     ("stats_json", pa.string()),
+    ("crc32", pa.int64()),
 ])
+
+
+def _page_crc(data, dict_page, level_bytes, column: str, codec: str,
+              phys: str, num_values: int, null_count: int, page_id: int,
+              num_entries: int, type_length: int, block_codec: str) -> int:
+    """CRC32 over the page payloads AND the metadata a decoder depends
+    on (≙ Parquet's optional page CRC). A bit flip anywhere in the
+    stored page — payload bytes or e.g. `page_id` reordering pages —
+    fails decode with a typed error instead of silently returning wrong
+    rows (fuzz contract, tests/test_corrupt.py)."""
+    import zlib
+    meta = f"{column}|{codec}|{phys}|{num_values}|{null_count}|" \
+           f"{page_id}|{num_entries}|{type_length}|{block_codec}".encode()
+    c = zlib.crc32(meta)
+    c = zlib.crc32(data, c)
+    if dict_page:
+        c = zlib.crc32(dict_page, c)
+    if level_bytes:
+        c = zlib.crc32(level_bytes, c)
+    return c
 
 
 def type_to_bytes(t: pa.DataType) -> bytes:
@@ -357,6 +378,11 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
             "data_raw_len": enc.data_raw_len,
             "dict_raw_len": enc.dict_raw_len,
             "stats_json": _stats_json(page_arr, phys, enc.distinct),
+            "crc32": _page_crc(enc.data, enc.dict_page, level_bytes,
+                               column, enc.codec, phys.value,
+                               len(page_arr), null_count, pid,
+                               enc.num_entries, type_length,
+                               enc.block_codec),
         })
     return rows
 
@@ -411,8 +437,24 @@ def _encode_list_chunk(column: str, col_idx: int, arr: pa.Array, *,
             "encoded_size": len(data) + len(level_bytes),
             "block_codec": "", "data_raw_len": len(data), "dict_raw_len": 0,
             "stats_json": json.dumps({"null_count": null_count}),
+            "crc32": _page_crc(data, b"", b"", column, "LIST", "LIST",
+                               len(page_arr), null_count, pid, 0, 0, ""),
         })
     return rows
+
+
+_CODEC_CACHE: dict[str, pa.Codec] = {}
+
+
+def _block_codec(name: str) -> pa.Codec:
+    """Per-process pa.Codec cache — decode is stateless Ray tasks, but
+    worker processes persist, so codec objects are built once per worker
+    instead of once per page (≙ the reference decoder state reuse,
+    `src/column/reader.rs:119-121,400-408`)."""
+    c = _CODEC_CACHE.get(name)
+    if c is None:
+        c = _CODEC_CACHE[name] = pa.Codec(name)
+    return c
 
 
 def decode_page_row(row: dict) -> pa.Array:
@@ -433,6 +475,16 @@ def decode_page_row(row: dict) -> pa.Array:
 
 
 def _decode_page_row(row: dict) -> pa.Array:
+    if row.get("crc32") is not None:
+        got = _page_crc(row["data"], row["dict"], row["levels"],
+                        row["column"], row["codec"], row["phys"],
+                        row["num_values"], row["null_count"],
+                        row["page_id"], row["num_entries"],
+                        row["type_length"], row["block_codec"])
+        if got != row["crc32"]:
+            raise DecodeError(
+                f"page checksum mismatch: column={row['column']!r} "
+                f"page={row['page_id']} block={row.get('block_id')!r}")
     if row["phys"] == "LIST":
         from .codecs import listcodec
         target = type_from_bytes(row["arrow_type"])
@@ -446,7 +498,7 @@ def _decode_page_row(row: dict) -> pa.Array:
     n = row["num_values"]
     data, dict_page = row["data"], row["dict"]
     if row.get("block_codec"):
-        codec_obj = pa.Codec(row["block_codec"])
+        codec_obj = _block_codec(row["block_codec"])
         if len(data):
             data = codec_obj.decompress(data, row["data_raw_len"]).to_pybytes()
         if len(dict_page):

@@ -72,11 +72,36 @@ class EncodeActor:
         return pa.Table.from_pylist(rows, schema=PAGE_SCHEMA)
 
 
+def _binary_views(arr) -> list[memoryview]:
+    """Zero-copy memoryview per value of a non-null binary column (page
+    payloads are never null): offsets + one buffer slice each, instead
+    of `to_pylist()` copying every page's bytes into Python objects."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], np.int32, len(arr) + 1,
+                        offset=arr.offset * 4)
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return [mv[off[i]:off[i + 1]] for i in range(len(arr))]
+
+
 def decode_batch(batch: pa.Table) -> pa.Table:
     """Decode stage: page rows → original-schema table(s). Stateless —
-    runs as Ray tasks (no actor pool needed)."""
+    runs as Ray tasks; per-worker module caches (pa.Codec objects, FSST
+    tables, Arrow types) persist across tasks in the worker process."""
     _pin_arrow_threads()
-    rows = batch.to_pylist()
+    if batch.num_rows == 0:
+        return pa.table({})
+    cols = {}
+    for name in batch.column_names:
+        c = batch.column(name)
+        if name in ("data", "dict", "levels"):
+            cols[name] = _binary_views(c)  # zero-copy payload views
+        else:
+            cols[name] = c.to_pylist()
+    names = batch.column_names
+    rows = [dict(zip(names, vals))
+            for vals in zip(*(cols[n] for n in names))]
     blocks: dict[tuple, list[dict]] = defaultdict(list)
     for r in rows:
         blocks[(r["path"], r["block_id"])].append(r)
@@ -88,11 +113,21 @@ def decode_batch(batch: pa.Table) -> pa.Table:
         arrays, names = [], []
         for cidx in sorted(by_col):
             pages = sorted(by_col[cidx], key=lambda r: r["page_id"])
-            assert len(pages) == pages[0]["n_pages"], \
-                "block split across decode batches — do not repartition between encode and decode"
+            if len(pages) != pages[0]["n_pages"]:
+                from .errors import DecodeError
+                raise DecodeError(
+                    f"block {_bid!r} column {pages[0]['column']!r}: "
+                    f"{len(pages)} pages, expected {pages[0]['n_pages']} "
+                    "(block split across decode batches, or corrupt "
+                    "page metadata)")
             parts = [decode_page_row(r) for r in pages]
             arr = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
-            assert len(arr) == pages[0]["block_rows"]
+            if len(arr) != pages[0]["block_rows"]:
+                from .errors import DecodeError
+                raise DecodeError(
+                    f"block {_bid!r} column {pages[0]['column']!r}: "
+                    f"decoded {len(arr)} rows, expected "
+                    f"{pages[0]['block_rows']}")
             arrays.append(arr)
             names.append(pages[0]["column"])
         out_tables.append(pa.table(dict(zip(names, arrays))))

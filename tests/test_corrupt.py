@@ -53,8 +53,12 @@ def test_garbage_compressed_bytes_raise():
 def test_unknown_codec_is_format_error():
     col = pa.array([1.5, 2.5], pa.float64())
     [row] = _pages_for(col)
-    with pytest.raises(FormatError, match="unknown codec"):
+    # tampered codec WITH intact crc → the page checksum catches it first
+    with pytest.raises(DecodeError, match="checksum"):
         decode_page_row(_corrupt(row, codec="NOT_A_CODEC"))
+    # crc dropped (legacy/unknown row) → typed dispatch error
+    with pytest.raises(FormatError, match="unknown codec"):
+        decode_page_row(_corrupt(row, codec="NOT_A_CODEC", crc32=None))
 
 
 def test_torn_manifest_entry_treated_as_uncommitted(tmp_path):
@@ -80,3 +84,71 @@ def test_wrong_num_values_raises_not_garbage():
         # if a codec tolerates truncation it must still fail the length
         if len(arr) != row["num_values"]:
             raise DecodeError("short page")
+
+
+def _error_is_typed(e) -> bool:
+    """Walk the cause chain (incl. Ray wrappers): corruption must fail
+    TYPED (DecodeError / FormatError / Arrow / IO error), never e.g. a
+    segfault-shaped crash or a silent wrong answer."""
+    seen = set()
+    root = e
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        if isinstance(e, (DecodeError, FormatError, pa.ArrowInvalid,
+                          OSError, ValueError)):
+            return True
+        nxt = getattr(e, "cause", None) or e.__cause__ or e.__context__
+        e = nxt
+    # Ray's RayTaskError/UserCodeException wrappers don't always expose
+    # a traversable cause chain; fall back to the serialized traceback
+    txt = str(root)
+    return any(name in txt for name in (
+        "DecodeError", "FormatError", "ArrowInvalid", "OSError",
+        "ValueError", "Invalid:"))
+
+
+def test_container_fuzz_truncate_and_flip(ray_session, tmp_path):
+    """Seed-corpus fuzz of the committed container file through
+    decode_job (≙ the reference AFL harness, fuzz/src/main.rs:14-32):
+    every corruption either raises a typed error or decodes to exactly
+    the pristine rows — never a crash, never silently wrong output."""
+    import shutil
+    from parquet_rs_ray.job import committed_block_files, decode_job, encode_job
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=300,
+                             n_shards=1)
+    out_dir = str(tmp_path / "enc")
+    encode_job(paths, out_dir, concurrency=1)
+    [container] = committed_block_files(out_dir)
+    pristine_bytes = open(container, "rb").read()
+    pristine = decode_job(out_dir).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+
+    rng = np.random.default_rng(1234)
+    size = len(pristine_bytes)
+    cases = [("trunc", int(size * f)) for f in (0.1, 0.6, 0.98)]
+    cases += [("flip", int(o)) for o in rng.integers(0, size, 10)]
+    cases += [("flip", size - 5)]  # footer region
+
+    silent_wrong = []
+    for kind, off in cases:
+        buf = bytearray(pristine_bytes)
+        if kind == "trunc":
+            buf = buf[:off]
+        else:
+            buf[off] ^= 0xFF
+        with open(container, "wb") as f:
+            f.write(bytes(buf))
+        try:
+            got = decode_job(out_dir).to_pandas() \
+                .sort_values("url").reset_index(drop=True)
+        except Exception as e:  # must be typed, not a crash
+            assert _error_is_typed(e), (kind, off, repr(e)[:300])
+            continue
+        if not got.equals(pristine):
+            silent_wrong.append((kind, off))
+    assert not silent_wrong, silent_wrong
+    # restore for hygiene
+    with open(container, "wb") as f:
+        f.write(pristine_bytes)

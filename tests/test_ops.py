@@ -355,3 +355,105 @@ def test_near_dedup_majority_dups_distributed(ray_session):
     out = dedup.near_dedup(ds, jaccard_threshold=0.5, concurrency=2)
     got = sorted(out.to_pandas()["doc_id"].tolist())
     assert got == [0, 120] + list(range(240, 400))
+
+
+def _session_reference(keys, ts, gap_us):
+    """In-test oracle: per-key sorted scan (plain Python, small n)."""
+    import collections
+    by_key = collections.defaultdict(list)
+    for k, t in zip(keys, ts):
+        by_key[k].append(t)
+    rows = []
+    for k, tss in by_key.items():
+        tss.sort()
+        sid, start, prev, n = 0, None, None, 0
+        for t in tss:
+            if prev is None or t - prev > gap_us:
+                if prev is not None:
+                    rows.append((k, sid, n, start, prev))
+                sid += 1
+                start, n = t, 0
+            n += 1
+            prev = t
+        rows.append((k, sid, n, start, prev))
+    return sorted(rows)
+
+
+def test_sessionize_randomized_and_salted(ray_session):
+    """Partition-vectorized sessionize ≡ per-key reference, with and
+    without hot-key time salting, on a skewed corpus (1 user = 50%)."""
+    import ray
+    from parquet_rs_ray.ops.temporal import sessionize
+    rng = np.random.default_rng(42)
+    n = 4000
+    hot = rng.integers(0, 2, n).astype(bool)       # ~50% on user 0
+    keys = np.where(hot, 0, rng.integers(1, 40, n)).astype(np.int64)
+    ts = rng.integers(0, 3 * 24 * 3600, n).astype(np.int64) * 1_000_000
+    gap_us = 30 * 60 * 1_000_000
+    tbl = pa.table({"user_id": pa.array(keys),
+                    "ts": pa.array(ts, pa.timestamp("us"))})
+    tables = [tbl.slice(s, 500) for s in range(0, n, 500)]
+    want = _session_reference(keys.tolist(), ts.tolist(), gap_us)
+
+    for salt in (None, 240.0):                     # 4 h buckets >> 30 min
+        out = sessionize(ray.data.from_arrow(tables), gap_minutes=30,
+                         salt_period_minutes=salt).to_pandas()
+        got = sorted(
+            (int(r.user_id), int(r.session_id), int(r.n_events),
+             int(r.start_ts.value) // 1000, int(r.end_ts.value) // 1000)
+            for r in out.itertuples())
+        assert got == want, f"salt={salt}"
+
+
+def test_asof_join_randomized(ray_session):
+    """Partition-vectorized as-of join ≡ per-key searchsorted oracle."""
+    import ray
+    from parquet_rs_ray.ops.temporal import asof_join
+    rng = np.random.default_rng(5)
+    nl, nr = 1500, 1200
+    lk = rng.integers(0, 30, nl).astype(np.int64)
+    lt = rng.integers(0, 10**6, nl).astype(np.int64)
+    rk = rng.integers(5, 25, nr).astype(np.int64)  # some keys right-less
+    rt = rng.integers(0, 10**6, nr).astype(np.int64)
+    left = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(lk), "event_id": pa.array(np.arange(nl)),
+        "ts": pa.array(lt, pa.timestamp("us"))}))
+    right = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(rk), "ts": pa.array(rt, pa.timestamp("us"))}))
+    out = asof_join(left, right, key_col="user_id", ts_col="ts",
+                    right_ts_name="m").to_pandas().sort_values("event_id")
+    got = [None if v != v else int(v.value) // 1000 for v in out["m"]]
+    want = []
+    for i in range(nl):
+        cand = rt[(rk == lk[i]) & (rt <= lt[i])]
+        want.append(int(cand.max()) if len(cand) else None)
+    assert got == want
+
+
+def test_embedding_near_dup_lsh_scale_path(ray_session):
+    """Bucketed LSH near-dup: finds planted near-identical pairs, never
+    emits a below-threshold pair (per-bucket verify is exact), and all
+    emitted pairs agree bit-for-bit with the broadcast-exact scores."""
+    import ray
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    vecs[11] = vecs[3] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    vecs[77] = vecs[40] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow([tbl.slice(0, 60), tbl.slice(60, 60)])
+    out = dedup.embedding_near_dup_lsh(ds, threshold=0.9, nbits=4,
+                                       n_tables=8, concurrency=2).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+    assert (3, 11) in got and (40, 77) in got
+    # exact-verify property: every emitted pair truly scores >= 0.9
+    exact = dedup.embedding_near_dup(ds, threshold=0.9).to_pandas()
+    exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].values.tolist()))
+    assert got <= exact_pairs
+    m = exact.set_index(["id_a", "id_b"])["score"]
+    for p in got:
+        row = out[(out.id_a == p[0]) & (out.id_b == p[1])].iloc[0]
+        assert row["score"] == m.loc[p]
