@@ -435,12 +435,14 @@ def jaccard_for_pairs(pairs, texts_by_key: dict, k: int = 5):
 
 def _join_partitions(requested: int | None) -> int:
     """Join partition count bounded by cluster CPUs: each hash-join
-    partition is backed by an aggregator actor reserving a CPU, so
-    asking for more partitions than cores deadlocks a small cluster
-    (and buys nothing — partitions beyond cores just queue)."""
+    partition is backed by an aggregator actor reserving a CPU, and a
+    near-dedup pipeline runs THREE joins concurrently — sizing each at
+    ncpu would triple-book the cluster (measured 6.5× wall at 32 CPUs)
+    or deadlock a small one. ncpu/4 leaves headroom for the map/sort
+    stages; partitions beyond that just queue on aggregators anyway."""
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 32))
-    cap = max(2, ncpu)
+    cap = max(2, ncpu // 4)
     return cap if requested is None else max(2, min(requested, cap))
 
 
