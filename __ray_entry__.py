@@ -258,6 +258,18 @@ def _sessionize_events(sf_dir: str):
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def _sessionize_events_salted(sf_dir: str):
+    """Hot-key-salted sessionize (time-bucket salt + session-level merge
+    pass): must equal the UNSALTED oracle bit-for-bit — the salting is a
+    pure scale optimization, not a semantics change."""
+    import ray
+    from parquet_rs_ray.ops.temporal import sessionize
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30,
+                      salt_period_minutes=360)
+
+
 def _range_join_orders(sf_dir: str):
     """Range join: price bands as the broadcast small side
     (ops/temporal.py range_join_broadcast)."""
@@ -519,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["json_extract_events"] = _json_extract_events
     q["top100_orders"] = _top100_orders
     q["sessionize_events"] = _sessionize_events
+    q["sessionize_events_salted"] = _sessionize_events_salted
     q["range_join_orders"] = _range_join_orders
     q["asof_purchase_click_events"] = _asof_purchase_click_events
     q["customer_order_totals"] = _customer_order_totals
@@ -581,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT user_id, CAST(sid AS BIGINT) AS session_id, "
         "COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
         "FROM s GROUP BY user_id, sid")
+    sql["sessionize_events_salted"] = sql["sessionize_events"]
     sql["range_join_orders"] = (
         "SELECT o.o_orderkey, o.o_totalprice, b.band FROM orders o "
         "LEFT JOIN (VALUES ('low', 0.0, 100000.0), "

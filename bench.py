@@ -142,6 +142,22 @@ def run_bench(num_cpus: int) -> dict:
         lambda: sessionize(
             ray.data.read_parquet(f"{SF_DIR}/events.parquet",
                                   columns=["user_id", "ts"])).count())
+    # hot-key regression: one synthetic user owns 50% of 400k events —
+    # the salted path must not degrade vs the balanced corpus
+    def _skewed_sessionize():
+        import pyarrow as pa
+        rng = np.random.default_rng(0)
+        n = 400_000
+        hot = rng.integers(0, 2, n).astype(bool)
+        keys = np.where(hot, 0, rng.integers(1, 5000, n)).astype(np.int64)
+        ts = rng.integers(0, 30 * 24 * 3600, n).astype(np.int64) * 1_000_000
+        tbl = pa.table({"user_id": pa.array(keys),
+                        "ts": pa.array(ts, pa.timestamp("us"))})
+        ds = ray.data.from_arrow(
+            [tbl.slice(s, 25_000) for s in range(0, n, 25_000)])
+        sessionize(ds, gap_minutes=30, salt_period_minutes=720).count()
+    queries["sessionize_skewed_salted"] = _timed(_skewed_sessionize)
+
     queries["asof_join_events"] = _timed(
         lambda: asof_join(
             ray.data.read_parquet(
