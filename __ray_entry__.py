@@ -258,6 +258,54 @@ def _sessionize_events(sf_dir: str):
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def _top2_orders_per_customer(sf_dir: str):
+    """Window-function shape: top-2 orders per customer by price
+    (grouped_topk — hash-partitioned, per-partition vectorized rank)."""
+    import ray
+    from parquet_rs_ray.ops.relational import grouped_topk
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_totalprice"])
+    return grouped_topk(ds, group_col="o_custkey", order_col="o_totalprice",
+                        k=2, tiebreak_col="o_orderkey")
+
+
+def _customer_nation_join(sf_dir: str):
+    """Dimension join: nation (25 rows) broadcast once via ray.put,
+    per-batch Acero hash join — no shuffle of the customer side."""
+    import pyarrow.parquet as pq
+    import ray
+    from parquet_rs_ray.ops.relational import broadcast_hash_join
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+    out = broadcast_hash_join(ds, nation, on="c_nationkey",
+                              right_on="n_nationkey")
+    return out.map_batches(lambda b: b.select(["c_custkey", "n_name"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _distinct_text_count_documents(sf_dir: str):
+    """Exact global COUNT(DISTINCT text): per-batch combiner dedup →
+    groupby shuffle of distinct values only."""
+    import ray
+    from parquet_rs_ray.ops.relational import distinct_count
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return distinct_count(ds, "text")
+
+
+def _hll_distinct_text_documents(sf_dir: str):
+    """Approximate distinct count via distributed HyperLogLog (p=12;
+    rows-only — accuracy vs exact asserted in tests/test_ops.py)."""
+    import ray
+    from parquet_rs_ray.ops.sketch import hll_distinct
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return hll_distinct(ds, "text")
+
+
 def _sessionize_events_salted(sf_dir: str):
     """Hot-key-salted sessionize (time-bucket salt + session-level merge
     pass): must equal the UNSALTED oracle bit-for-bit — the salting is a
@@ -532,6 +580,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top100_orders"] = _top100_orders
     q["sessionize_events"] = _sessionize_events
     q["sessionize_events_salted"] = _sessionize_events_salted
+    q["top2_orders_per_customer"] = _top2_orders_per_customer
+    q["customer_nation_join"] = _customer_nation_join
+    q["distinct_text_count_documents"] = _distinct_text_count_documents
+    q["hll_distinct_text_documents"] = _hll_distinct_text_documents
     q["range_join_orders"] = _range_join_orders
     q["asof_purchase_click_events"] = _asof_purchase_click_events
     q["customer_order_totals"] = _customer_order_totals
@@ -595,6 +647,17 @@ def oracle_sql() -> dict[str, str]:
         "COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts "
         "FROM s GROUP BY user_id, sid")
     sql["sessionize_events_salted"] = sql["sessionize_events"]
+    sql["top2_orders_per_customer"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) <= 2")
+    sql["customer_nation_join"] = (
+        "SELECT c_custkey, n_name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey")
+    sql["distinct_text_count_documents"] = (
+        "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct "
+        "FROM documents")
+    # hll_distinct_text_documents: approximate sketch → rows-only
     sql["range_join_orders"] = (
         "SELECT o.o_orderkey, o.o_totalprice, b.band FROM orders o "
         "LEFT JOIN (VALUES ('low', 0.0, 100000.0), "

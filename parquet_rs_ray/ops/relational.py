@@ -1,0 +1,101 @@
+"""Relational operators Ray Data lacks as one-liners, composed
+Ray-Data-first (SURVEY §2.10 "custom operators" path):
+
+* grouped_topk        — top-k rows per group (window-function shape)
+                        via hash-partition + per-partition vectorized
+                        rank, one Python call per PARTITION, not per
+                        group (same scale design as ops/temporal.py)
+* broadcast_hash_join — equi-join against a SMALL dimension table:
+                        `ray.put` the table once, per-batch Acero
+                        (pyarrow) hash join inside map_batches; the
+                        canonical alternative to an all-to-all shuffle
+                        join when one side fits in memory
+* distinct_count      — exact global COUNT(DISTINCT col): per-batch
+                        combiner dedup → groupby shuffle of DISTINCT
+                        values only → count
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def grouped_topk(ds, *, group_col: str, order_col: str, k: int,
+                 descending: bool = True, tiebreak_col: str | None = None,
+                 num_partitions: int | None = None):
+    """Top-k rows per group ordered by ``order_col`` (ties broken by
+    ``tiebreak_col`` ascending for determinism). ≙ SQL
+    ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY o [DESC], t)
+    <= k``. Only one map_groups call per hash PARTITION."""
+    from .temporal import _default_partitions, _key_part, _new_key_mask
+    P = num_partitions or _default_partitions()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column(group_col), P))
+
+    sort_keys = [(group_col, "ascending"),
+                 (order_col, "descending" if descending else "ascending")]
+    if tiebreak_col:
+        sort_keys.append((tiebreak_col, "ascending"))
+
+    def per_part(group: pa.Table) -> pa.Table:
+        g = group.sort_by(sort_keys)
+        new_grp = _new_key_mask(g.column(group_col))
+        seg_first = np.flatnonzero(new_grp)
+        seg_of_row = np.cumsum(new_grp) - 1
+        rank = np.arange(g.num_rows) - seg_first[seg_of_row]
+        return g.filter(pa.array(rank < k)).drop_columns(["__part"])
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part").map_groups(per_part, batch_format="pyarrow")
+
+
+def broadcast_hash_join(ds, small: pa.Table, *, on: str,
+                        right_on: str | None = None,
+                        join_type: str = "inner"):
+    """Join a Dataset against a small in-memory table: the table is
+    broadcast ONCE via ray.put and each batch runs one Acero hash join
+    (`pa.Table.join`) — no shuffle of the big side, no per-batch
+    reshipping. ``join_type``: "inner" or "left outer"."""
+    import ray
+    small_ref = ray.put(small)
+    rkey = right_on or on
+
+    def join(batch: pa.Table) -> pa.Table:
+        right = ray.get(small_ref)
+        return batch.join(right, keys=[on], right_keys=[rkey],
+                          join_type=("left outer"
+                                     if join_type == "left outer"
+                                     else "inner"))
+
+    return ds.map_batches(join, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def distinct_count(ds, col: str):
+    """Exact global COUNT(DISTINCT col), distributed: per-batch dedup
+    (combiner — only distinct values leave each batch) → groupby(col)
+    shuffle of the compacted values → one surviving row per value →
+    count. Returns a 1-row pandas DataFrame {n_distinct}."""
+    import pandas as pd
+    import ray
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pa.table({col: arr.unique()})
+
+    # groupby().count() is Ray-native vectorized aggregation — one row
+    # per distinct value, no per-group Python dispatch. (.count() on the
+    # result sums block row-counts; aggregate(Count()) collides with the
+    # existing "count()" column.)
+    distinct = ds.select_columns([col]) \
+        .map_batches(local_distinct, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(col).count()
+    return pd.DataFrame({"n_distinct": [int(distinct.count())]})

@@ -1,0 +1,89 @@
+"""Mergeable sketches for large-scale profiling (the "novel sketch"
+custom-operator slot): HyperLogLog distinct-count over any column.
+
+Scale shape: each batch folds its values into one 2^p-register array
+(a few KiB) inside map_batches; ONLY register arrays leave the workers
+(one tiny row per batch), and the driver merges them with an
+element-wise max — the classic mergeable-sketch topology. At 10^12
+rows the shuffle payload is #batches × 4 KiB regardless of
+cardinality, where exact COUNT(DISTINCT) would shuffle every distinct
+value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_P = 12                      # 4096 registers ⇒ ~1.6% relative error
+_M = 1 << _P
+# bias constant alpha_m for m >= 128 (Flajolet et al. 2007)
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+
+def _finalize(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: HLL reads the TOP bits as the register
+    index, and the FNV-style string hash disperses mostly into low bits
+    (measured: 285/4096 registers hit for 7k short similar strings) —
+    the finalizer spreads entropy across all 64 bits."""
+    with np.errstate(over="ignore"):
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
+
+def _column_hashes(arr) -> np.ndarray:
+    from .dedup import _hash_strings
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return _finalize(v)
+    return _finalize(_hash_strings(
+        arr.cast(pa.string()) if not pa.types.is_binary(arr.type) else arr))
+
+
+def _registers(h: np.ndarray) -> np.ndarray:
+    """Fold a batch of 64-bit hashes into one HLL register array."""
+    regs = np.zeros(_M, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    idx = (h >> np.uint64(64 - _P)).astype(np.int64)
+    rest = (h << np.uint64(_P)) | np.uint64((1 << _P) - 1)  # sentinel tail
+    # rank = #leading zeros of `rest` + 1, vectorized via log2
+    nz = rest != 0
+    rank = np.ones(len(h), dtype=np.uint8)
+    hi = np.zeros(len(h), dtype=np.float64)
+    hi[nz] = np.log2(rest[nz].astype(np.float64))
+    rank[nz] = (64 - np.floor(hi[nz]).astype(np.int64)) \
+        .clip(1, 64 - _P + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    est = _ALPHA * _M * _M / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * _M and zeros:
+        est = _M * np.log(_M / zeros)          # small-range correction
+    return float(est)
+
+
+def hll_distinct(ds, col: str):
+    """Approximate COUNT(DISTINCT col) via distributed HyperLogLog
+    (p=12, ~1.6% relative error — asserted vs exact in tests).
+    Returns a 1-row pandas DataFrame {approx_distinct}."""
+    import pandas as pd
+
+    def fold(batch: pa.Table) -> pa.Table:
+        regs = _registers(_column_hashes(batch.column(col)))
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(_M, dtype=np.uint8)
+    sketches = ds.select_columns([col]).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True)
+    for b in sketches.iter_batches(batch_format="pyarrow"):
+        for r in b.column("regs").to_pylist():  # tiny: 4 KiB per batch
+            merged = np.maximum(merged, np.asarray(r, dtype=np.uint8))
+    return pd.DataFrame({"approx_distinct": [int(round(_estimate(merged)))]})

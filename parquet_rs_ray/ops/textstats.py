@@ -31,8 +31,9 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     reproduce it exactly (LENGTH(x) - LENGTH(REPLACE(x,' ','')) + 1)."""
     txt = batch.column(text_col)
     n_ws = pc.add(pc.count_substring(txt, " "), 1)
-    texts = txt.to_pylist()
-    n_bpe = pa.array([len(_BPE_RE.findall(t)) for t in texts], pa.int64())
+    n_bpe = pc.count_substring_regex(txt, r"\w+|[^\w\s]").cast(pa.int64())
+    if isinstance(n_bpe, pa.ChunkedArray):
+        n_bpe = n_bpe.combine_chunks()
     out = pa.table({
         "n_tokens_ws": n_ws.combine_chunks() if isinstance(n_ws, pa.ChunkedArray) else n_ws,
         "n_tokens_re": n_bpe,
@@ -43,27 +44,60 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def _split_words(txt: pa.ChunkedArray | pa.Array):
+    """Whitespace word-split as a list array + flat helpers:
+    (flat lowercase words, per-doc word counts, doc index per word)."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    words = pc.utf8_split_whitespace(txt)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    counts = pc.list_value_length(words).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    # drop empties (str.split semantics: leading/trailing runs)
+    nonempty = pc.not_equal(flat, "")
+    doc_idx = np.repeat(np.arange(len(txt), dtype=np.int64), counts)
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    if not ne.all():
+        flat = flat.filter(nonempty)
+        doc_idx = doc_idx[ne]
+        counts = np.bincount(doc_idx, minlength=len(txt)).astype(np.int64)
+    return flat, counts, doc_idx
+
+
 class QualityScorer:
-    """Stateful scorer: compiled regexes + stopword tables per actor."""
+    """Stateful scorer: stopword value-set + Arrow kernels per actor.
+    Fully vectorized — utf8_split_whitespace / count_substring_regex /
+    is_in + np.add.reduceat; no Python loop over documents. (re2's \\w
+    is ASCII; equivalent to Python's on the ASCII web corpus.)"""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.punct_re = re.compile(r"[^\w\s]")
-        self.all_stop = set().union(*_STOPWORDS.values())
+        self.all_stop = pa.array(
+            sorted(set().union(*_STOPWORDS.values())), pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        length = np.array([len(t) for t in texts], dtype=np.float64)
-        words = [t.split() for t in texts]
-        n_words = np.array([len(w) for w in words], dtype=np.float64)
-        mean_wl = np.array([np.mean([len(x) for x in w]) if w else 0.0
-                            for w in words])
-        punct = np.array([len(self.punct_re.findall(t)) for t in texts],
-                         dtype=np.float64)
-        stop_ratio = np.array(
-            [sum(1 for x in w if x.lower() in self.all_stop) / len(w) if w else 0.0
-             for w in words])
+        txt = batch.column(self.text_col)
+        n = len(batch)
+        length = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        flat, counts, doc_idx = _split_words(txt)
+        n_words = counts.astype(np.float64)
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sums = np.bincount(doc_idx, weights=wl, minlength=n)
+        mean_wl = np.divide(sums, n_words, out=np.zeros(n),
+                            where=n_words > 0)
+        punct = pc.count_substring_regex(txt, r"[^\w\s]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        is_stop = pc.is_in(pc.utf8_lower(flat),
+                           value_set=self.all_stop) \
+            .to_numpy(zero_copy_only=False)
+        stops = np.bincount(doc_idx, weights=is_stop.astype(np.float64),
+                            minlength=n)
+        stop_ratio = np.divide(stops, n_words, out=np.zeros(n),
+                               where=n_words > 0)
         # heuristic quality in [0,1]: plausible word lengths, some
         # stopwords, not punctuation-dominated, not too short
         score = (np.clip(n_words / 50.0, 0, 1) * 0.3
@@ -85,20 +119,41 @@ class LanguageId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.profiles = {lang: set(w for w in ws)
+        self.profiles = {lang: pa.array(sorted(ws), pa.string())
                          for lang, ws in _STOPWORDS.items()}
+        self.lang_names = list(self.profiles)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        langs = []
-        for t in texts:
-            words = set(w.lower() for w in t.split()[:200])
-            best, best_n = "unknown", 0
-            for lang, prof in self.profiles.items():
-                hits = len(words & prof)
-                if hits > best_n:
-                    best, best_n = lang, hits
-            langs.append(best)
+        from .dedup import _hash_strings
+        n = len(batch)
+        flat, counts, doc_idx = _split_words(batch.column(self.text_col))
+        # first ≤200 words per doc (profile window), lowercased
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        within = np.arange(len(flat), dtype=np.int64) - starts[doc_idx]
+        window = within < 200
+        flat = flat.filter(pa.array(window))
+        doc_idx = doc_idx[window]
+        lower = pc.utf8_lower(flat)
+        wh = _hash_strings(lower) if len(lower) else np.empty(0, np.uint64)
+        hits = np.zeros((len(self.lang_names), n), dtype=np.int64)
+        for li, lang in enumerate(self.lang_names):
+            m = pc.is_in(lower, value_set=self.profiles[lang]) \
+                .to_numpy(zero_copy_only=False)
+            if not m.any():
+                continue
+            # DISTINCT matched words per doc (set-∩ semantics): unique
+            # (doc, word-hash) pairs via lexsort
+            d, h = doc_idx[m], wh[m]
+            order = np.lexsort((h, d))
+            d, h = d[order], h[order]
+            first = np.concatenate(
+                ([True], (d[1:] != d[:-1]) | (h[1:] != h[:-1])))
+            hits[li] = np.bincount(d[first], minlength=n)
+        best = np.argmax(hits, axis=0)        # ties → first lang, as before
+        best_n = hits[best, np.arange(n)]
+        langs = np.array(self.lang_names, dtype=object)[best]
+        langs[best_n == 0] = "unknown"
         out = pa.table({"lang_pred": pa.array(langs, pa.string())})
         for name in batch.column_names:
             if name != self.text_col:

@@ -457,3 +457,101 @@ def test_embedding_near_dup_lsh_scale_path(ray_session):
     for p in got:
         row = out[(out.id_a == p[0]) & (out.id_b == p[1])].iloc[0]
         assert row["score"] == m.loc[p]
+
+
+def test_textstats_vectorized_equals_per_doc_reference():
+    """The Arrow-kernel QualityScorer / LanguageId must reproduce the
+    original per-document Python logic exactly (incl. whitespace runs,
+    empty docs, unicode words, >200-word docs)."""
+    import re as _re
+    texts = [
+        "the cat  sat   on the mat!! truly, the   best of days",
+        "", "   ", "der hund und die katze sind Hier.",
+        "le chat et\tles chiens\n\nen ville",
+        "x" * 300, "one-word",
+        " ".join(f"w{i}" for i in range(400)) + " the of and to in a",
+        "el perro y la casa de! los niños",
+        "naïve café déjà-vu — em–dash",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got_q = textstats.QualityScorer()(batch).to_pandas()
+    got_l = textstats.LanguageId()(batch).to_pandas()
+
+    punct_re = _re.compile(r"[^\w\s]", _re.ASCII)
+    all_stop = set().union(*textstats._STOPWORDS.values())
+    for i, t in enumerate(texts):
+        words = t.split()
+        n_words = float(len(words))
+        mean_wl = np.mean([len(x) for x in words]) if words else 0.0
+        punct = float(len(punct_re.findall(t)))
+        stop_ratio = (sum(1 for x in words if x.lower() in all_stop)
+                      / len(words)) if words else 0.0
+        score = (np.clip(n_words / 50.0, 0, 1) * 0.3
+                 + np.clip(1 - abs(mean_wl - 5.0) / 5.0, 0, 1) * 0.3
+                 + np.clip(stop_ratio * 4, 0, 1) * 0.2
+                 + np.clip(1 - punct / max(len(t), 1) * 5, 0, 1) * 0.2)
+        assert got_q.iloc[i]["quality_score"] == pytest.approx(
+            round(float(score), 6), abs=2e-6), (i, t[:40])
+        wset = set(w.lower() for w in t.split()[:200])
+        best, best_n = "unknown", 0
+        for lang, prof in textstats._STOPWORDS.items():
+            hits = len(wset & prof)
+            if hits > best_n:
+                best, best_n = lang, hits
+        assert got_l.iloc[i]["lang_pred"] == best, (i, t[:40])
+
+
+def test_grouped_topk_matches_reference(ray_session):
+    import ray
+    from parquet_rs_ray.ops.relational import grouped_topk
+    rng = np.random.default_rng(2)
+    n = 5000
+    tbl = pa.table({
+        "g": pa.array(rng.integers(0, 200, n), pa.int64()),
+        "v": pa.array(rng.standard_normal(n)),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    ds = ray.data.from_arrow([tbl.slice(s, 1000) for s in range(0, n, 1000)])
+    out = grouped_topk(ds, group_col="g", order_col="v", k=3,
+                       tiebreak_col="id").to_pandas()
+    df = tbl.to_pandas()
+    want = df.sort_values(["g", "v", "id"], ascending=[True, False, True]) \
+        .groupby("g").head(3)
+    got = out.sort_values(["g", "v", "id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    assert got[["g", "v", "id"]].equals(want[["g", "v", "id"]])
+
+
+def test_broadcast_hash_join(ray_session):
+    import ray
+    from parquet_rs_ray.ops.relational import broadcast_hash_join
+    left = pa.table({"k": pa.array([1, 2, 3, 2, 9], pa.int64()),
+                     "x": pa.array(list("abcde"))})
+    dim = pa.table({"dk": pa.array([1, 2, 3], pa.int64()),
+                    "name": pa.array(["one", "two", "three"])})
+    ds = ray.data.from_arrow(left)
+    inner = broadcast_hash_join(ds, dim, on="k", right_on="dk") \
+        .to_pandas().sort_values(["k", "x"])
+    assert inner["name"].tolist() == ["one", "two", "two", "three"]
+    louter = broadcast_hash_join(ds, dim, on="k", right_on="dk",
+                                 join_type="left outer") \
+        .to_pandas().sort_values(["k", "x"])
+    assert len(louter) == 5
+    assert louter[louter.k == 9]["name"].isna().all()
+
+
+def test_distinct_count_and_hll(ray_session):
+    import ray
+    from parquet_rs_ray.ops.relational import distinct_count
+    from parquet_rs_ray.ops.sketch import hll_distinct
+    rng = np.random.default_rng(3)
+    vals = [f"value-{int(v)}" for v in rng.integers(0, 7000, 40_000)]
+    exact_n = len(set(vals))
+    tbl = pa.table({"text": pa.array(vals, pa.string())})
+    ds = ray.data.from_arrow(
+        [tbl.slice(s, 5000) for s in range(0, 40_000, 5000)])
+    assert distinct_count(ds, "text")["n_distinct"][0] == exact_n
+    approx = hll_distinct(ds, "text")["approx_distinct"][0]
+    assert abs(approx - exact_n) / exact_n < 0.05  # p=12 ⇒ ~1.6% σ
