@@ -204,15 +204,25 @@ def _sessionize_partition(group: pa.Table, key_col: str, ts_col: str,
 
 def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
               right_ts_name: str = "right_ts",
-              num_partitions: int | None = None):
+              num_partitions: int | None = None, mode: str = "shuffle"):
     """For every left row, the greatest right ``ts_col`` ≤ the left
     row's (same key); null when no such right row.
 
-    Composition: tag sides → union → hash-partition on key →
-    per-partition vectorized merge scan: Arrow sort by (key, ts, side
-    right-first), forward-fill the last right-row index with
+    ``mode="shuffle"`` (default): tag sides → union → hash-partition on
+    key → per-partition vectorized merge scan: Arrow sort by (key, ts,
+    side right-first), forward-fill the last right-row index with
     `np.maximum.accumulate`, reset at key boundaries. Only (key, ts,
-    left payload) rows shuffle; one Python call per PARTITION."""
+    left payload) rows shuffle; one Python call per PARTITION.
+
+    ``mode="broadcast"``: the HOT-KEY / small-right regime — the right
+    side's (key, ts) pairs are collected once, sorted, and `ray.put`;
+    each left batch resolves matches locally with per-key searchsorted.
+    The left side never shuffles at all, so a key owning 50% of left
+    rows costs nothing extra (left stays embarrassingly parallel)."""
+    if mode == "broadcast":
+        return _asof_join_broadcast(left_ds, right_ds, key_col=key_col,
+                                    ts_col=ts_col,
+                                    right_ts_name=right_ts_name)
     P = num_partitions or _default_partitions()
     ls = left_ds.schema()  # Ray schema wrapper: .names / .types lists
     left_fields = list(zip(ls.names, ls.types))
@@ -274,6 +284,59 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
     return both.map_batches(add_part, batch_format="pyarrow",
                             zero_copy_batch=True) \
         .groupby("__part").map_groups(per_part, batch_format="pyarrow")
+
+
+def _asof_join_broadcast(left_ds, right_ds, *, key_col: str, ts_col: str,
+                         right_ts_name: str):
+    """Broadcast-right as-of join (see asof_join mode='broadcast')."""
+    import ray
+
+    side = pa.concat_tables(
+        right_ds.select_columns([key_col, ts_col]).iter_batches(
+            batch_format="pyarrow"))
+    side = side.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+    rk = side.column(key_col).combine_chunks() \
+        if isinstance(side.column(key_col), pa.ChunkedArray) \
+        else side.column(key_col)
+    rts = side.column(ts_col).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    # key segment table: unique keys + [start, end) offsets
+    new_key = _new_key_mask(rk) if len(rk) else np.zeros(0, bool)
+    starts = np.flatnonzero(new_key)
+    ends = np.append(starts[1:], len(rts))
+    uniq_keys = rk.take(pa.array(starts)) if len(starts) else rk.slice(0, 0)
+    uk_np = uniq_keys.to_numpy(zero_copy_only=False)
+    bcast = ray.put((uk_np, starts, ends, rts))
+
+    def match(batch: pa.Table) -> pa.Table:
+        uk, st, en, ts_sorted = ray.get(bcast)
+        lk = batch.column(key_col).to_numpy(zero_copy_only=False)
+        lt = batch.column(ts_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(lk)
+        out_ts = np.zeros(n, dtype=np.int64)
+        valid = np.zeros(n, dtype=bool)
+        if len(uk):
+            ki = np.searchsorted(uk, lk)
+            has_key = (ki < len(uk)) & (uk[np.minimum(ki, len(uk) - 1)] == lk)
+            # per distinct batch key: one vectorized searchsorted over
+            # that key's right segment (few distinct keys per batch in
+            # the hot-key regime this mode targets)
+            for k in np.unique(ki[has_key]):
+                rows = np.flatnonzero(has_key & (ki == k))
+                seg = ts_sorted[st[k]:en[k]]
+                pos = np.searchsorted(seg, lt[rows], side="right") - 1
+                ok = pos >= 0
+                out_ts[rows[ok]] = seg[pos[ok]]
+                valid[rows] = ok
+        ts_type = batch.schema.field(ts_col).type
+        matched = pc.if_else(pa.array(valid),
+                             pa.array(out_ts, pa.int64()).cast(ts_type),
+                             pa.scalar(None, ts_type))
+        return batch.append_column(right_ts_name, matched)
+
+    return left_ds.map_batches(match, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def range_join_broadcast(ds, ranges, *, value_col: str,

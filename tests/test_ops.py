@@ -405,8 +405,10 @@ def test_sessionize_randomized_and_salted(ray_session):
         assert got == want, f"salt={salt}"
 
 
-def test_asof_join_randomized(ray_session):
-    """Partition-vectorized as-of join ≡ per-key searchsorted oracle."""
+@pytest.mark.parametrize("mode", ["shuffle", "broadcast"])
+def test_asof_join_randomized(ray_session, mode):
+    """Partition-vectorized (and broadcast-right) as-of join ≡ per-key
+    searchsorted oracle."""
     import ray
     from parquet_rs_ray.ops.temporal import asof_join
     rng = np.random.default_rng(5)
@@ -421,7 +423,8 @@ def test_asof_join_randomized(ray_session):
     right = ray.data.from_arrow(pa.table({
         "user_id": pa.array(rk), "ts": pa.array(rt, pa.timestamp("us"))}))
     out = asof_join(left, right, key_col="user_id", ts_col="ts",
-                    right_ts_name="m").to_pandas().sort_values("event_id")
+                    right_ts_name="m", mode=mode) \
+        .to_pandas().sort_values("event_id")
     got = [None if v != v else int(v.value) // 1000 for v in out["m"]]
     want = []
     for i in range(nl):
