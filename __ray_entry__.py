@@ -306,6 +306,18 @@ def _hll_distinct_text_documents(sf_dir: str):
     return hll_distinct(ds, "text")
 
 
+def _pack_documents(sf_dir: str):
+    """Sequence packing into 2048-token bins (FFD per batch; rows-only —
+    bin ids are run-scoped; invariants tested in tests/test_ops.py)."""
+    import ray
+    from parquet_rs_ray.ops.packing import pack_sequences
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = pack_sequences(ds, bin_tokens=2048)
+    return out.select_columns(["doc_id", "n_tokens", "bin_total",
+                               "bin_fill"])
+
+
 def _sessionize_events_salted(sf_dir: str):
     """Hot-key-salted sessionize (time-bucket salt + session-level merge
     pass): must equal the UNSALTED oracle bit-for-bit — the salting is a
@@ -584,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customer_nation_join"] = _customer_nation_join
     q["distinct_text_count_documents"] = _distinct_text_count_documents
     q["hll_distinct_text_documents"] = _hll_distinct_text_documents
+    q["pack_documents"] = _pack_documents
     q["range_join_orders"] = _range_join_orders
     q["asof_purchase_click_events"] = _asof_purchase_click_events
     q["customer_order_totals"] = _customer_order_totals

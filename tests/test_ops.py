@@ -558,3 +558,28 @@ def test_distinct_count_and_hll(ray_session):
     assert distinct_count(ds, "text")["n_distinct"][0] == exact_n
     approx = hll_distinct(ds, "text")["approx_distinct"][0]
     assert abs(approx - exact_n) / exact_n < 0.05  # p=12 ⇒ ~1.6% σ
+
+
+def test_pack_sequences_invariants(ray_session):
+    """FFD packing: every doc assigned once, every bin ≤ budget (except
+    single over-long docs), fill monitored, deterministic."""
+    import ray
+    from parquet_rs_ray.ops.packing import pack_sequences
+    rng = np.random.default_rng(4)
+    lens = rng.integers(1, 900, 3000)
+    texts = ["w " * int(l - 1) + "w" for l in lens]   # exactly l ws-tokens
+    texts[0] = "x " * 9000                             # over-long doc
+    tbl = pa.table({"doc_id": pa.array(range(3000), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow([tbl.slice(0, 1500), tbl.slice(1500, 1500)])
+    out = pack_sequences(ds, bin_tokens=4096).to_pandas()
+    assert len(out) == 3000 and out["doc_id"].is_unique
+    g = out.groupby("bin_uid").agg(total=("n_tokens", "sum"),
+                                   claimed=("bin_total", "first"))
+    assert (g["total"] == g["claimed"]).all()
+    multi = out.groupby("bin_uid").size()
+    over = out[out["n_tokens"] > 4096]["bin_uid"]
+    assert (g.drop(index=over).total <= 4096).all()
+    assert multi[over].eq(1).all()                     # over-long: own bin
+    # efficiency: FFD should fill bins well on this distribution
+    assert g.drop(index=over).total.mean() / 4096 > 0.8
