@@ -224,12 +224,22 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
 
 
 def committed_block_files(out_dir: str) -> list[str]:
+    files, _ = committed_blocks(out_dir)
+    return files
+
+
+def committed_blocks(out_dir: str) -> tuple[list[str], int]:
+    """(sorted container files, total block count) from the manifest —
+    the manifest's per-block output entries give the block count with
+    NO metadata reads (each container holds one row group per block)."""
     entries = manifest.load(os.path.join(out_dir, "manifest"))
     files: set[str] = set()
+    n_blocks = 0
     for e in entries.values():
-        files.update(json.loads(e["output"]))  # container files: many
-        # blocks share one file, so dedupe
-    return sorted(files)
+        out = json.loads(e["output"])  # one entry PER BLOCK; many
+        n_blocks += len(out)           # blocks share one container file
+        files.update(out)
+    return sorted(files), n_blocks
 
 
 def decode_job(out_dir: str, *, columns=None, predicate=None):
@@ -237,21 +247,26 @@ def decode_job(out_dir: str, *, columns=None, predicate=None):
     schema (streaming). ``columns``/``predicate`` push projection and
     block-stats pruning below the decode (see pipeline.prune_pages)."""
     import ray
-    files = committed_block_files(out_dir)
+    files, n_blocks = committed_blocks(out_dir)
     if not files:
         raise FileNotFoundError(f"no committed blocks under {out_dir}")
-    # read_parquet_bulk: skips the per-file footer prefetch on the driver
-    # (seconds of serial metadata fetch for thousands of small block
-    # files). One container file holds one shard's blocks as parquet
-    # row groups; parquet reads are row-group granular, so a block's
-    # pages can never split across read tasks (decode_batch groups by
-    # block_id internally and its n_pages assertion fails loudly if
-    # that invariant ever broke).
+    # One container file holds one shard's blocks as parquet row
+    # groups; parquet reads are row-group granular, so a block's pages
+    # can never split across read tasks (decode_batch groups by
+    # block_id internally and raises a typed error if that invariant
+    # ever broke). Parallelism targets BLOCK count (from the manifest,
+    # no metadata reads), not file count:
+    #  * many files  → read_parquet_bulk (skips the serial per-file
+    #    driver footer prefetch; whole-file tasks already saturate)
+    #  * few files   → read_parquet, which splits files at row-group
+    #    granularity, so 4 big shards still fan out across the cluster
     ncpu = int(ray.cluster_resources().get("CPU", 32))
-    nb = min(len(files), max(4 * ncpu, 32))
-    if hasattr(ray.data, "read_parquet_bulk"):
-        eds = ray.data.read_parquet_bulk(files, override_num_blocks=nb)
-    else:  # removed in newer Ray
-        eds = ray.data.read_parquet(files, override_num_blocks=nb)
+    target = max(4 * ncpu, 32)
+    nb = min(n_blocks, target)
+    if len(files) >= target and hasattr(ray.data, "read_parquet_bulk"):
+        eds = ray.data.read_parquet_bulk(
+            files, override_num_blocks=min(len(files), target))
+    else:
+        eds = ray.data.read_parquet(files, override_num_blocks=max(nb, 1))
     from .pipeline import decode_dataset
     return decode_dataset(eds, columns=columns, predicate=predicate)

@@ -363,9 +363,12 @@ def simhash(texts: list[str], nbits: int = 64) -> np.ndarray:
     bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    red_starts = np.minimum(starts, len(hs) - 1)
-    votes = np.add.reduceat(bits, red_starts, axis=0).astype(np.int64)
-    votes[counts == 0] = 0
+    # reduceat over NON-EMPTY docs only: an empty doc's start equals the
+    # next doc's (or len(hs)) and naive clamping would truncate the
+    # preceding doc's segment, corrupting its hash
+    nonempty = counts > 0
+    votes = np.zeros((n, nbits), dtype=np.int64)
+    votes[nonempty] = np.add.reduceat(bits, starts[nonempty], axis=0)
     score = votes * 2 - counts[:, None]
     signs = (score > 0).astype(np.uint64)
     return np.bitwise_or.reduce(signs << shifts, axis=1)
@@ -463,16 +466,40 @@ def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     cannot OOM the driver; shuffle payload stays (band, bucket, key)
     triples plus candidate texts only."""
     num_partitions = _join_partitions(num_partitions)
+    # pairs are consumed twice (candidate-key derivation + text joins);
+    # materialize once so the corpus-scanning LSH lineage doesn't
+    # re-execute — pairs are 16-byte rows, object-store/spill friendly
     pairs = minhash_lsh_candidates(ds, text_col=text_col, key_col=key_col,
                                    num_perm=num_perm, bands=bands,
-                                   concurrency=concurrency)
+                                   concurrency=concurrency).materialize()
+
+    # semi-join reduction: only CANDIDATE keys' texts are needed, so
+    # shuffle the corpus text once against the (small) distinct
+    # candidate-key set, then join the resulting candidate-text table —
+    # itself small — onto the pairs twice. Corpus text bodies shuffle
+    # ONCE instead of twice, and nothing touches the driver.
+    def emit_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        u = np.unique(np.concatenate([a, b]))
+        return pa.table({"a": pa.array(u, pa.int64()),
+                         "b": pa.array(u, pa.int64())})
+
+    cand_keys = _distinct_pairs(
+        pairs.map_batches(emit_keys, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        num_partitions=num_partitions) \
+        .map_batches(lambda t: pa.table({"__ck": t.column("a")}),
+                     batch_format="pyarrow", zero_copy_batch=True)
     texts = ds.map_batches(lambda b: b.select([key_col, text_col]),
                            batch_format="pyarrow", zero_copy_batch=True)
-    ta = texts.map_batches(
+    cand_texts = texts.join(cand_keys, "inner", num_partitions,
+                            on=(key_col,), right_on=("__ck",)).materialize()
+    ta = cand_texts.map_batches(
         lambda b: pa.table({"a": b.column(key_col),
                             "text_a": b.column(text_col)}),
         batch_format="pyarrow", zero_copy_batch=True)
-    tb = texts.map_batches(
+    tb = cand_texts.map_batches(
         lambda b: pa.table({"b": b.column(key_col),
                             "text_b": b.column(text_col)}),
         batch_format="pyarrow", zero_copy_batch=True)

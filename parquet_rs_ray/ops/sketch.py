@@ -36,7 +36,15 @@ def _column_hashes(arr) -> np.ndarray:
     from .dedup import _hash_strings
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+    if arr.null_count:
+        arr = arr.drop_null()  # COUNT(DISTINCT) semantics exclude NULL
+    if pa.types.is_floating(arr.type):
+        # hash the IEEE bit pattern — casting 1.5 to int64 raises, and
+        # integral floats must not collide with equal ints
+        v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False) \
+            .view(np.uint64).copy()
+        return _finalize(v ^ np.uint64(0x9E3779B97F4A7C15))
+    if pa.types.is_integer(arr.type):
         v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
         return _finalize(v)

@@ -195,10 +195,6 @@ def _sessionize_partition(group: pa.Table, key_col: str, ts_col: str,
         "start_ts": pa.array(ts[first], pa.int64()).cast(ts_type),
         "end_ts": pa.array(ts[last], pa.int64()).cast(ts_type),
     }
-    if extra_group_col:
-        # stage-2 merge needs per-key time order, session_id is
-        # recomputed there; keep raw values
-        pass
     return pa.table(out)
 
 

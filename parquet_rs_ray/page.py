@@ -55,27 +55,51 @@ PAGE_SCHEMA = pa.schema([
     ("dict_raw_len", pa.int64()),
     ("stats_json", pa.string()),
     ("crc32", pa.int64()),
+    ("stats_crc32", pa.int64()),
 ])
 
 
 def _page_crc(data, dict_page, level_bytes, column: str, codec: str,
               phys: str, num_values: int, null_count: int, page_id: int,
-              num_entries: int, type_length: int, block_codec: str) -> int:
-    """CRC32 over the page payloads AND the metadata a decoder depends
-    on (≙ Parquet's optional page CRC). A bit flip anywhere in the
-    stored page — payload bytes or e.g. `page_id` reordering pages —
-    fails decode with a typed error instead of silently returning wrong
-    rows (fuzz contract, tests/test_corrupt.py)."""
+              num_entries: int, type_length: int, block_codec: str,
+              arrow_type: bytes = b"") -> int:
+    """CRC32 over the page payloads AND every cell the DECODER depends
+    on — including the serialized Arrow type (a flipped timestamp-unit
+    bit would silently reinterpret values). ≙ Parquet's optional page
+    CRC. Any such bit flip fails decode with a typed error instead of
+    silently wrong rows (fuzz contract, tests/test_corrupt.py). Stats
+    carry their own `stats_crc32` (see `stats_crc`): a stats-only flip
+    must degrade to exact filtering, not brick an otherwise-healthy
+    page."""
     import zlib
     meta = f"{column}|{codec}|{phys}|{num_values}|{null_count}|" \
            f"{page_id}|{num_entries}|{type_length}|{block_codec}".encode()
     c = zlib.crc32(meta)
+    c = zlib.crc32(arrow_type, c)
     c = zlib.crc32(data, c)
     if dict_page:
         c = zlib.crc32(dict_page, c)
     if level_bytes:
         c = zlib.crc32(level_bytes, c)
     return c
+
+
+def page_row_crc(row: dict) -> int:
+    """Decode-side CRC of a page row as stored."""
+    return _page_crc(row["data"], row["dict"], row["levels"],
+                     row["column"], row["codec"], row["phys"],
+                     row["num_values"], row["null_count"], row["page_id"],
+                     row["num_entries"], row["type_length"],
+                     row["block_codec"], row["arrow_type"])
+
+
+def stats_crc(stats_json: str) -> int:
+    """Integrity tag for the stats cell alone: prune verifies it WITHOUT
+    reading page payloads; a corrupted min/max/bloom conservatively
+    disables pruning for that page (exact post-decode filtering still
+    yields correct rows)."""
+    import zlib
+    return zlib.crc32(stats_json.encode())
 
 
 def type_to_bytes(t: pa.DataType) -> bytes:
@@ -364,6 +388,7 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
         enc = selector.select_and_encode(phys, values, column=column,
                                          type_length=type_length)
         psize = plain_size_of(phys, values, type_length)
+        stats = _stats_json(page_arr, phys, enc.distinct)
         rows.append({
             "path": path, "block_id": block_id, "block_rows": block_rows,
             "n_cols": n_cols, "col_idx": col_idx, "column": column,
@@ -377,12 +402,13 @@ def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
             "block_codec": enc.block_codec,
             "data_raw_len": enc.data_raw_len,
             "dict_raw_len": enc.dict_raw_len,
-            "stats_json": _stats_json(page_arr, phys, enc.distinct),
+            "stats_json": stats,
             "crc32": _page_crc(enc.data, enc.dict_page, level_bytes,
                                column, enc.codec, phys.value,
                                len(page_arr), null_count, pid,
                                enc.num_entries, type_length,
-                               enc.block_codec),
+                               enc.block_codec, atype),
+            "stats_crc32": stats_crc(stats),
         })
     return rows
 
@@ -438,7 +464,10 @@ def _encode_list_chunk(column: str, col_idx: int, arr: pa.Array, *,
             "block_codec": "", "data_raw_len": len(data), "dict_raw_len": 0,
             "stats_json": json.dumps({"null_count": null_count}),
             "crc32": _page_crc(data, b"", b"", column, "LIST", "LIST",
-                               len(page_arr), null_count, pid, 0, 0, ""),
+                               len(page_arr), null_count, pid, 0, 0, "",
+                               atype),
+            "stats_crc32": stats_crc(
+                json.dumps({"null_count": null_count})),
         })
     return rows
 
@@ -476,12 +505,7 @@ def decode_page_row(row: dict) -> pa.Array:
 
 def _decode_page_row(row: dict) -> pa.Array:
     if row.get("crc32") is not None:
-        got = _page_crc(row["data"], row["dict"], row["levels"],
-                        row["column"], row["codec"], row["phys"],
-                        row["num_values"], row["null_count"],
-                        row["page_id"], row["num_entries"],
-                        row["type_length"], row["block_codec"])
-        if got != row["crc32"]:
+        if page_row_crc(row) != row["crc32"]:
             raise DecodeError(
                 f"page checksum mismatch: column={row['column']!r} "
                 f"page={row['page_id']} block={row.get('block_id')!r}")

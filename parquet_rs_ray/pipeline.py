@@ -227,15 +227,34 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
     keep_cols = (set(columns) | pred_cols) if columns else None
 
     def prune(batch: pa.Table) -> pa.Table:
+        from .page import stats_crc
+        if batch.num_rows == 0:
+            return batch
+        cols = {name: batch.column(name).to_pylist()
+                for name in ("block_id", "column", "stats_json")}
+        scrc = batch.column("stats_crc32").to_pylist() \
+            if "stats_crc32" in batch.column_names \
+            else [None] * batch.num_rows
+
         drop_blocks: set = set()
         for col, op, val in preds:  # AND semantics: any pred can drop
             can_match: dict = {}
-            for bid, c, sj in zip(batch.column("block_id").to_pylist(),
-                                  batch.column("column").to_pylist(),
-                                  batch.column("stats_json").to_pylist()):
+            for i, (bid, c) in enumerate(zip(cols["block_id"],
+                                             cols["column"])):
                 if c != col:
                     continue
-                st = _json.loads(sj)
+                sj = cols["stats_json"][i]
+                # stats integrity: a flipped min/max/bloom must disable
+                # pruning (conservative keep + exact post-filter), never
+                # silently drop matching blocks
+                if scrc[i] is not None and stats_crc(sj) != scrc[i]:
+                    can_match[bid] = True
+                    continue
+                try:
+                    st = _json.loads(sj)
+                except ValueError:
+                    can_match[bid] = True
+                    continue
                 if op == "==" and st.get("bloom") and isinstance(
                         val, (str, bytes, int)) and not isinstance(val, bool):
                     from .page import bloom_might_contain
@@ -246,8 +265,7 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
                 can_match[bid] = can_match.get(bid, False) or page_ok
             drop_blocks |= {bid for bid, ok in can_match.items() if not ok}
         mask = []
-        for bid, c in zip(batch.column("block_id").to_pylist(),
-                          batch.column("column").to_pylist()):
+        for bid, c in zip(cols["block_id"], cols["column"]):
             ok = bid not in drop_blocks
             if ok and keep_cols is not None:
                 ok = c in keep_cols

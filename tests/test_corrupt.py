@@ -152,3 +152,38 @@ def test_container_fuzz_truncate_and_flip(ray_session, tmp_path):
     # restore for hygiene
     with open(container, "wb") as f:
         f.write(pristine_bytes)
+
+
+def test_corrupt_stats_never_misprune(ray_session):
+    """A flipped stats_json cell (valid JSON but wrong bounds) must NOT
+    silently drop matching blocks: the page CRC covers stats, so prune
+    falls back to keep-and-filter-exactly."""
+    import ray
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+    tbl = pa.table({"k": pa.array(np.arange(1000), pa.int64())})
+    pages = pa.concat_tables(list(
+        encode_dataset(ray.data.from_arrow(tbl), concurrency=1)
+        .iter_batches(batch_format="pyarrow")))
+    # tamper: claim max=10 so a (k >= 500) predicate would prune the
+    # block if stats were trusted blindly
+    lying = json.dumps({"null_count": 0, "min": 0, "max": 10,
+                        "kind": "int"})
+    idx = pages.column_names.index("stats_json")
+    tampered = pages.set_column(
+        idx, "stats_json",
+        pa.array([lying] * pages.num_rows, pa.string()))
+    out = decode_dataset(ray.data.from_arrow(tampered),
+                         predicate=("k", ">=", 500)).to_pandas()
+    assert sorted(out["k"].tolist()) == list(range(500, 1000))
+
+
+def test_corrupt_arrow_type_raises_typed(ray_session):
+    from parquet_rs_ray.page import decode_page_row
+    col = pa.array(np.arange(100), pa.int64())
+    [row] = _pages_for(col)
+    bad = dict(row)
+    at = bytearray(bad["arrow_type"])
+    at[len(at) // 2] ^= 0xFF
+    bad["arrow_type"] = bytes(at)
+    with pytest.raises(DecodeError):
+        decode_page_row(bad)

@@ -583,3 +583,27 @@ def test_pack_sequences_invariants(ray_session):
     assert multi[over].eq(1).all()                     # over-long: own bin
     # efficiency: FFD should fill bins well on this distribution
     assert g.drop(index=over).total.mean() / 4096 > 0.8
+
+
+def test_simhash_trailing_empty_docs():
+    """Regression: a batch ending in empty/whitespace docs must not
+    corrupt the preceding doc's hash (reduceat segment clamping)."""
+    doc = "alpha beta gamma delta"
+    solo = dedup.simhash([doc])[0]
+    assert dedup.simhash([doc, ""])[0] == solo
+    assert dedup.simhash([doc, "   "])[0] == solo
+    assert dedup.simhash(["", doc, "", ""])[1] == solo
+    assert dedup.simhash([""])[0] == 0
+
+
+def test_hll_float_and_null_columns(ray_session):
+    import ray
+    from parquet_rs_ray.ops.sketch import hll_distinct
+    tbl = pa.table({
+        "f": pa.array([1.5, 2.5, 1.5, None, 3.0], pa.float64()),
+        "i": pa.array([1, 2, None, 2, 3], pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    approx_f = hll_distinct(ds, "f")["approx_distinct"][0]
+    approx_i = hll_distinct(ds, "i")["approx_distinct"][0]
+    assert approx_f == 3 and approx_i == 3  # exact at tiny cardinality
