@@ -72,7 +72,7 @@ def _hash_strings(arr: pa.Array) -> np.ndarray:
 
 
 def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
-                num_partitions: int = 32):
+                num_partitions: int | None = None):
     """Keep the min-`key_col` row per distinct `text_col` value.
 
     Stage 1 (combiner, no shuffle): per-batch dedup → (hash, key) only.
@@ -109,6 +109,8 @@ def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
                                             batch_format="pyarrow")
 
     if mode == "join":
+        num_partitions = _join_partitions(num_partitions, n_joins=1)
+
         def tag(batch: pa.Table) -> pa.Table:
             h = _hash_strings(batch.column(text_col)).view(np.int64)
             return batch.append_column("__h", pa.array(h, pa.int64()))
@@ -436,16 +438,17 @@ def jaccard_for_pairs(pairs, texts_by_key: dict, k: int = 5):
                              zero_copy_batch=True)
 
 
-def _join_partitions(requested: int | None) -> int:
+def _join_partitions(requested: int | None, n_joins: int = 3) -> int:
     """Join partition count bounded by cluster CPUs: each hash-join
     partition is backed by an aggregator actor reserving a CPU, and a
-    near-dedup pipeline runs THREE joins concurrently — sizing each at
-    ncpu would triple-book the cluster (measured 6.5× wall at 32 CPUs)
-    or deadlock a small one. ncpu/4 leaves headroom for the map/sort
-    stages; partitions beyond that just queue on aggregators anyway."""
+    near-dedup pipeline runs up to THREE joins concurrently — sizing
+    each at ncpu would triple-book the cluster (measured 6.5× wall at
+    32 CPUs) or deadlock a small one. ncpu/(n_joins+1) leaves headroom
+    for the map/sort stages; partitions beyond that just queue on
+    aggregators anyway."""
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 32))
-    cap = max(2, ncpu // 4)
+    cap = max(2, ncpu // (n_joins + 1))
     return cap if requested is None else max(2, min(requested, cap))
 
 
