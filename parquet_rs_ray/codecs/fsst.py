@@ -247,18 +247,29 @@ def encode(v: ByteArrayVals, table: SymbolTable | None = None) -> bytes:
 _TABLE_CACHE: dict[bytes, "SymbolTable"] = {}
 
 
+def _table_span(buf, pos: int = 0) -> int:
+    """End offset of the serialized symbol table — a pure vlq/length
+    walk, no symbol materialization (cache-hit fast path)."""
+    n, pos = decode_vlq(buf, pos)
+    for _ in range(n):
+        ln, pos = decode_vlq(buf, pos)
+        pos += ln
+    return pos
+
+
 def decode(data: bytes) -> ByteArrayVals:
     buf = memoryview(data)
-    table, pos = SymbolTable.deserialize(buf, 0)
     # per-process table cache: every page of a column chunk embeds the
-    # same serialized table; reuse its built decode matrices (Ray worker
-    # processes persist across tasks, so this is a per-worker decoder
-    # cache ≙ src/column/reader.rs:119-121)
+    # same serialized table; a hit skips table construction entirely and
+    # reuses its built decode matrices (Ray worker processes persist
+    # across tasks, so this is a per-worker decoder cache
+    # ≙ src/column/reader.rs:119-121)
+    pos = _table_span(buf, 0)
     key = bytes(buf[:pos])
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        table = cached
-    else:
+    table = _TABLE_CACHE.get(key)
+    if table is None:
+        table, end = SymbolTable.deserialize(buf, 0)
+        assert end == pos
         if len(_TABLE_CACHE) > 512:
             _TABLE_CACHE.clear()
         _TABLE_CACHE[key] = table

@@ -151,6 +151,16 @@ class EncodeShardActor(EncodeWriteActor):
                 pages = EncodeActor.__call__(self, tbl)
                 rows_out.append(self._write_blocks(pages, container))
             container.close()
+            if not rows_out:
+                # zero-row-group shard: emit one sentinel lineage row so
+                # the shard still COMMITS (block_file="" is skipped by
+                # committed_blocks; without it resume would re-run the
+                # empty shard forever)
+                rows_out.append(pa.Table.from_pylist([{
+                    "path": path, "block_file": "", "rows": 0,
+                    "n_blocks": 1, "plain_bytes": 0, "encoded_bytes": 0,
+                    "codecs_json": "{}", "checksum": ""}],
+                    schema=LINEAGE_SCHEMA))
             per_path = pa.concat_tables(rows_out) if len(rows_out) > 1 \
                 else rows_out[0]
             # n_blocks was computed per row group; fix up to the shard
@@ -236,10 +246,10 @@ def committed_blocks(out_dir: str) -> tuple[list[str], int]:
     files: set[str] = set()
     n_blocks = 0
     for e in entries.values():
-        out = json.loads(e["output"])  # one entry PER BLOCK; many
-        n_blocks += len(out)           # blocks share one container file
-        files.update(out)
-    return sorted(files), n_blocks
+        out = [f for f in json.loads(e["output"]) if f]  # "" = committed
+        n_blocks += len(out)           # empty shard sentinel, no data.
+        files.update(out)              # one entry PER BLOCK; many blocks
+    return sorted(files), n_blocks     # share one container file
 
 
 def decode_job(out_dir: str, *, columns=None, predicate=None):

@@ -23,6 +23,27 @@ _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)
 
 
+def splitmix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (the ONE shared copy — partitioning, bloom
+    hashing and sketches must stay in sync): spreads entropy across all
+    64 bits of a uint64 array."""
+    with np.errstate(over="ignore"):
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return v ^ (v >> np.uint64(31))
+
+
+def int_column_u64(arr: pa.Array) -> np.ndarray:
+    """Integer/float Arrow column → uint64 bit view, null-safe and
+    uint64-safe (cast-to-int64 raises on uint64 values past 2^63)."""
+    if arr.null_count:
+        arr = arr.fill_null(0)
+    if arr.type == pa.uint64():
+        return arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+
+
 def _hash_strings(arr: pa.Array) -> np.ndarray:
     """Vectorized 64-bit content hash of a string/binary column.
 
@@ -475,6 +496,9 @@ def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     pairs = minhash_lsh_candidates(ds, text_col=text_col, key_col=key_col,
                                    num_perm=num_perm, bands=bands,
                                    concurrency=concurrency).materialize()
+    if pairs.count() == 0:
+        return ds  # no candidates anywhere (also: empty datasets would
+        # strip the join-key schema from the empty cand_keys side)
 
     # semi-join reduction: only CANDIDATE keys' texts are needed, so
     # shuffle the corpus text once against the (small) distinct
@@ -482,18 +506,21 @@ def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
     # itself small — onto the pairs twice. Corpus text bodies shuffle
     # ONCE instead of twice, and nothing touches the driver.
     def emit_keys(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        u = np.unique(np.concatenate([a, b]))
-        return pa.table({"a": pa.array(u, pa.int64()),
-                         "b": pa.array(u, pa.int64())})
+        u = np.unique(np.concatenate(
+            [batch.column("a").to_numpy(zero_copy_only=False),
+             batch.column("b").to_numpy(zero_copy_only=False)]))
+        part = (splitmix64(u.astype(np.uint64))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table({"__ck": pa.array(u, pa.int64()),
+                         "__part": pa.array(part)})
 
-    cand_keys = _distinct_pairs(
-        pairs.map_batches(emit_keys, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        num_partitions=num_partitions) \
-        .map_batches(lambda t: pa.table({"__ck": t.column("a")}),
-                     batch_format="pyarrow", zero_copy_batch=True)
+    def uniq_keys(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("__ck").to_numpy(zero_copy_only=False))
+        return pa.table({"__ck": pa.array(u, pa.int64())})
+
+    cand_keys = pairs.map_batches(emit_keys, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby("__part").map_groups(uniq_keys, batch_format="pyarrow")
     texts = ds.map_batches(lambda b: b.select([key_col, text_col]),
                            batch_format="pyarrow", zero_copy_batch=True)
     cand_texts = texts.join(cand_keys, "inner", num_partitions,
@@ -668,8 +695,12 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.85,
 
 def _embedding_dim(ds, vec_col: str) -> int:
     """Vector dimensionality from the first row (schema-level metadata
-    read — fixed-size lists would carry it; ragged lists need one row)."""
+    read — fixed-size lists would carry it; ragged lists need one row).
+    Empty dataset → 1 (the pipeline then runs on zero rows and returns
+    an empty pairs dataset instead of crashing at build time)."""
     first = ds.select_columns([vec_col]).limit(1).take(1)
+    if not first:
+        return 1
     return len(first[0][vec_col])
 
 

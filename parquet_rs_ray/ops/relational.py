@@ -88,6 +88,9 @@ def distinct_count(ds, col: str):
         arr = batch.column(col)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()  # COUNT(DISTINCT) excludes NULL (and
+            # must agree with hll_distinct)
         return pa.table({col: arr.unique()})
 
     # groupby().count() is Ray-native vectorized aggregation — one row

@@ -21,19 +21,13 @@ _M = 1 << _P
 _ALPHA = 0.7213 / (1 + 1.079 / _M)
 
 
-def _finalize(v: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer: HLL reads the TOP bits as the register
-    index, and the FNV-style string hash disperses mostly into low bits
-    (measured: 285/4096 registers hit for 7k short similar strings) —
-    the finalizer spreads entropy across all 64 bits."""
-    with np.errstate(over="ignore"):
-        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return v ^ (v >> np.uint64(31))
-
-
 def _column_hashes(arr) -> np.ndarray:
-    from .dedup import _hash_strings
+    """Finalized 64-bit hashes per non-null value. HLL reads the TOP
+    bits as the register index and the FNV-style string hash disperses
+    mostly into low bits (measured: 285/4096 registers hit for 7k short
+    similar strings), so everything passes through the shared splitmix64
+    finalizer."""
+    from .dedup import _hash_strings, int_column_u64, splitmix64
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count:
@@ -43,12 +37,10 @@ def _column_hashes(arr) -> np.ndarray:
         # integral floats must not collide with equal ints
         v = arr.cast(pa.float64()).to_numpy(zero_copy_only=False) \
             .view(np.uint64).copy()
-        return _finalize(v ^ np.uint64(0x9E3779B97F4A7C15))
+        return splitmix64(v ^ np.uint64(0x9E3779B97F4A7C15))
     if pa.types.is_integer(arr.type):
-        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        return _finalize(v)
-    return _finalize(_hash_strings(
+        return splitmix64(int_column_u64(arr))
+    return splitmix64(_hash_strings(
         arr.cast(pa.string()) if not pa.types.is_binary(arr.type) else arr))
 
 

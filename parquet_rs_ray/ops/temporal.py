@@ -31,29 +31,33 @@ def _default_partitions() -> int:
 
 
 def _key_part(arr, num_partitions: int) -> pa.Array:
-    """Deterministic partition id per key value (any key type)."""
+    """Deterministic partition id per key value (any key type; null- and
+    uint64-safe)."""
+    from .dedup import _hash_strings, int_column_u64, splitmix64
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
-        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        with np.errstate(over="ignore"):
-            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = v ^ (v >> np.uint64(31))
+        h = splitmix64(int_column_u64(arr))
     else:
-        from .dedup import _hash_strings
+        if arr.null_count:
+            arr = arr.fill_null("")
         h = _hash_strings(arr.cast(pa.string()))
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
 
 def _new_key_mask(key_arr: pa.Array) -> np.ndarray:
     """True where row starts a new key segment (sorted input); Arrow
-    equality kernel — works for any key type, no Python compares."""
+    equality kernel — works for any key type, no Python compares.
+    Null keys compare equal to each other (one group, matching
+    groupby semantics) — plain pc.equal yields null there, which
+    to_numpy turns into an object array that breaks `~`."""
     n = len(key_arr)
     mask = np.ones(n, dtype=bool)
     if n > 1:
-        eq = pc.equal(key_arr.slice(1), key_arr.slice(0, n - 1))
+        hi, lo = key_arr.slice(1), key_arr.slice(0, n - 1)
+        eq = pc.fill_null(pc.equal(hi, lo), False)
+        both_null = pc.and_(pc.is_null(hi), pc.is_null(lo))
+        eq = pc.or_(eq, both_null)
         mask[1:] = ~eq.to_numpy(zero_copy_only=False)
     return mask
 

@@ -241,13 +241,10 @@ def _bloom_hashes(arr: pa.Array, phys: PhysicalType):
     if (phys in (PhysicalType.INT32, PhysicalType.INT64)
             and pa.types.is_integer(arr.type)
             and arr.type not in (pa.uint64(),)):
+        from .ops.dedup import splitmix64
         v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
-        # splitmix64 finalizer
-        with np.errstate(over="ignore"):
-            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            return v ^ (v >> np.uint64(31))
+        return splitmix64(v)
     return None
 
 
@@ -275,11 +272,10 @@ def bloom_might_contain(bloom_hex: str, value) -> bool:
         from .ops.dedup import _hash_strings
         h = int(_hash_strings(pa.array([value], pa.binary()))[0])
     else:
-        v = np.uint64(np.int64(int(value)))
-        with np.errstate(over="ignore"):
-            v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            h = int(v ^ (v >> np.uint64(31)))
+        from .ops.dedup import splitmix64
+        h = int(splitmix64(
+            np.array([np.int64(int(value))], dtype=np.int64)
+            .view(np.uint64))[0])
     bits = bytes.fromhex(bloom_hex)
     nbits = len(bits) * 8
     for shift in (0, 32):

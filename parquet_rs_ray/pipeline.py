@@ -230,6 +230,11 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
         from .page import stats_crc
         if batch.num_rows == 0:
             return batch
+        if not preds and keep_cols is not None:
+            # projection-only pushdown: no stats deserialization needed
+            colnames = batch.column("column").to_pylist()
+            return batch.filter(
+                pa.array([c in keep_cols for c in colnames]))
         cols = {name: batch.column(name).to_pylist()
                 for name in ("block_id", "column", "stats_json")}
         scrc = batch.column("stats_crc32").to_pylist() \
