@@ -258,6 +258,46 @@ def _sessionize_events(sf_dir: str):
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def _ngram_jaccard_blocked_documents(sf_dir: str):
+    """Prefix-blocking candidate pairs (deterministic, SQL-expressible
+    blocking key: identical first 50 chars) scored with exact word-5-gram
+    Jaccard — distributed text joins + vectorized scoring
+    (ops/dedup.py: prefix_block_pairs / ngram_jaccard_pairs)."""
+    import ray
+    from parquet_rs_ray.ops.dedup import (ngram_jaccard_pairs,
+                                          prefix_block_pairs)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pairs = prefix_block_pairs(ds, prefix_len=50)
+    return ngram_jaccard_pairs(pairs, ds)
+
+
+def _window_agg_events(sf_dir: str):
+    """Tumbling-window aggregate (ops/window.py): per event_type, 60-min
+    windows with count / exact cents sum / min / max. Raw events are
+    pre-aggregated to partials inside map_batches (Arrow TableGroupBy
+    combiner) — only tiny partial rows shuffle."""
+    import ray
+    from parquet_rs_ray.ops.window import windowed_agg
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return windowed_agg(ds, ts_col="ts", key_col="event_type",
+                        value_col="value", width_minutes=60)
+
+
+def _hopping_window_events(sf_dir: str):
+    """Hopping windows (width 60 min, hop 15): two-level scheme —
+    partials at hop granularity, fan-out of partials (never events) to
+    the 4 containing windows, then merge."""
+    import ray
+    from parquet_rs_ray.ops.window import windowed_agg
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return windowed_agg(ds, ts_col="ts", key_col="event_type",
+                        value_col="value", width_minutes=60,
+                        hop_minutes=15)
+
+
 def _top2_orders_per_customer(sf_dir: str):
     """Window-function shape: top-2 orders per customer by price
     (grouped_topk — hash-partitioned, per-partition vectorized rank)."""
@@ -592,6 +632,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top100_orders"] = _top100_orders
     q["sessionize_events"] = _sessionize_events
     q["sessionize_events_salted"] = _sessionize_events_salted
+    q["ngram_jaccard_blocked_documents"] = _ngram_jaccard_blocked_documents
+    q["window_agg_events"] = _window_agg_events
+    q["hopping_window_events"] = _hopping_window_events
     q["top2_orders_per_customer"] = _top2_orders_per_customer
     q["customer_nation_join"] = _customer_nation_join
     q["distinct_text_count_documents"] = _distinct_text_count_documents
@@ -649,6 +692,33 @@ def oracle_sql() -> dict[str, str]:
         "WHERE lang = 'en' AND n_chars > 500")
     sql["project_convert_events"] = (
         "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events")
+    sql["ngram_jaccard_blocked_documents"] = (
+        "WITH d AS (SELECT doc_id, substr(text,1,50) AS pfx, "
+        "regexp_split_to_array(trim(text), '\\s+') AS w0 FROM documents), "
+        "dp AS (SELECT doc_id, pfx, CASE WHEN len(w0) < 5 THEN "
+        "list_resize(w0, 5, '') ELSE w0 END AS w FROM d), "
+        "g AS (SELECT doc_id, pfx, list_distinct([array_to_string("
+        "w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS gs FROM dp) "
+        "SELECT a.doc_id AS a, b.doc_id AS b, "
+        "len(list_intersect(a.gs, b.gs))::DOUBLE / "
+        "len(list_distinct(a.gs || b.gs)) AS jaccard "
+        "FROM g a JOIN g b ON a.pfx = b.pfx AND b.doc_id > a.doc_id")
+    sql["window_agg_events"] = (
+        "SELECT event_type, time_bucket(INTERVAL '60 minutes', ts) AS "
+        "window_start, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS "
+        "value_cents, MIN(value) AS value_min, MAX(value) AS value_max "
+        "FROM events GROUP BY event_type, "
+        "time_bucket(INTERVAL '60 minutes', ts)")
+    sql["hopping_window_events"] = (
+        "SELECT event_type, ws AS window_start, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS "
+        "value_cents, MIN(value) AS value_min, MAX(value) AS value_max "
+        "FROM (SELECT e.*, time_bucket(INTERVAL '15 minutes', ts) "
+        "- k * (INTERVAL '15 minutes') AS ws "
+        "FROM events e, unnest([0,1,2,3]) AS t(k)) "
+        "GROUP BY event_type, ws")
     sql["sessionize_events"] = (
         "WITH g AS (SELECT user_id, ts, CASE WHEN "
         "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR "

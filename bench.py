@@ -158,6 +158,14 @@ def run_bench(num_cpus: int) -> dict:
         sessionize(ds, gap_minutes=30, salt_period_minutes=720).count()
     queries["sessionize_skewed_salted"] = _timed(_skewed_sessionize)
 
+    from parquet_rs_ray.ops.window import windowed_agg
+    queries["window_agg_events"] = _timed(
+        lambda: windowed_agg(
+            ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                                  columns=["ts", "event_type", "value"]),
+            ts_col="ts", key_col="event_type", value_col="value",
+            width_minutes=60, hop_minutes=15).count())
+
     queries["asof_join_events"] = _timed(
         lambda: asof_join(
             ray.data.read_parquet(

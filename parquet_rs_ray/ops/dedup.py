@@ -500,11 +500,34 @@ def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
         return ds  # no candidates anywhere (also: empty datasets would
         # strip the join-key schema from the empty cand_keys side)
 
-    # semi-join reduction: only CANDIDATE keys' texts are needed, so
-    # shuffle the corpus text once against the (small) distinct
-    # candidate-key set, then join the resulting candidate-text table —
-    # itself small — onto the pairs twice. Corpus text bodies shuffle
-    # ONCE instead of twice, and nothing touches the driver.
+    withtexts = _attach_pair_texts(pairs, ds, key_col=key_col,
+                                   text_col=text_col,
+                                   num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        sims = pair_jaccard(batch.column("text_a").to_pylist(),
+                            batch.column("text_b").to_pylist(), k)
+        keep = sims >= jaccard_threshold
+        # verified dupe = larger key of the pair
+        drop = np.maximum(
+            batch.column("a").to_numpy(zero_copy_only=False)[keep],
+            batch.column("b").to_numpy(zero_copy_only=False)[keep])
+        return pa.table({key_col: pa.array(np.unique(drop), pa.int64())})
+
+    drops = withtexts.map_batches(score, batch_format="pyarrow")
+    return ds.join(drops, "left_anti", num_partitions, on=(key_col,))
+
+
+def _attach_pair_texts(pairs, ds, *, key_col: str, text_col: str,
+                       num_partitions: int):
+    """Attach ``text_a`` / ``text_b`` to an (a, b) pair dataset with
+    distributed hash joins — nothing touches the driver.
+
+    Semi-join reduction: only CANDIDATE keys' texts are needed, so the
+    corpus text shuffles once against the (small) distinct
+    candidate-key set, then the resulting candidate-text table — itself
+    small — joins onto the pairs twice. Corpus text bodies shuffle ONCE
+    instead of twice."""
     def emit_keys(batch: pa.Table) -> pa.Table:
         u = np.unique(np.concatenate(
             [batch.column("a").to_numpy(zero_copy_only=False),
@@ -533,21 +556,72 @@ def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
         lambda b: pa.table({"b": b.column(key_col),
                             "text_b": b.column(text_col)}),
         batch_format="pyarrow", zero_copy_batch=True)
-    withtexts = pairs.join(ta, "inner", num_partitions, on=("a",)) \
+    return pairs.join(ta, "inner", num_partitions, on=("a",)) \
         .join(tb, "inner", num_partitions, on=("b",))
+
+
+def prefix_block_pairs(ds, *, text_col: str = "text",
+                       key_col: str = "doc_id", prefix_len: int = 50,
+                       max_bucket: int = 4096):
+    """Candidate pairs by PREFIX BLOCKING: two docs pair iff their first
+    ``prefix_len`` characters are identical (the classic blocking-key
+    candidate generator — template-derived near-dups share boilerplate
+    heads). Deterministic and SQL-expressible, unlike the hash-defined
+    LSH candidates, so the driver oracle can verify it exactly.
+
+    Shuffle shape: only (prefix, key) rows move; the groupby key is the
+    prefix string itself (no hash-collision false pairs). Buckets above
+    ``max_bucket`` are truncated to bound the O(n²) emission — at web
+    scale a >4096-doc identical-prefix bucket is one template family and
+    its pairs are redundant for dedup anyway."""
+    def sig(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        if txt.null_count:
+            # SQL semantics: NULL prefixes never match (Ray's groupby
+            # would group nulls together and pair them)
+            keep = pc.is_valid(txt)
+            batch = batch.filter(keep)
+            txt = txt.filter(keep)
+        pfx = pc.utf8_slice_codeunits(txt, 0, prefix_len)
+        return pa.table({"__pfx": pfx, "__k": batch.column(key_col)})
+
+    def emit(group: pa.Table) -> pa.Table:
+        keys = np.sort(group.column("__k").to_numpy(zero_copy_only=False))
+        if len(keys) > max_bucket:
+            keys = keys[:max_bucket]
+        ii, jj = np.triu_indices(len(keys), 1)
+        return pa.table({"a": pa.array(keys[ii], pa.int64()),
+                         "b": pa.array(keys[jj], pa.int64())})
+
+    pairs = ds.map_batches(sig, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("__pfx").map_groups(emit, batch_format="pyarrow")
+    return _distinct_pairs(pairs)
+
+
+def ngram_jaccard_pairs(pairs, ds, *, text_col: str = "text",
+                        key_col: str = "doc_id", k: int = 5,
+                        num_partitions: int | None = None):
+    """Exact word-k-gram Jaccard for every (a, b) pair of ``pairs``,
+    fully distributed: texts are attached via hash joins (semi-join
+    reduced — see `_attach_pair_texts`), scoring is a vectorized
+    map_batches stage. Returns (a, b, jaccard)."""
+    num_partitions = _join_partitions(num_partitions)
+    # consumed twice (candidate-key derivation + the text joins)
+    pairs = pairs.materialize()
 
     def score(batch: pa.Table) -> pa.Table:
         sims = pair_jaccard(batch.column("text_a").to_pylist(),
                             batch.column("text_b").to_pylist(), k)
-        keep = sims >= jaccard_threshold
-        # verified dupe = larger key of the pair
-        drop = np.maximum(
-            batch.column("a").to_numpy(zero_copy_only=False)[keep],
-            batch.column("b").to_numpy(zero_copy_only=False)[keep])
-        return pa.table({key_col: pa.array(np.unique(drop), pa.int64())})
+        return pa.table({"a": batch.column("a"), "b": batch.column("b"),
+                         "jaccard": pa.array(sims, pa.float64())})
 
-    drops = withtexts.map_batches(score, batch_format="pyarrow")
-    return ds.join(drops, "left_anti", num_partitions, on=(key_col,))
+    withtexts = _attach_pair_texts(pairs, ds, key_col=key_col,
+                                   text_col=text_col,
+                                   num_partitions=num_partitions)
+    return withtexts.map_batches(score, batch_format="pyarrow")
 
 
 def simhash_candidates(ds, *, text_col: str = "text",

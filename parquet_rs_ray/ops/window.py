@@ -1,0 +1,153 @@
+"""Tumbling / hopping windowed aggregates over a timestamp column — the
+"windowed aggregate" custom operator of the task spec (Ray Data has no
+native window functions; SURVEY §2.10 "custom operators").
+
+Scale design: the raw event stream is NEVER shuffled. Each input batch
+is partially aggregated to (key, window) partials with Arrow's C++
+``TableGroupBy`` inside ``map_batches`` (the map-side combiner), so the
+only all-to-all exchange moves one tiny partial row per (key, window,
+block) — orders of magnitude smaller than the input at any realistic
+window width. Partials are then hash-partitioned on (key, window) into
+~num_cpus coarse partitions and merged with ONE vectorized group-by per
+partition (same coarse-partition pattern as ops/temporal.py — no
+per-group Python dispatch).
+
+Hopping windows (width W, hop H, W = n·H) use the classic two-level
+scheme: partial-aggregate to HOP granularity first, then fan each hop
+partial out to the n windows containing it (duplicating tiny partials,
+never events), then merge. Tumbling is the n = 1 case.
+
+Sums are computed in integer cents (``np.rint(value·100)``) so grouped
+totals are bit-exact regardless of reduction order — float sums are
+order-dependent and would not be reproducible across partitionings.
+Rows with a null timestamp are dropped (SQL ``time_bucket`` would group
+them under NULL; a windowed aggregate over unknown time is meaningless).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import splitmix64
+
+_US_PER_MIN = 60_000_000
+
+
+def _merge_aggs(value_col: str | None):
+    """(col, agg) list for merging partials — sums/counts add, min/max
+    re-min/max."""
+    aggs = [("n_events", "sum")]
+    if value_col is not None:
+        aggs += [("value_cents", "sum"), ("value_min", "min"),
+                 ("value_max", "max")]
+    return aggs
+
+
+def _rename_grouped(t: pa.Table, keys: list[str]) -> pa.Table:
+    """TableGroupBy appends the agg name (``n_events_sum``); restore the
+    stable output names."""
+    out = {}
+    for name in t.column_names:
+        base = name
+        for suf in ("_sum", "_min", "_max", "_count"):
+            if name.endswith(suf) and name[: -len(suf)] not in keys:
+                base = name[: -len(suf)]
+                break
+        out[base] = t.column(name)
+    return pa.table(out)
+
+
+def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
+                 value_col: str | None = None, width_minutes: float = 60.0,
+                 hop_minutes: float | None = None,
+                 num_partitions: int | None = None):
+    """Aggregate per (key, window): ``n_events`` plus, when ``value_col``
+    is given, ``value_cents`` (exact integer-cents sum), ``value_min``,
+    ``value_max``. ``window_start`` is emitted as timestamp[us].
+
+    ``hop_minutes`` (must divide ``width_minutes``) turns tumbling into
+    hopping windows: each event lands in width/hop overlapping windows.
+    """
+    from .temporal import _default_partitions
+
+    width_us = int(round(width_minutes * _US_PER_MIN))
+    hop_us = width_us if hop_minutes is None else \
+        int(round(hop_minutes * _US_PER_MIN))
+    if width_us % hop_us:
+        raise ValueError("width_minutes must be a multiple of hop_minutes")
+    n_per = width_us // hop_us
+    nparts = num_partitions or _default_partitions()
+    keys = ([key_col] if key_col else []) + ["__hb"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if ts.null_count:
+            keep = pc.is_valid(ts)
+            batch = batch.filter(keep)
+            ts = ts.filter(keep)
+        t_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hb = np.floor_divide(t_us, hop_us) * hop_us  # hop-bucket start
+        cols = {"__hb": pa.array(hb), "n_events": pa.array(
+            np.ones(len(hb), dtype=np.int64))}
+        if key_col:
+            cols[key_col] = batch.column(key_col)
+        if value_col is not None:
+            v = batch.column(value_col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            cents = np.rint(vn * 100)
+            # SUM/MIN/MAX ignore nulls: contribute 0 cents / ±inf
+            null_mask = np.asarray(pc.is_null(v))
+            if null_mask.any():
+                cents = np.where(null_mask, 0.0, cents)
+                cols["value_min"] = pa.array(
+                    np.where(null_mask, np.inf, vn))
+                cols["value_max"] = pa.array(
+                    np.where(null_mask, -np.inf, vn))
+            else:
+                cols["value_min"] = pa.array(vn)
+                cols["value_max"] = pa.array(vn)
+            cols["value_cents"] = pa.array(cents.astype(np.int64))
+        t = pa.table(cols)
+        aggs = [("n_events", "sum")] + (
+            [("value_cents", "sum"), ("value_min", "min"),
+             ("value_max", "max")] if value_col is not None else [])
+        return _rename_grouped(pa.TableGroupBy(t, keys).aggregate(aggs),
+                               keys)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        """Hop partial → its n_per containing windows (tumbling: rename
+        only). window w contains hop bucket b iff w ≤ b < w+width, i.e.
+        w = b - k·hop for k in 0..n_per-1."""
+        hb = batch.column("__hb").to_numpy(zero_copy_only=False)
+        if n_per == 1:
+            ws = hb
+            rest = batch.drop_columns(["__hb"])
+        else:
+            offs = (np.arange(n_per, dtype=np.int64) * hop_us)
+            ws = (hb[:, None] - offs[None, :]).ravel()
+            idx = np.repeat(np.arange(len(hb), dtype=np.int64), n_per)
+            rest = batch.drop_columns(["__hb"]).take(pa.array(idx))
+        part = (splitmix64(ws.astype(np.uint64))
+                % np.uint64(nparts)).astype(np.int32)
+        return rest.append_column("__ws", pa.array(ws)) \
+                   .append_column("__part", pa.array(part))
+
+    def merge(group: pa.Table) -> pa.Table:
+        gkeys = ([key_col] if key_col else []) + ["__ws"]
+        t = _rename_grouped(
+            pa.TableGroupBy(group.drop_columns(["__part"]), gkeys)
+            .aggregate(_merge_aggs(value_col)), gkeys)
+        ws = t.column("__ws").cast(pa.timestamp("us"))
+        return t.drop_columns(["__ws"]).append_column("window_start", ws)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("__part").map_groups(
+        merge, batch_format="pyarrow")

@@ -607,3 +607,34 @@ def test_hll_float_and_null_columns(ray_session):
     approx_f = hll_distinct(ds, "f")["approx_distinct"][0]
     approx_i = hll_distinct(ds, "i")["approx_distinct"][0]
     assert approx_f == 3 and approx_i == 3  # exact at tiny cardinality
+
+
+def test_prefix_block_pairs_and_ngram_jaccard(ray_session):
+    """Prefix blocking finds exactly the docs sharing a 50-char head;
+    distributed pair scoring agrees with the scalar ngram_jaccard."""
+    import ray
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and AGAIN",
+        3: "a completely different document body with no shared head",
+        4: "the quick brown fox jumps over the lazy dog again and again",
+    }
+    # 1/2/4 share the first 50 chars; 3 is alone
+    tbl = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                    "text": pa.array(list(texts.values()), pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    pairs = dedup.prefix_block_pairs(ds, prefix_len=50).to_pandas()
+    got = sorted(map(tuple, pairs[["a", "b"]].values.tolist()))
+    assert got == [(1, 2), (1, 4), (2, 4)]
+
+    scored = dedup.ngram_jaccard_pairs(
+        ray.data.from_arrow(pa.table(
+            {"a": pa.array([1, 1, 2, 1], pa.int64()),
+             "b": pa.array([2, 3, 4, 4], pa.int64())})),
+        ds).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    for _, r in scored.iterrows():
+        expect = dedup.ngram_jaccard(texts[r.a], texts[r.b])
+        assert r.jaccard == pytest.approx(expect, abs=0)
+    assert scored.loc[2, "jaccard"] == 1.0          # (1,4): identical docs
+    assert 0 < scored.loc[0, "jaccard"] < 1         # (1,2): near-dup
+    assert scored.loc[1, "jaccard"] == 0.0          # (1,3): unrelated

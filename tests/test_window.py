@@ -1,0 +1,98 @@
+"""Windowed aggregate operator (ops/window.py) vs DuckDB ground truth."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_rs_ray.ops.window import windowed_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    return con.execute(sql).fetchdf()
+
+
+def _cmp(df, odf, keys):
+    a = df.sort_values(keys).reset_index(drop=True)[sorted(df.columns)]
+    b = odf.sort_values(keys).reset_index(drop=True)[sorted(odf.columns)]
+    assert list(a.columns) == list(b.columns)
+    assert a.astype(str).equals(b.astype(str))
+
+
+def test_tumbling_window_oracle(ray_session):
+    import ray
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = windowed_agg(ds, ts_col="ts", key_col="event_type",
+                       value_col="value", width_minutes=60).to_pandas()
+    odf = _oracle(
+        "SELECT event_type, time_bucket(INTERVAL '60 minutes', ts) AS "
+        "window_start, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS "
+        "value_cents, MIN(value) AS value_min, MAX(value) AS value_max "
+        "FROM events GROUP BY event_type, "
+        "time_bucket(INTERVAL '60 minutes', ts)")
+    _cmp(out, odf, ["event_type", "window_start"])
+
+
+def test_hopping_window_oracle(ray_session):
+    import ray
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    out = windowed_agg(ds, ts_col="ts", key_col="event_type",
+                       value_col="value", width_minutes=60,
+                       hop_minutes=15).to_pandas()
+    odf = _oracle(
+        "SELECT event_type, ws AS window_start, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS "
+        "value_cents, MIN(value) AS value_min, MAX(value) AS value_max "
+        "FROM (SELECT e.*, time_bucket(INTERVAL '15 minutes', ts) "
+        "- k * (INTERVAL '15 minutes') AS ws "
+        "FROM events e, unnest([0,1,2,3]) AS t(k)) "
+        "GROUP BY event_type, ws")
+    _cmp(out, odf, ["event_type", "window_start"])
+    # every event lands in exactly width/hop windows
+    n = _oracle("SELECT COUNT(*) AS n FROM events")["n"][0]
+    assert out["n_events"].sum() == 4 * n
+
+
+def test_window_no_key_and_count_only(ray_session):
+    import ray
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["ts"])
+    out = windowed_agg(ds, ts_col="ts", width_minutes=1440).to_pandas()
+    odf = _oracle(
+        "SELECT time_bucket(INTERVAL '24 hours', ts) AS window_start, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+        "GROUP BY time_bucket(INTERVAL '24 hours', ts)")
+    _cmp(out, odf, ["window_start"])
+
+
+def test_window_nulls_and_negative_ts(ray_session):
+    """Null ts rows are dropped; null values ignored by sum/min/max;
+    pre-epoch timestamps floor toward -inf (window containing, not
+    truncation toward zero)."""
+    import ray
+    ts = pa.array([-90 * 60_000_000, -30 * 60_000_000, 30 * 60_000_000,
+                   None], pa.timestamp("us"))
+    val = pa.array([1.25, None, 3.5, 9.9], pa.float64())
+    tbl = pa.table({"ts": ts, "value": val})
+    out = windowed_agg(ray.data.from_arrow(tbl), ts_col="ts",
+                       value_col="value", width_minutes=60).to_pandas()
+    out = out.sort_values("window_start").reset_index(drop=True)
+    starts = (out["window_start"].astype("int64") // 60_000_000).tolist()
+    assert starts == [-120, -60, 0]
+    assert out["n_events"].tolist() == [1, 1, 1]
+    assert out["value_cents"].tolist() == [125, 0, 350]
+    assert np.isinf(out["value_min"][1])  # all-null window: identity
+
+
+def test_window_hop_must_divide_width(ray_session):
+    import ray
+    ds = ray.data.range(1)
+    with pytest.raises(ValueError):
+        windowed_agg(ds, ts_col="ts", width_minutes=60, hop_minutes=25)
