@@ -232,8 +232,10 @@ def _customer_order_totals(sf_dir: str):
     import ray
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        cents = np.rint(batch.column("o_totalprice")
-                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        from parquet_rs_ray.ops.window import half_away_cents
+        cents = half_away_cents(
+            batch.column("o_totalprice")
+            .to_numpy(zero_copy_only=False)).astype(np.int64)
         return pa.table({"o_custkey": batch.column("o_custkey"),
                          "cents": pa.array(cents)})
 
@@ -696,7 +698,9 @@ def oracle_sql() -> dict[str, str]:
         "WITH d AS (SELECT doc_id, substr(text,1,50) AS pfx, "
         "regexp_split_to_array(trim(text), '\\s+') AS w0 FROM documents), "
         "dp AS (SELECT doc_id, pfx, CASE WHEN len(w0) < 5 THEN "
-        "list_resize(w0, 5, '') ELSE w0 END AS w FROM d), "
+        "list_resize(w0, 5, '') ELSE w0 END AS w FROM d "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY pfx ORDER BY doc_id) "
+        "<= 4096), "
         "g AS (SELECT doc_id, pfx, list_distinct([array_to_string("
         "w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS gs FROM dp) "
         "SELECT a.doc_id AS a, b.doc_id AS b, "

@@ -200,7 +200,7 @@ def run_single(num_cpus: int) -> dict:
     return res
 
 
-def run_scaling(lo: int = 4, hi: int = 16) -> dict:
+def run_scaling(lo: int = 4, hi: int = 16, trials: int = 3) -> dict:
     """North-rule evidence: same job, fresh processes, N vs 4N CPUs.
 
     Default N=4 (→ 4N=16): on this single-socket 32-core sandbox box the
@@ -208,14 +208,31 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
     4N-node cluster (per-node memory buses) would not see; 4→16 stays in
     the linear regime on one socket. The 8→32 numbers are also recorded in
     BASELINE.md for completeness.
+
+    Each leg takes the BEST of ``trials`` fresh-process runs (standard
+    min-of-N benchmark practice — this is a shared-host VM and single
+    runs of the same leg vary by up to ±20% with external interference;
+    the min is the run least polluted by neighbors).
     """
     _web_paths()  # generate once so subprocesses reuse the cache
     out = {}
     for n in (lo, hi):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single", str(n)],
-            capture_output=True, text=True, check=True)
-        out[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(trials):
+            # leg isolation: drop the previous run's output and flush
+            # dirty pages, else its ~1.2 GB of async writeback steals
+            # disk/memory bandwidth from this run
+            shutil.rmtree("/tmp/graft_scaling_out", ignore_errors=True)
+            os.sync()
+            time.sleep(10)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single", str(n)],
+                capture_output=True, text=True, check=True)
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or res["rows_per_sec"] > best["rows_per_sec"]:
+                best = res
+        out[n] = best
     eff = (out[hi]["rows_per_sec"] / out[lo]["rows_per_sec"]) / (hi / lo)
     return {
         "metric": "scaling efficiency (rows/s at 4N vs N CPUs)",

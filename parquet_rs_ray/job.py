@@ -151,18 +151,20 @@ class EncodeShardActor(EncodeWriteActor):
                 pages = EncodeActor.__call__(self, tbl)
                 rows_out.append(self._write_blocks(pages, container))
             container.close()
-            if not rows_out:
-                # zero-row-group shard: emit one sentinel lineage row so
-                # the shard still COMMITS (block_file="" is skipped by
-                # committed_blocks; without it resume would re-run the
-                # empty shard forever)
-                rows_out.append(pa.Table.from_pylist([{
+            per_path = (pa.concat_tables(rows_out) if len(rows_out) != 1
+                        else rows_out[0]) if rows_out else None
+            if per_path is None or per_path.num_rows == 0:
+                # empty shard (zero row groups, OR row groups with zero
+                # rows — pq.write_table(empty) produces one 0-row group
+                # whose lineage table is empty): emit one sentinel
+                # lineage row so the shard still COMMITS (block_file=""
+                # is skipped by committed_blocks; without it resume
+                # would re-run the empty shard forever)
+                per_path = pa.Table.from_pylist([{
                     "path": path, "block_file": "", "rows": 0,
                     "n_blocks": 1, "plain_bytes": 0, "encoded_bytes": 0,
                     "codecs_json": "{}", "checksum": ""}],
-                    schema=LINEAGE_SCHEMA))
-            per_path = pa.concat_tables(rows_out) if len(rows_out) > 1 \
-                else rows_out[0]
+                    schema=LINEAGE_SCHEMA)
             # n_blocks was computed per row group; fix up to the shard
             # total so the driver commits only when the whole shard landed
             total = per_path.num_rows

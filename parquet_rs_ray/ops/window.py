@@ -17,7 +17,7 @@ scheme: partial-aggregate to HOP granularity first, then fan each hop
 partial out to the n windows containing it (duplicating tiny partials,
 never events), then merge. Tumbling is the n = 1 case.
 
-Sums are computed in integer cents (``np.rint(value·100)``) so grouped
+Sums are computed in integer cents (``half_away_cents``) so grouped
 totals are bit-exact regardless of reduction order — float sums are
 order-dependent and would not be reproducible across partitionings.
 Rows with a null timestamp are dropped (SQL ``time_bucket`` would group
@@ -34,10 +34,28 @@ from .dedup import splitmix64
 
 _US_PER_MIN = 60_000_000
 
+# output/internal column names an aggregate stage owns — user key/value
+# columns must not collide with them (windowed_agg validates)
+_RESERVED = ("__hb", "__ws", "__part", "window_start", "n_events",
+             "value_cents", "value_min", "value_max")
+
+# TableGroupBy appends the agg name; this is the exact (and only)
+# rename set — suffix guessing would mangle user columns like "bytes_sum"
+_AGG_RENAME = {"n_events_sum": "n_events", "value_cents_sum": "value_cents",
+               "value_min_min": "value_min", "value_max_max": "value_max"}
+
+
+def half_away_cents(values: np.ndarray) -> np.ndarray:
+    """value·100 rounded half AWAY from zero, as float (caller casts).
+    Matches SQL ``round()``; ``np.rint`` is half-to-even and diverges on
+    exact half-cents (0.125 → 12 vs SQL 13)."""
+    c = values * 100.0
+    return np.copysign(np.floor(np.abs(c) + 0.5), c)
+
 
 def _merge_aggs(value_col: str | None):
-    """(col, agg) list for merging partials — sums/counts add, min/max
-    re-min/max."""
+    """(col, agg) list — used for the map-side partials AND for merging
+    them (sums/counts add, min/max re-min/max)."""
     aggs = [("n_events", "sum")]
     if value_col is not None:
         aggs += [("value_cents", "sum"), ("value_min", "min"),
@@ -45,18 +63,9 @@ def _merge_aggs(value_col: str | None):
     return aggs
 
 
-def _rename_grouped(t: pa.Table, keys: list[str]) -> pa.Table:
-    """TableGroupBy appends the agg name (``n_events_sum``); restore the
-    stable output names."""
-    out = {}
-    for name in t.column_names:
-        base = name
-        for suf in ("_sum", "_min", "_max", "_count"):
-            if name.endswith(suf) and name[: -len(suf)] not in keys:
-                base = name[: -len(suf)]
-                break
-        out[base] = t.column(name)
-    return pa.table(out)
+def _rename_grouped(t: pa.Table) -> pa.Table:
+    return t.rename_columns([_AGG_RENAME.get(n, n)
+                             for n in t.column_names])
 
 
 def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
@@ -71,6 +80,12 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
     hopping windows: each event lands in width/hop overlapping windows.
     """
     from .temporal import _default_partitions
+
+    for col in (key_col, ts_col, value_col):
+        if col is not None and col in _RESERVED:
+            raise ValueError(
+                f"column name {col!r} collides with a windowed_agg "
+                f"output/internal column ({', '.join(_RESERVED)})")
 
     width_us = int(round(width_minutes * _US_PER_MIN))
     hop_us = width_us if hop_minutes is None else \
@@ -100,7 +115,7 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()
             vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
-            cents = np.rint(vn * 100)
+            cents = half_away_cents(vn)
             # SUM/MIN/MAX ignore nulls: contribute 0 cents / ±inf
             null_mask = np.asarray(pc.is_null(v))
             if null_mask.any():
@@ -114,11 +129,8 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
                 cols["value_max"] = pa.array(vn)
             cols["value_cents"] = pa.array(cents.astype(np.int64))
         t = pa.table(cols)
-        aggs = [("n_events", "sum")] + (
-            [("value_cents", "sum"), ("value_min", "min"),
-             ("value_max", "max")] if value_col is not None else [])
-        return _rename_grouped(pa.TableGroupBy(t, keys).aggregate(aggs),
-                               keys)
+        return _rename_grouped(
+            pa.TableGroupBy(t, keys).aggregate(_merge_aggs(value_col)))
 
     def fan_out(batch: pa.Table) -> pa.Table:
         """Hop partial → its n_per containing windows (tumbling: rename
@@ -142,7 +154,7 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
         gkeys = ([key_col] if key_col else []) + ["__ws"]
         t = _rename_grouped(
             pa.TableGroupBy(group.drop_columns(["__part"]), gkeys)
-            .aggregate(_merge_aggs(value_col)), gkeys)
+            .aggregate(_merge_aggs(value_col)))
         ws = t.column("__ws").cast(pa.timestamp("us"))
         return t.drop_columns(["__ws"]).append_column("window_start", ws)
 

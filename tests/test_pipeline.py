@@ -309,3 +309,26 @@ def test_pushdown_typed_predicates(ray_session):
                          ("ts", ">=", datetime.datetime(2024, 1, 10))]:
         pruned = prune_pages(pages, predicate=(col, op, val))
         assert pruned.count() < pages.count(), (col, op, val)
+
+
+def test_encode_job_empty_shard_commits(ray_session, tmp_path):
+    """A shard with zero rows (pq.write_table of an empty table yields one
+    0-row row group) must still COMMIT via a sentinel lineage row, or
+    resume re-runs it forever."""
+    from parquet_rs_ray.job import decode_job, encode_job
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=200,
+                             n_shards=2)
+    empty = str(tmp_path / "web" / "empty.parquet")
+    pq.write_table(pq.read_table(paths[0]).slice(0, 0), empty)
+    all_paths = paths + [empty]
+    out_dir = str(tmp_path / "encoded")
+
+    s1 = encode_job(all_paths, out_dir, concurrency=2)
+    assert s1["shards_encoded"] == 3 and s1["shards_skipped"] == 0
+    # resume: the empty shard is committed, nothing re-runs
+    s2 = encode_job(all_paths, out_dir, concurrency=2)
+    assert s2["shards_encoded"] == 0 and s2["shards_skipped"] == 3
+    # decode sees exactly the non-empty rows
+    assert decode_job(out_dir).count() == 400

@@ -96,3 +96,36 @@ def test_window_hop_must_divide_width(ray_session):
     ds = ray.data.range(1)
     with pytest.raises(ValueError):
         windowed_agg(ds, ts_col="ts", width_minutes=60, hop_minutes=25)
+
+
+def test_window_half_cent_rounding_matches_sql(ray_session):
+    """np.rint would give 12 for 0.125·100; SQL round() gives 13 —
+    half_away_cents must match SQL."""
+    import ray
+    from parquet_rs_ray.ops.window import half_away_cents
+    # note 1.005*100 = 100.4999... in float64, so BOTH sides give 100
+    assert half_away_cents(np.array([0.125, -0.125, 1.005])).tolist() == \
+        [13.0, -13.0, 100.0]
+    assert duckdb.sql("SELECT round(0.125::DOUBLE*100), "
+                      "round(-0.125::DOUBLE*100), "
+                      "round(1.005::DOUBLE*100)").fetchone() == \
+        (13.0, -13.0, 100.0)
+    ts = pa.array([0, 1], pa.timestamp("us"))
+    val = pa.array([0.125, -0.125], pa.float64())
+    out = windowed_agg(ray.data.from_arrow(pa.table({"ts": ts, "value": val})),
+                       ts_col="ts", value_col="value",
+                       width_minutes=1).to_pandas()
+    assert out["value_cents"].tolist() == [0]  # 13 + (-13)
+    odf = duckdb.sql(
+        "SELECT CAST(SUM(CAST(round(v*100) AS BIGINT)) AS BIGINT) AS c "
+        "FROM (VALUES (0.125::DOUBLE), (-0.125::DOUBLE)) t(v)").fetchone()
+    assert odf[0] == 0
+
+
+def test_window_reserved_column_names_raise(ray_session):
+    import ray
+    ds = ray.data.range(1)
+    with pytest.raises(ValueError):
+        windowed_agg(ds, ts_col="ts", key_col="n_events")
+    with pytest.raises(ValueError):
+        windowed_agg(ds, ts_col="ts", value_col="__ws")
