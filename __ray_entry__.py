@@ -260,6 +260,30 @@ def _sessionize_events(sf_dir: str):
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def _top_terms_documents(sf_dir: str):
+    """Top-10 words per lang: token explosion combined map-side (one
+    (lang, word, cnt) row per block leaves the task, never per-token
+    rows), word-hash partitioned merge, grouped top-k with word
+    tie-break (ops/textstats.py::top_terms)."""
+    import ray
+    from parquet_rs_ray.ops.textstats import top_terms
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+    return top_terms(ds, k=10)
+
+
+def _quantiles_nchars_documents(sf_dir: str):
+    """Exact distributed quantiles (quantile_disc semantics) via the
+    cardinality-bounded value-count histogram
+    (ops/relational.py::exact_quantiles)."""
+    import ray
+    from parquet_rs_ray.ops.relational import exact_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+    return exact_quantiles(ds, "n_chars",
+                           qs=(0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+
+
 def _ngram_jaccard_blocked_documents(sf_dir: str):
     """Prefix-blocking candidate pairs (deterministic, SQL-expressible
     blocking key: identical first 50 chars) scored with exact word-5-gram
@@ -635,6 +659,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize_events"] = _sessionize_events
     q["sessionize_events_salted"] = _sessionize_events_salted
     q["ngram_jaccard_blocked_documents"] = _ngram_jaccard_blocked_documents
+    q["top_terms_documents"] = _top_terms_documents
+    q["quantiles_nchars_documents"] = _quantiles_nchars_documents
     q["window_agg_events"] = _window_agg_events
     q["hopping_window_events"] = _hopping_window_events
     q["top2_orders_per_customer"] = _top2_orders_per_customer
@@ -694,6 +720,19 @@ def oracle_sql() -> dict[str, str]:
         "WHERE lang = 'en' AND n_chars > 500")
     sql["project_convert_events"] = (
         "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events")
+    sql["top_terms_documents"] = (
+        "WITH w AS (SELECT lang, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "FROM documents), "
+        "c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM w GROUP BY lang, word) "
+        "SELECT lang, word, cnt FROM c "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY cnt DESC, word) <= 10")
+    sql["quantiles_nchars_documents"] = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(n_chars, {q}) AS value FROM documents"
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
     sql["ngram_jaccard_blocked_documents"] = (
         "WITH d AS (SELECT doc_id, substr(text,1,50) AS pfx, "
         "regexp_split_to_array(trim(text), '\\s+') AS w0 FROM documents), "

@@ -102,3 +102,64 @@ def distinct_count(ds, col: str):
                      zero_copy_batch=True) \
         .groupby(col).count()
     return pd.DataFrame({"n_distinct": [int(distinct.count())]})
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """EXACT distributed quantiles (SQL ``quantile_disc`` semantics:
+    sorted[max(ceil(q·n)−1, 0)], nulls excluded) via a value-count
+    histogram.
+
+    Scale shape: each batch combines to (value, count) pairs, pairs
+    merge per coarse hash partition, and only the MERGED histogram —
+    bounded by column cardinality, not row count — reaches the driver
+    for the final cumsum. The right regime for ints / categoricals /
+    fixed-precision decimals; for unbounded-cardinality doubles the
+    histogram degenerates to the column itself, so quantize first or
+    accept the shuffle. Returns a pandas DataFrame (q, value)."""
+    import pandas as pd
+
+    from .temporal import _default_partitions, _key_part
+    P = _default_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        vc = arr.value_counts()
+        return pa.table({col: vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column(col), P))
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(group.drop_columns(["__part"]), [col]) \
+            .aggregate([("cnt", "sum")])
+        return t.rename_columns(
+            [n if n != "cnt_sum" else "cnt" for n in t.column_names])
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("__part").map_groups(merge, batch_format="pyarrow") \
+        .sort(col)
+    tbl = pa.concat_tables(hist.iter_batches(batch_format="pyarrow")) \
+        if hist.count() else pa.table({col: [], "cnt": []})
+    counts = np.asarray(tbl.column("cnt").to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    vals = tbl.column(col)
+    for q in qs:
+        if n == 0:
+            out_q.append(q); out_v.append(None)
+            continue
+        target = max(int(np.ceil(q * n)) - 1, 0) + 1  # 1-based rank
+        idx = int(np.searchsorted(cum, target))
+        out_q.append(q)
+        out_v.append(vals[idx].as_py())
+    return pd.DataFrame({"q": out_q, "value": out_v})

@@ -170,3 +170,51 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
         if name != text_col:
             out = out.append_column(name, batch.column(name))
     return out
+
+
+def top_terms(ds, *, text_col: str = "text", group_col: str = "lang",
+              k: int = 10, num_partitions: int | None = None):
+    """Top-k most frequent whitespace words per group (≙ SQL unnest +
+    GROUP BY + QUALIFY row_number).
+
+    Scale shape: the word explosion never leaves the map task — each
+    batch combines to (group, word, cnt) partials with Arrow's C++
+    TableGroupBy, so the shuffle carries one row per distinct (group,
+    word) per block, not one per token. Partials co-locate by hash of
+    the WORD (the high-cardinality key; every (group, word) cell lands
+    whole), merge with one vectorized group-by per partition, and the
+    final per-group top-k reuses `relational.grouped_topk` (ties broken
+    by word for determinism)."""
+    from .relational import grouped_topk
+    from .temporal import _default_partitions, _key_part
+    P = num_partitions or _default_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, doc_idx = _split_words(batch.column(text_col))
+        grp = batch.column(group_col)
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        t = pa.table({group_col: grp.take(pa.array(doc_idx)),
+                      "word": flat})
+        c = pa.TableGroupBy(t, [group_col, "word"]) \
+            .aggregate([([], "count_all")])
+        return c.rename_columns(
+            [n if n != "count_all" else "cnt" for n in c.column_names])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column("word"), P))
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(group.drop_columns(["__part"]),
+                            [group_col, "word"]).aggregate([("cnt", "sum")])
+        return t.rename_columns(
+            [n if n != "cnt_sum" else "cnt" for n in t.column_names])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("__part").map_groups(merge, batch_format="pyarrow")
+    return grouped_topk(merged, group_col=group_col, order_col="cnt",
+                        k=k, tiebreak_col="word",
+                        num_partitions=num_partitions)

@@ -638,3 +638,49 @@ def test_prefix_block_pairs_and_ngram_jaccard(ray_session):
     assert scored.loc[2, "jaccard"] == 1.0          # (1,4): identical docs
     assert 0 < scored.loc[0, "jaccard"] < 1         # (1,2): near-dup
     assert scored.loc[1, "jaccard"] == 0.0          # (1,3): unrelated
+
+
+def test_top_terms_oracle(ray_session):
+    import duckdb
+    import ray
+    from parquet_rs_ray.ops.textstats import top_terms
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["lang", "text"])
+    out = top_terms(ds, k=5).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    odf = con.execute(
+        "WITH w AS (SELECT lang, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "FROM documents), "
+        "c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM w GROUP BY lang, word) "
+        "SELECT lang, word, cnt FROM c QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY cnt DESC, word) <= 5").fetchdf()
+    cols = ["lang", "word", "cnt"]
+    a = out[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert a.equals(b)
+
+
+def test_exact_quantiles_oracle_and_edges(ray_session):
+    import duckdb
+    import ray
+    from parquet_rs_ray.ops.relational import exact_quantiles
+    qs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["n_chars"])
+    got = exact_quantiles(ds, "n_chars", qs=qs)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    sql = " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(n_chars, {q}) AS value "
+        f"FROM documents" for q in qs)
+    exp = con.execute(sql).fetchdf().sort_values("q")
+    assert got.value.tolist() == exp.value.tolist()
+    # nulls excluded, tiny input, duplicate values
+    tbl = pa.table({"x": pa.array([3, 1, None, 3, 2], pa.int64())})
+    got2 = exact_quantiles(ray.data.from_arrow(tbl), "x", qs=(0.5, 1.0))
+    assert got2.value.tolist() == [2, 3]  # sorted [1,2,3,3]: ceil(.5*4)-1=1
