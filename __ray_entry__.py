@@ -260,6 +260,30 @@ def _sessionize_events(sf_dir: str):
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def _audio_features_documents(sf_dir: str):
+    """REAL audio feature extraction (raw PCM s16le needs no codec
+    library — unlike image decode this kernel is not a stub): doc text
+    bytes reinterpreted as PCM clips, per-clip rms/peak/zcr/duration via
+    one vectorized reduceat pass per batch (rows-only; payload-defined)."""
+    import pyarrow as pa
+    import ray
+    from parquet_rs_ray.ops.multimodal import audio_features
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def promote(batch: pa.Table) -> pa.Table:
+        # even byte count so the s16le view is exact
+        txt = batch.column("text").cast(pa.binary())
+        clipped = [(v or b"")[: len(v or b"") & ~1] for v in txt.to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "media": pa.array(clipped, pa.binary())})
+
+    media = ds.map_batches(promote, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return audio_features(media, batch_size=64, concurrency=2)
+
+
 def _top_terms_documents(sf_dir: str):
     """Top-10 words per lang: token explosion combined map-side (one
     (lang, word, cnt) row per block leaves the task, never per-token
@@ -659,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize_events"] = _sessionize_events
     q["sessionize_events_salted"] = _sessionize_events_salted
     q["ngram_jaccard_blocked_documents"] = _ngram_jaccard_blocked_documents
+    q["audio_features_documents"] = _audio_features_documents
     q["top_terms_documents"] = _top_terms_documents
     q["quantiles_nchars_documents"] = _quantiles_nchars_documents
     q["window_agg_events"] = _window_agg_events

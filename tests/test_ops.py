@@ -684,3 +684,41 @@ def test_exact_quantiles_oracle_and_edges(ray_session):
     tbl = pa.table({"x": pa.array([3, 1, None, 3, 2], pa.int64())})
     got2 = exact_quantiles(ray.data.from_arrow(tbl), "x", qs=(0.5, 1.0))
     assert got2.value.tolist() == [2, 3]  # sorted [1,2,3,3]: ceil(.5*4)-1=1
+
+
+def test_audio_pcm_features_analytic():
+    """Real DSP kernel (raw PCM needs no codec lib): analytic values for
+    square wave (rms .5, zcr 1), DC (rms .25, zcr 0), empty, and the
+    empty-leading-clip boundary-mask edge."""
+    from parquet_rs_ray.ops.multimodal import AudioPcmFeatures
+    sq = np.tile(np.array([16384, -16384], dtype=np.int16), 100)
+    const = np.full(50, 8192, dtype=np.int16)
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "media": pa.array([sq.tobytes(), const.tobytes(), b""],
+                                    pa.binary())})
+    out = AudioPcmFeatures()(t).to_pandas()
+    assert out.rms[0] == pytest.approx(0.5) and \
+        out.zero_crossing_rate[0] == pytest.approx(1.0)
+    assert out.rms[1] == pytest.approx(0.25) and \
+        out.zero_crossing_rate[1] == 0.0
+    assert out.duration_s[2] == 0.0 and out.rms[2] == 0.0
+    # empty FIRST clip must not mask the last crossing of the next clip
+    t2 = pa.table({"id": pa.array([1, 2], pa.int64()),
+                   "media": pa.array([b"", sq[:4].tobytes()], pa.binary())})
+    out2 = AudioPcmFeatures()(t2).to_pandas()
+    assert out2.zero_crossing_rate[1] == pytest.approx(1.0)
+
+
+def test_audio_features_dataset(ray_session):
+    import ray
+    from parquet_rs_ray.ops.multimodal import audio_features
+    rng = np.random.default_rng(3)
+    clips = [(rng.standard_normal(256) * 8000).astype(np.int16).tobytes()
+             for _ in range(20)]
+    tbl = pa.table({"clip_id": pa.array(range(20), pa.int64()),
+                    "media": pa.array(clips, pa.binary())})
+    out = audio_features(ray.data.from_arrow(tbl), batch_size=6,
+                         concurrency=2).to_pandas()
+    assert len(out) == 20 and (out.rms > 0).all()
+    assert set(out.columns) == {"clip_id", "duration_s", "rms", "peak",
+                                "zero_crossing_rate"}
