@@ -129,3 +129,83 @@ def test_window_reserved_column_names_raise(ray_session):
         windowed_agg(ds, ts_col="ts", key_col="n_events")
     with pytest.raises(ValueError):
         windowed_agg(ds, ts_col="ts", value_col="__ws")
+
+
+# ------------------------------------------------------- property fuzz
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_window_random_events_vs_duckdb(ray_session, data):
+    """Random keys/timestamps/values (incl. negatives, ties, sub-cent
+    precision) must match the DuckDB oracle bit-exactly for tumbling
+    AND hopping windows."""
+    import ray
+    n = data.draw(st.integers(1, 120))
+    rng_ts = data.draw(st.lists(
+        st.integers(-10**9, 10**9), min_size=n, max_size=n))
+    vals = data.draw(st.lists(
+        st.floats(-1e4, 1e4, allow_nan=False, width=32),
+        min_size=n, max_size=n))
+    keys = data.draw(st.lists(st.sampled_from(["a", "b", "c"]),
+                              min_size=n, max_size=n))
+    hop = data.draw(st.sampled_from([None, 5]))
+    tbl = pa.table({"ts": pa.array(rng_ts, pa.timestamp("us")),
+                    "value": pa.array([float(v) for v in vals],
+                                      pa.float64()),
+                    "k": pa.array(keys, pa.string())})
+    out = windowed_agg(ray.data.from_arrow(tbl), ts_col="ts", key_col="k",
+                       value_col="value", width_minutes=10,
+                       hop_minutes=hop).to_pandas()
+    con = duckdb.connect()
+    con.register("ev", tbl)
+    if hop is None:
+        sql = ("SELECT k, time_bucket(INTERVAL '10 minutes', ts) AS "
+               "window_start, CAST(COUNT(*) AS BIGINT) AS n_events, "
+               "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS "
+               "value_cents, MIN(value) AS value_min, MAX(value) AS "
+               "value_max FROM ev GROUP BY 1, 2")
+    else:
+        sql = ("SELECT k, ws AS window_start, "
+               "CAST(COUNT(*) AS BIGINT) AS n_events, "
+               "CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS "
+               "value_cents, MIN(value) AS value_min, MAX(value) AS "
+               "value_max FROM (SELECT e.*, "
+               "time_bucket(INTERVAL '5 minutes', ts) - kk * "
+               "(INTERVAL '5 minutes') AS ws FROM ev e, "
+               "unnest([0]) AS t(kk) UNION ALL SELECT e.*, "
+               "time_bucket(INTERVAL '5 minutes', ts) - 1 * "
+               "(INTERVAL '5 minutes') AS ws FROM ev e) GROUP BY 1, 2")
+    odf = con.execute(sql).fetchdf()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert a.equals(b), (a[(a != b).any(axis=1)].head(),
+                        b[(a != b).any(axis=1)].head())
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_quantiles_random_vs_duckdb(ray_session, data):
+    import ray
+    from parquet_rs_ray.ops.relational import exact_quantiles
+    n = data.draw(st.integers(1, 200))
+    vals = data.draw(st.lists(
+        st.one_of(st.integers(-1000, 1000), st.none()),
+        min_size=n, max_size=n))
+    if all(v is None for v in vals):
+        vals[0] = 0
+    qs = tuple(sorted(data.draw(st.sets(
+        st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]),
+        min_size=1, max_size=4))))
+    tbl = pa.table({"x": pa.array(vals, pa.int64())})
+    got = exact_quantiles(ray.data.from_arrow(tbl), "x", qs=qs)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    sql = " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(x, {q}) AS value FROM t"
+        for q in qs)
+    exp = con.execute(sql).fetchdf().sort_values("q")
+    assert got.value.tolist() == exp.value.tolist()
