@@ -146,8 +146,9 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9)):
         .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("__part").map_groups(merge, batch_format="pyarrow") \
         .sort(col)
-    tbl = pa.concat_tables(hist.iter_batches(batch_format="pyarrow")) \
-        if hist.count() else pa.table({col: [], "cnt": []})
+    batches = list(hist.iter_batches(batch_format="pyarrow"))  # ONE exec
+    tbl = pa.concat_tables(batches) if batches else \
+        pa.table({col: [], "cnt": []})
     counts = np.asarray(tbl.column("cnt").to_numpy(zero_copy_only=False),
                         dtype=np.int64)
     cum = np.cumsum(counts)

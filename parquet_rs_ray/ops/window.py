@@ -114,7 +114,11 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
             v = batch.column(value_col)
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()
-            vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            # canonicalize signed zeros (-0.0 + 0.0 = +0.0): Arrow's
+            # grouped min/max treats -0.0 == 0.0 and returns either,
+            # which is partitioning-dependent — canonical inputs make
+            # the result deterministic on any cluster shape
+            vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False) + 0.0
             cents = half_away_cents(vn)
             # SUM/MIN/MAX ignore nulls: contribute 0 cents / ±inf
             null_mask = np.asarray(pc.is_null(v))
