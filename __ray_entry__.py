@@ -260,6 +260,21 @@ def _sessionize_events(sf_dir: str):
     return sessionize(ds, key_col="user_id", ts_col="ts", gap_minutes=30)
 
 
+def _rolling_window_events(sf_dir: str):
+    """Per-row sliding window (SQL RANGE BETWEEN INTERVAL 30 MINUTES
+    PRECEDING AND CURRENT ROW): count + exact cents sum of same-user
+    events in the trailing half hour. One global searchsorted per bound
+    over a key-segment-linearized axis — no per-key dispatch
+    (ops/temporal.py::rolling_window)."""
+    import ray
+    from parquet_rs_ray.ops.temporal import rolling_window
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    return rolling_window(ds, key_col="user_id", ts_col="ts",
+                          value_col="value", preceding_minutes=30)
+
+
 def _audio_features_documents(sf_dir: str):
     """REAL audio feature extraction (raw PCM s16le needs no codec
     library — unlike image decode this kernel is not a stub): doc text
@@ -683,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize_events"] = _sessionize_events
     q["sessionize_events_salted"] = _sessionize_events_salted
     q["ngram_jaccard_blocked_documents"] = _ngram_jaccard_blocked_documents
+    q["rolling_window_events"] = _rolling_window_events
     q["audio_features_documents"] = _audio_features_documents
     q["top_terms_documents"] = _top_terms_documents
     q["quantiles_nchars_documents"] = _quantiles_nchars_documents
@@ -745,6 +761,13 @@ def oracle_sql() -> dict[str, str]:
         "WHERE lang = 'en' AND n_chars > 500")
     sql["project_convert_events"] = (
         "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events")
+    sql["rolling_window_events"] = (
+        "SELECT event_id, user_id, ts, value, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt, "
+        "CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS roll_cents FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING "
+        "AND CURRENT ROW)")
     sql["top_terms_documents"] = (
         "WITH w AS (SELECT lang, unnest(list_filter("
         "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "

@@ -367,3 +367,91 @@ def range_join_broadcast(ds, ranges, *, value_col: str,
 
     return ds.map_batches(label, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def rolling_window(ds, *, key_col: str, ts_col: str,
+                   value_col: str | None = None,
+                   preceding_minutes: float = 5.0,
+                   num_partitions: int | None = None):
+    """Per-ROW sliding-window aggregate — SQL ``COUNT(*)/SUM(...) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL W PRECEDING AND
+    CURRENT ROW)``: for every event, the count (``roll_cnt``) and exact
+    integer-cents sum (``roll_cents``, when ``value_col`` is given) of
+    same-key events with ts in [ts − W, ts]. RANGE semantics: frame
+    bounds are VALUES, so peers (equal ts) are always included.
+
+    Vectorized with NO per-key loop: rows hash-partition by key, each
+    partition sorts by (key, ts) once, then key segments are LINEARIZED
+    onto one monotonic int64 axis — segment k's timestamps shift to
+    base_k with base_{k+1} ≥ base_k + span_k + W + 2, so a single global
+    ``np.searchsorted`` per bound resolves every row's frame without
+    windows ever crossing a key boundary. Frame sums come from one
+    prefix-sum (cum[right] − cum[left]). Falls back to a per-segment
+    loop only on int64 overflow of the linearized axis (Σ spans +
+    (W+2)·segments ≥ 2^63 — centuries of µs)."""
+    w_us = int(round(preceding_minutes * 60 * 1_000_000))
+    P = num_partitions or _default_partitions()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column(key_col), P))
+
+    def per_part(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__part"])
+        tcol = g.column(ts_col)
+        if tcol.null_count:
+            g = g.filter(pc.is_valid(tcol))  # unknown time has no frame
+        g = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        n = g.num_rows
+        if n == 0:
+            out = g.append_column("roll_cnt", pa.array([], pa.int64()))
+            if value_col is not None:
+                out = out.append_column("roll_cents",
+                                        pa.array([], pa.int64()))
+            return out
+        ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        new_key = _new_key_mask(g.column(key_col))
+        seg_first = np.flatnonzero(new_key)          # segment start rows
+        seg_of = np.cumsum(new_key) - 1              # segment id per row
+        seg_min = ts[seg_first]                      # sorted: first = min
+        seg_last = np.append(seg_first[1:], n) - 1
+        spans = (ts[seg_last] - ts[seg_first]).astype(np.uint64)
+        gaps = np.uint64(w_us + 2)
+        bases = np.zeros(len(seg_first), dtype=np.uint64)
+        np.cumsum(spans[:-1] + gaps, out=bases[1:])
+        if int(bases[-1] + spans[-1]) >= 2 ** 62:    # pragma: no cover
+            lin = None                               # centuries of µs
+        else:
+            lin = (bases[seg_of] + (ts - seg_min[seg_of])
+                   .astype(np.uint64)).astype(np.int64)
+        if lin is not None:
+            left = np.searchsorted(lin, lin - w_us, side="left")
+            right = np.searchsorted(lin, lin, side="right")
+        else:
+            left = np.empty(n, dtype=np.int64)
+            right = np.empty(n, dtype=np.int64)
+            for k in range(len(seg_first)):
+                s, e = seg_first[k], seg_last[k] + 1
+                left[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e] - w_us, side="left")
+                right[s:e] = s + np.searchsorted(
+                    ts[s:e], ts[s:e], side="right")
+        out = g.append_column(
+            "roll_cnt", pa.array((right - left).astype(np.int64)))
+        if value_col is not None:
+            from .window import half_away_cents
+            v = g.column(value_col)
+            vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            cents = half_away_cents(vn)
+            null_mask = np.asarray(pc.is_null(v))
+            if null_mask.any():
+                cents = np.where(null_mask, 0.0, cents)
+            cum = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(cents.astype(np.int64), out=cum[1:])
+            out = out.append_column(
+                "roll_cents", pa.array(cum[right] - cum[left]))
+        return out
+
+    return ds.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("__part").map_groups(per_part, batch_format="pyarrow")

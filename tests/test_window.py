@@ -211,3 +211,55 @@ def test_quantiles_random_vs_duckdb(ray_session, data):
         for q in qs)
     exp = con.execute(sql).fetchdf().sort_values("q")
     assert got.value.tolist() == exp.value.tolist()
+
+
+# --------------------------------------------------- rolling (sliding)
+
+def test_rolling_window_oracle(ray_session):
+    import ray
+    from parquet_rs_ray.ops.temporal import rolling_window
+    ds = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    out = rolling_window(ds, key_col="user_id", ts_col="ts",
+                         value_col="value",
+                         preceding_minutes=30).to_pandas()
+    odf = _oracle(
+        "SELECT event_id, user_id, ts, value, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt, "
+        "CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) "
+        "AS roll_cents FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING "
+        "AND CURRENT ROW)")
+    _cmp(out, odf, ["event_id"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_rolling_window_random_vs_duckdb(ray_session, data):
+    """Random keys/timestamps (ties, negatives, window-boundary exact
+    hits) against DuckDB's RANGE frame."""
+    import duckdb as ddb
+    import ray
+    from parquet_rs_ray.ops.temporal import rolling_window
+    n = data.draw(st.integers(1, 100))
+    # coarse grid makes boundary ties (ts diff exactly == W) likely
+    ts = data.draw(st.lists(st.integers(-20, 20), min_size=n, max_size=n))
+    keys = data.draw(st.lists(st.integers(0, 3), min_size=n, max_size=n))
+    tbl = pa.table({
+        "eid": pa.array(range(n), pa.int64()),
+        "k": pa.array(keys, pa.int64()),
+        "ts": pa.array([t * 60_000_000 for t in ts], pa.timestamp("us")),
+    })
+    out = rolling_window(ray.data.from_arrow(tbl), key_col="k",
+                         ts_col="ts", preceding_minutes=5).to_pandas()
+    con = ddb.connect()
+    con.register("ev", tbl)
+    odf = con.execute(
+        "SELECT eid, k, ts, CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt "
+        "FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts RANGE BETWEEN "
+        "INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW)").fetchdf()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert a.equals(b)
