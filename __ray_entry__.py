@@ -323,6 +323,18 @@ def _quantiles_nchars_documents(sf_dir: str):
                            qs=(0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
 
 
+def _grouped_quantiles_documents(sf_dir: str):
+    """Exact per-lang n_chars quantiles, fully distributed (histogram
+    partials hash-partitioned by group; nothing driver-side —
+    ops/relational.py::grouped_quantiles)."""
+    import ray
+    from parquet_rs_ray.ops.relational import grouped_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, group_col="lang", col="n_chars",
+                             qs=(0.25, 0.5, 0.9))
+
+
 def _ngram_jaccard_blocked_documents(sf_dir: str):
     """Prefix-blocking candidate pairs (deterministic, SQL-expressible
     blocking key: identical first 50 chars) scored with exact word-5-gram
@@ -702,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["audio_features_documents"] = _audio_features_documents
     q["top_terms_documents"] = _top_terms_documents
     q["quantiles_nchars_documents"] = _quantiles_nchars_documents
+    q["grouped_quantiles_documents"] = _grouped_quantiles_documents
     q["window_agg_events"] = _window_agg_events
     q["hopping_window_events"] = _hopping_window_events
     q["top2_orders_per_customer"] = _top2_orders_per_customer
@@ -781,6 +794,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT CAST({q} AS DOUBLE) AS q, "
         f"quantile_disc(n_chars, {q}) AS value FROM documents"
         for q in (0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+    sql["grouped_quantiles_documents"] = " UNION ALL ".join(
+        f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(n_chars, {q}) AS value FROM documents "
+        f"GROUP BY lang" for q in (0.25, 0.5, 0.9))
     sql["ngram_jaccard_blocked_documents"] = (
         "WITH d AS (SELECT doc_id, substr(text,1,50) AS pfx, "
         "regexp_split_to_array(trim(text), '\\s+') AS w0 FROM documents), "

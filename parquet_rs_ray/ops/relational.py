@@ -164,3 +164,70 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9)):
         out_q.append(q)
         out_v.append(vals[idx].as_py())
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def grouped_quantiles(ds, *, group_col: str, col: str,
+                      qs=(0.25, 0.5, 0.75), num_partitions: int | None = None):
+    """EXACT per-group quantiles (``quantile_disc`` semantics), fully
+    distributed — unlike `exact_quantiles` nothing reaches the driver:
+    batches combine to (group, value, cnt) histogram partials map-side,
+    partials hash-partition by GROUP, and each partition resolves all
+    its groups' quantiles in one vectorized pass (segment cumsum +
+    searchsorted per quantile). Returns (group, q, value) rows.
+    Groups whose values are ALL null are omitted (SQL would emit a
+    NULL-valued row for them)."""
+    from .temporal import _default_partitions, _key_part, _new_key_mask
+    P = num_partitions or _default_partitions()
+    qarr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([group_col, col])
+        vcol = t.column(col)
+        if vcol.null_count:
+            t = t.filter(pc.is_valid(vcol))  # quantile_disc skips nulls
+        g = pa.TableGroupBy(t, [group_col, col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(
+            [n if n != "count_all" else "cnt" for n in g.column_names])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column(group_col), P))
+
+    def per_part(group: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(group.drop_columns(["__part"]),
+                            [group_col, col]).aggregate([("cnt", "sum")])
+        t = t.sort_by([(group_col, "ascending"), (col, "ascending")])
+        gtype = t.schema.field(group_col).type
+        vtype = t.schema.field(col).type
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], vtype)})
+        cnt = t.column("cnt_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        new_g = _new_key_mask(t.column(group_col))
+        seg_first = np.flatnonzero(new_g)
+        n_seg = len(seg_first)
+        cum = np.cumsum(cnt)                      # global running count
+        seg_base = np.zeros(n_seg, dtype=np.int64)
+        seg_base[1:] = cum[seg_first[1:] - 1]     # rows before segment
+        seg_end = np.append(seg_first[1:], len(cnt)) - 1
+        seg_n = cum[seg_end] - seg_base           # rows per group
+        # per (group, q): 1-based target rank, then searchsorted into the
+        # group's cumulative counts (global cum minus the segment base)
+        tgt = np.maximum(np.ceil(qarr[None, :] * seg_n[:, None]), 1) \
+            .astype(np.int64)                     # (n_seg, n_q)
+        flat_tgt = (tgt + seg_base[:, None]).ravel()
+        idx = np.searchsorted(cum, flat_tgt, side="left")
+        gidx = np.repeat(seg_first, len(qarr))
+        return pa.table({
+            group_col: t.column(group_col).take(pa.array(gidx)),
+            "q": pa.array(np.tile(qarr, n_seg)),
+            "value": t.column(col).take(pa.array(idx)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("__part").map_groups(per_part, batch_format="pyarrow")

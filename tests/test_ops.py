@@ -722,3 +722,32 @@ def test_audio_features_dataset(ray_session):
     assert len(out) == 20 and (out.rms > 0).all()
     assert set(out.columns) == {"clip_id", "duration_s", "rms", "peak",
                                 "zero_crossing_rate"}
+
+
+def test_grouped_quantiles_oracle_and_nulls(ray_session):
+    import duckdb
+    import ray
+    from parquet_rs_ray.ops.relational import grouped_quantiles
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["lang", "n_chars"])
+    out = grouped_quantiles(ds, group_col="lang", col="n_chars",
+                            qs=(0.25, 0.5, 0.9)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    sql = " UNION ALL ".join(
+        f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(n_chars, {q}) AS value FROM documents "
+        f"GROUP BY lang" for q in (0.25, 0.5, 0.9))
+    odf = con.execute(sql).fetchdf()
+    cols = ["lang", "q", "value"]
+    a = out[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
+    assert a.equals(b)
+    # null values excluded; ties and single-value groups
+    tbl = pa.table({"g": ["a", "a", "a", "b", "b"],
+                    "x": pa.array([5, None, 1, 7, 7], pa.int64())})
+    got = grouped_quantiles(ray.data.from_arrow(tbl), group_col="g",
+                            col="x", qs=(0.5, 1.0)).to_pandas() \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    assert got.value.tolist() == [1, 5, 7, 7]
