@@ -288,11 +288,9 @@ def _audio_features_documents(sf_dir: str):
                                columns=["doc_id", "text"])
 
     def promote(batch: pa.Table) -> pa.Table:
-        # even byte count so the s16le view is exact
-        txt = batch.column("text").cast(pa.binary())
-        clipped = [(v or b"")[: len(v or b"") & ~1] for v in txt.to_pylist()]
+        # odd byte counts are fine: the op drops the trailing half-sample
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "media": pa.array(clipped, pa.binary())})
+                         "media": batch.column("text").cast(pa.binary())})
 
     media = ds.map_batches(promote, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -783,7 +781,7 @@ def oracle_sql() -> dict[str, str]:
         "AND CURRENT ROW)")
     sql["top_terms_documents"] = (
         "WITH w AS (SELECT lang, unnest(list_filter("
-        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "string_split(text, ' '), x -> x <> '')) AS word "
         "FROM documents), "
         "c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt "
         "FROM w GROUP BY lang, word) "
@@ -800,7 +798,7 @@ def oracle_sql() -> dict[str, str]:
         f"GROUP BY lang" for q in (0.25, 0.5, 0.9))
     sql["ngram_jaccard_blocked_documents"] = (
         "WITH d AS (SELECT doc_id, substr(text,1,50) AS pfx, "
-        "regexp_split_to_array(trim(text), '\\s+') AS w0 FROM documents), "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS w0 FROM documents), "
         "dp AS (SELECT doc_id, pfx, CASE WHEN len(w0) < 5 THEN "
         "list_resize(w0, 5, '') ELSE w0 END AS w FROM d "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY pfx ORDER BY doc_id) "

@@ -184,9 +184,18 @@ def _window_fold(wh: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def _words(text: str) -> list[str]:
+    """Space-delimited words, empties dropped — deliberately LITERAL
+    single-space splitting, not str.split()'s Unicode whitespace, so a
+    SQL oracle can reproduce tokenization exactly for ANY input:
+    list_filter(string_split(text, ' '), x -> x <> ''). Identical to
+    whitespace splitting on single-space corpora."""
+    return [w for w in text.split(" ") if w]
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Rolling k-gram (word-level) hashes of one document."""
-    words = text.split()
+    words = _words(text)
     if len(words) < k:
         words = words + [""] * (k - len(words))
     wh = _hash_strings(pa.array(words, pa.string()))
@@ -202,7 +211,7 @@ def _batch_shingles(texts: list[str], k: int = 5):
     all_words: list[str] = []
     counts = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        w = t.split()
+        w = _words(t)
         if len(w) < k:
             w = w + [""] * (k - len(w))
         all_words.extend(w)
@@ -376,7 +385,7 @@ def simhash(texts: list[str], nbits: int = 64) -> np.ndarray:
     all_words: list[str] = []
     counts = np.empty(n, dtype=np.int64)
     for i, t in enumerate(texts):
-        w = t.split()
+        w = _words(t)
         all_words.extend(w)
         counts[i] = len(w)
     if not all_words:

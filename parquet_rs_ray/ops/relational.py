@@ -104,6 +104,20 @@ def distinct_count(ds, col: str):
     return pd.DataFrame({"n_distinct": [int(distinct.count())]})
 
 
+def _grouped_cnt(t: pa.Table, keys: list, agg: str) -> pa.Table:
+    """TableGroupBy with the count/sum column renamed to ``cnt`` — the
+    shared map-side-combine kernel of quantiles and top_terms (one place
+    to change if the merge convention ever does)."""
+    if agg == "count":
+        g = pa.TableGroupBy(t, keys).aggregate([([], "count_all")])
+        src = "count_all"
+    else:
+        g = pa.TableGroupBy(t, keys).aggregate([("cnt", "sum")])
+        src = "cnt_sum"
+    return g.rename_columns(
+        [n if n != src else "cnt" for n in g.column_names])
+
+
 def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9)):
     """EXACT distributed quantiles (SQL ``quantile_disc`` semantics:
     sorted[max(ceil(q·n)−1, 0)], nulls excluded) via a value-count
@@ -136,10 +150,7 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9)):
             "__part", _key_part(batch.column(col), P))
 
     def merge(group: pa.Table) -> pa.Table:
-        t = pa.TableGroupBy(group.drop_columns(["__part"]), [col]) \
-            .aggregate([("cnt", "sum")])
-        return t.rename_columns(
-            [n if n != "cnt_sum" else "cnt" for n in t.column_names])
+        return _grouped_cnt(group.drop_columns(["__part"]), [col], "sum")
 
     hist = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
@@ -185,26 +196,23 @@ def grouped_quantiles(ds, *, group_col: str, col: str,
         vcol = t.column(col)
         if vcol.null_count:
             t = t.filter(pc.is_valid(vcol))  # quantile_disc skips nulls
-        g = pa.TableGroupBy(t, [group_col, col]) \
-            .aggregate([([], "count_all")])
-        return g.rename_columns(
-            [n if n != "count_all" else "cnt" for n in g.column_names])
+        return _grouped_cnt(t, [group_col, col], "count")
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "__part", _key_part(batch.column(group_col), P))
 
     def per_part(group: pa.Table) -> pa.Table:
-        t = pa.TableGroupBy(group.drop_columns(["__part"]),
-                            [group_col, col]).aggregate([("cnt", "sum")])
-        t = t.sort_by([(group_col, "ascending"), (col, "ascending")])
+        t = _grouped_cnt(group.drop_columns(["__part"]),
+                         [group_col, col], "sum") \
+            .sort_by([(group_col, "ascending"), (col, "ascending")])
         gtype = t.schema.field(group_col).type
         vtype = t.schema.field(col).type
         if t.num_rows == 0:
             return pa.table({group_col: pa.array([], gtype),
                              "q": pa.array([], pa.float64()),
                              "value": pa.array([], vtype)})
-        cnt = t.column("cnt_sum").to_numpy(zero_copy_only=False) \
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         new_g = _new_key_mask(t.column(group_col))
         seg_first = np.flatnonzero(new_g)

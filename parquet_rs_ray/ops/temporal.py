@@ -378,7 +378,10 @@ def rolling_window(ds, *, key_col: str, ts_col: str,
     CURRENT ROW)``: for every event, the count (``roll_cnt``) and exact
     integer-cents sum (``roll_cents``, when ``value_col`` is given) of
     same-key events with ts in [ts − W, ts]. RANGE semantics: frame
-    bounds are VALUES, so peers (equal ts) are always included.
+    bounds are VALUES, so peers (equal ts) are always included; NULL-ts
+    rows form their own peer group per key (their frame is exactly the
+    key's NULL rows — SQL NULLS LAST ordering), and a frame whose
+    values are all NULL sums to NULL, exactly as SQL ``SUM() OVER``.
 
     Vectorized with NO per-key loop: rows hash-partition by key, each
     partition sorts by (key, ts) once, then key segments are LINEARIZED
@@ -396,39 +399,28 @@ def rolling_window(ds, *, key_col: str, ts_col: str,
         return batch.append_column(
             "__part", _key_part(batch.column(key_col), P))
 
-    def per_part(group: pa.Table) -> pa.Table:
-        g = group.drop_columns(["__part"])
-        tcol = g.column(ts_col)
-        if tcol.null_count:
-            g = g.filter(pc.is_valid(tcol))  # unknown time has no frame
-        g = g.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+    def roll_frames(g: pa.Table) -> pa.Table:
+        """Frames for a sorted (key, ts) table with NO null ts."""
         n = g.num_rows
-        if n == 0:
-            out = g.append_column("roll_cnt", pa.array([], pa.int64()))
-            if value_col is not None:
-                out = out.append_column("roll_cents",
-                                        pa.array([], pa.int64()))
-            return out
         ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         new_key = _new_key_mask(g.column(key_col))
         seg_first = np.flatnonzero(new_key)          # segment start rows
         seg_of = np.cumsum(new_key) - 1              # segment id per row
         seg_min = ts[seg_first]                      # sorted: first = min
         seg_last = np.append(seg_first[1:], n) - 1
-        spans = (ts[seg_last] - ts[seg_first]).astype(np.uint64)
-        gaps = np.uint64(w_us + 2)
-        bases = np.zeros(len(seg_first), dtype=np.uint64)
-        np.cumsum(spans[:-1] + gaps, out=bases[1:])
-        if int(bases[-1] + spans[-1]) >= 2 ** 62:    # pragma: no cover
-            lin = None                               # centuries of µs
-        else:
+        spans = (ts[seg_last] - ts[seg_first]).astype(np.float64)
+        # overflow guard BEFORE any uint64 cumsum — a wrapped cumsum can
+        # land back under the limit and silently corrupt the axis
+        if spans.sum() + len(seg_first) * (w_us + 2) < 2.0 ** 62:
+            su = spans.astype(np.uint64)
+            bases = np.zeros(len(seg_first), dtype=np.uint64)
+            np.cumsum(su[:-1] + np.uint64(w_us + 2), out=bases[1:])
             lin = (bases[seg_of] + (ts - seg_min[seg_of])
                    .astype(np.uint64)).astype(np.int64)
-        if lin is not None:
             left = np.searchsorted(lin, lin - w_us, side="left")
             right = np.searchsorted(lin, lin, side="right")
-        else:
-            left = np.empty(n, dtype=np.int64)
+        else:                                        # pragma: no cover
+            left = np.empty(n, dtype=np.int64)       # centuries of µs
             right = np.empty(n, dtype=np.int64)
             for k in range(len(seg_first)):
                 s, e = seg_first[k], seg_last[k] + 1
@@ -436,21 +428,53 @@ def rolling_window(ds, *, key_col: str, ts_col: str,
                     ts[s:e], ts[s:e] - w_us, side="left")
                 right[s:e] = s + np.searchsorted(
                     ts[s:e], ts[s:e], side="right")
+        return _attach_roll(g, left, right)
+
+    def null_frames(g: pa.Table) -> pa.Table:
+        """Frames for the NULL-ts rows (sorted by key): each row's frame
+        is its key's whole NULL run."""
+        n = g.num_rows
+        new_key = _new_key_mask(g.column(key_col))
+        seg_first = np.flatnonzero(new_key)
+        seg_of = np.cumsum(new_key) - 1
+        seg_end = np.append(seg_first[1:], n)
+        return _attach_roll(g, seg_first[seg_of], seg_end[seg_of])
+
+    def _attach_roll(g, left, right):
         out = g.append_column(
             "roll_cnt", pa.array((right - left).astype(np.int64)))
-        if value_col is not None:
-            from .window import half_away_cents
-            v = g.column(value_col)
-            vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
-            cents = half_away_cents(vn)
-            null_mask = np.asarray(pc.is_null(v))
-            if null_mask.any():
-                cents = np.where(null_mask, 0.0, cents)
-            cum = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(cents.astype(np.int64), out=cum[1:])
-            out = out.append_column(
-                "roll_cents", pa.array(cum[right] - cum[left]))
-        return out
+        if value_col is None:
+            return out
+        from .window import half_away_cents
+        n = g.num_rows
+        v = g.column(value_col)
+        vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        cents = half_away_cents(vn)
+        null_mask = np.asarray(pc.is_null(v)) if n else \
+            np.zeros(0, dtype=bool)
+        if null_mask.any():
+            cents = np.where(null_mask, 0.0, cents)
+        cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cents.astype(np.int64), out=cum[1:])
+        cumnn = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum((~null_mask).astype(np.int64), out=cumnn[1:])
+        # SQL SUM over an all-NULL frame is NULL, not 0
+        all_null = (cumnn[right] - cumnn[left]) == 0
+        return out.append_column(
+            "roll_cents", pa.array(cum[right] - cum[left], mask=all_null))
+
+    def per_part(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__part"]) \
+            .sort_by([(key_col, "ascending"), (ts_col, "ascending")])
+        tcol = g.column(ts_col)
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        if tcol.null_count:
+            valid = pc.is_valid(tcol)
+            parts = [roll_frames(g.filter(valid)),
+                     null_frames(g.filter(pc.invert(valid)))]
+            return pa.concat_tables([p for p in parts if p.num_rows])
+        return roll_frames(g)
 
     return ds.map_batches(add_part, batch_format="pyarrow",
                           zero_copy_batch=True) \

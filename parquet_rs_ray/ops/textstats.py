@@ -45,11 +45,13 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def _split_words(txt: pa.ChunkedArray | pa.Array):
-    """Whitespace word-split as a list array + flat helpers:
+    """Space-delimited word-split as a list array + flat helpers:
     (flat lowercase words, per-doc word counts, doc index per word)."""
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
-    words = pc.utf8_split_whitespace(txt)
+    # literal single-space split (not Unicode whitespace): SQL can
+    # reproduce it exactly — list_filter(string_split(text, ' '), ...)
+    words = pc.split_pattern(txt, " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     counts = pc.list_value_length(words).fill_null(0) \
@@ -194,22 +196,19 @@ def top_terms(ds, *, text_col: str = "text", group_col: str = "lang",
         grp = batch.column(group_col)
         if isinstance(grp, pa.ChunkedArray):
             grp = grp.combine_chunks()
-        t = pa.table({group_col: grp.take(pa.array(doc_idx)),
-                      "word": flat})
-        c = pa.TableGroupBy(t, [group_col, "word"]) \
-            .aggregate([([], "count_all")])
-        return c.rename_columns(
-            [n if n != "count_all" else "cnt" for n in c.column_names])
+        from .relational import _grouped_cnt
+        return _grouped_cnt(
+            pa.table({group_col: grp.take(pa.array(doc_idx)),
+                      "word": flat}), [group_col, "word"], "count")
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "__part", _key_part(batch.column("word"), P))
 
     def merge(group: pa.Table) -> pa.Table:
-        t = pa.TableGroupBy(group.drop_columns(["__part"]),
-                            [group_col, "word"]).aggregate([("cnt", "sum")])
-        return t.rename_columns(
-            [n if n != "cnt_sum" else "cnt" for n in t.column_names])
+        from .relational import _grouped_cnt
+        return _grouped_cnt(group.drop_columns(["__part"]),
+                            [group_col, "word"], "sum")
 
     merged = ds.map_batches(partial, batch_format="pyarrow",
                             zero_copy_batch=True) \

@@ -484,7 +484,8 @@ def test_textstats_vectorized_equals_per_doc_reference():
     punct_re = _re.compile(r"[^\w\s]", _re.ASCII)
     all_stop = set().union(*textstats._STOPWORDS.values())
     for i, t in enumerate(texts):
-        words = t.split()
+        # the op's contract: LITERAL space split (SQL-reproducible)
+        words = [w for w in t.split(" ") if w]
         n_words = float(len(words))
         mean_wl = np.mean([len(x) for x in words]) if words else 0.0
         punct = float(len(punct_re.findall(t)))
@@ -496,7 +497,8 @@ def test_textstats_vectorized_equals_per_doc_reference():
                  + np.clip(1 - punct / max(len(t), 1) * 5, 0, 1) * 0.2)
         assert got_q.iloc[i]["quality_score"] == pytest.approx(
             round(float(score), 6), abs=2e-6), (i, t[:40])
-        wset = set(w.lower() for w in t.split()[:200])
+        wset = set(w.lower() for w in
+                   [x for x in t.split(" ") if x][:200])
         best, best_n = "unknown", 0
         for lang, prof in textstats._STOPWORDS.items():
             hits = len(wset & prof)
@@ -652,7 +654,7 @@ def test_top_terms_oracle(ray_session):
                 f"FROM '{SF}/documents.parquet'")
     odf = con.execute(
         "WITH w AS (SELECT lang, unnest(list_filter("
-        "regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word "
+        "string_split(text, ' '), x -> x <> '')) AS word "
         "FROM documents), "
         "c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt "
         "FROM w GROUP BY lang, word) "
