@@ -166,6 +166,14 @@ def run_bench(num_cpus: int) -> dict:
             ts_col="ts", key_col="event_type", value_col="value",
             width_minutes=60, hop_minutes=15).count())
 
+    from parquet_rs_ray.ops.temporal import rolling_window
+    queries["rolling_window_events"] = _timed(
+        lambda: rolling_window(
+            ray.data.read_parquet(f"{SF_DIR}/events.parquet",
+                                  columns=["user_id", "ts", "value"]),
+            key_col="user_id", ts_col="ts", value_col="value",
+            preceding_minutes=30).count())
+
     queries["asof_join_events"] = _timed(
         lambda: asof_join(
             ray.data.read_parquet(
