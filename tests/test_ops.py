@@ -753,3 +753,51 @@ def test_grouped_quantiles_oracle_and_nulls(ray_session):
                             col="x", qs=(0.5, 1.0)).to_pandas() \
         .sort_values(["g", "q"]).reset_index(drop=True)
     assert got.value.tolist() == [1, 5, 7, 7]
+
+
+def test_prefix_block_max_bucket_matches_capped_oracle(ray_session):
+    """Bucket truncation keeps the max_bucket SMALLEST keys — exactly
+    the oracle's QUALIFY row_number() OVER (ORDER BY doc_id) <= cap."""
+    import duckdb
+    import ray
+    head = "Z" * 60
+    tbl = pa.table({"doc_id": pa.array([9, 3, 7, 1, 5], pa.int64()),
+                    "text": pa.array([head + str(i) for i in range(5)],
+                                     pa.string())})
+    pairs = dedup.prefix_block_pairs(ray.data.from_arrow(tbl),
+                                     prefix_len=50, max_bucket=3) \
+        .to_pandas()
+    got = sorted(map(tuple, pairs[["a", "b"]].values.tolist()))
+    assert got == [(1, 3), (1, 5), (3, 5)]  # 3 smallest keys only
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    odf = con.execute(
+        "WITH d AS (SELECT doc_id, substr(text,1,50) AS pfx FROM documents "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY pfx ORDER BY doc_id) <= 3) "
+        "SELECT a.doc_id AS a, b.doc_id AS b FROM d a JOIN d b "
+        "ON a.pfx = b.pfx AND b.doc_id > a.doc_id").fetchdf()
+    assert sorted(map(tuple, odf[["a", "b"]].values.tolist())) == got
+
+
+def test_rolling_window_hot_key(ray_session):
+    """One key owning 50% of rows must not degrade: the partition pass
+    is one vectorized searchsorted regardless of key distribution."""
+    import ray
+    from parquet_rs_ray.ops.temporal import rolling_window
+    rng = np.random.default_rng(7)
+    n = 200_000
+    hot = rng.integers(0, 2, n).astype(bool)
+    keys = np.where(hot, 0, rng.integers(1, 2000, n)).astype(np.int64)
+    ts = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+    tbl = pa.table({"k": pa.array(keys),
+                    "ts": pa.array(ts, pa.timestamp("us"))})
+    ds = ray.data.from_arrow([tbl.slice(s, 20_000)
+                              for s in range(0, n, 20_000)])
+    out = rolling_window(ds, key_col="k", ts_col="ts",
+                         preceding_minutes=1)
+    assert out.count() == n
+    # the hot key's counts are self-consistent: at least 1, at most its
+    # total row count
+    hot_rows = out.filter(lambda r: r["k"] == 0).to_pandas()
+    assert (hot_rows.roll_cnt >= 1).all()
+    assert hot_rows.roll_cnt.max() <= len(hot_rows)
