@@ -322,21 +322,28 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text",
         batch_format="pyarrow", concurrency=concurrency)
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
-        # vectorized upper-triangle emission: no Python per-pair loop
-        keys = np.sort(np.asarray(
-            batch.column("key").to_numpy(zero_copy_only=False)))[:max_bucket]
-        n = len(keys)
-        if n < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(n, 1)
-        return pa.table({"a": pa.array(keys[ii], pa.int64()),
-                         "b": pa.array(keys[jj], pa.int64())})
+        return _bucket_pairs(
+            batch.column("key").to_numpy(zero_copy_only=False), max_bucket)
 
     pairs = buckets.groupby(["band", "bucket"]).map_groups(
         emit_pairs, batch_format="pyarrow")
     # distinct pairs (a pair can fire in several bands)
     return _distinct_pairs(pairs)
+
+
+def _bucket_pairs(keys: np.ndarray, max_bucket: int) -> pa.Table:
+    """All (a < b) pairs among a bucket's keys — sorted, truncated to the
+    ``max_bucket`` SMALLEST keys (= the oracle's row_number()-capped
+    form), vectorized triu emission. THE one pair-emission kernel
+    (minhash LSH + prefix blocking)."""
+    keys = np.sort(np.asarray(keys))[:max_bucket]
+    n = len(keys)
+    if n < 2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    ii, jj = np.triu_indices(n, 1)
+    return pa.table({"a": pa.array(keys[ii], pa.int64()),
+                     "b": pa.array(keys[jj], pa.int64())})
 
 
 def _distinct_pairs(pairs, *, num_partitions: int = 64, extra_cols=()):
@@ -597,12 +604,8 @@ def prefix_block_pairs(ds, *, text_col: str = "text",
         return pa.table({"__pfx": pfx, "__k": batch.column(key_col)})
 
     def emit(group: pa.Table) -> pa.Table:
-        keys = np.sort(group.column("__k").to_numpy(zero_copy_only=False))
-        if len(keys) > max_bucket:
-            keys = keys[:max_bucket]
-        ii, jj = np.triu_indices(len(keys), 1)
-        return pa.table({"a": pa.array(keys[ii], pa.int64()),
-                         "b": pa.array(keys[jj], pa.int64())})
+        return _bucket_pairs(
+            group.column("__k").to_numpy(zero_copy_only=False), max_bucket)
 
     pairs = ds.map_batches(sig, batch_format="pyarrow",
                            zero_copy_batch=True) \
@@ -617,9 +620,16 @@ def ngram_jaccard_pairs(pairs, ds, *, text_col: str = "text",
     fully distributed: texts are attached via hash joins (semi-join
     reduced — see `_attach_pair_texts`), scoring is a vectorized
     map_batches stage. Returns (a, b, jaccard)."""
+    import ray
     num_partitions = _join_partitions(num_partitions)
     # consumed twice (candidate-key derivation + the text joins)
     pairs = pairs.materialize()
+    if pairs.count() == 0:
+        # same guard as near_dedup: an empty pairs dataset strips the
+        # join-key schema from the empty cand_keys side and the join errors
+        return ray.data.from_arrow(pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
 
     def score(batch: pa.Table) -> pa.Table:
         sims = pair_jaccard(batch.column("text_a").to_pylist(),

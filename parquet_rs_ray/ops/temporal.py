@@ -39,9 +39,12 @@ def _key_part(arr, num_partitions: int) -> pa.Array:
     if pa.types.is_integer(arr.type):
         h = splitmix64(int_column_u64(arr))
     else:
+        # cast FIRST: fill_null("") on a non-string array (float,
+        # timestamp, bool) raises; on the string cast it always works
+        arr = arr.cast(pa.string())
         if arr.null_count:
             arr = arr.fill_null("")
-        h = _hash_strings(arr.cast(pa.string()))
+        h = _hash_strings(arr)
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32))
 
 
@@ -402,16 +405,22 @@ def rolling_window(ds, *, key_col: str, ts_col: str,
     def roll_frames(g: pa.Table) -> pa.Table:
         """Frames for a sorted (key, ts) table with NO null ts."""
         n = g.num_rows
+        if n == 0:
+            return _attach_roll(g, np.zeros(0, np.int64),
+                                np.zeros(0, np.int64))
         ts = g.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         new_key = _new_key_mask(g.column(key_col))
         seg_first = np.flatnonzero(new_key)          # segment start rows
         seg_of = np.cumsum(new_key) - 1              # segment id per row
         seg_min = ts[seg_first]                      # sorted: first = min
         seg_last = np.append(seg_first[1:], n) - 1
-        spans = (ts[seg_last] - ts[seg_first]).astype(np.float64)
-        # overflow guard BEFORE any uint64 cumsum — a wrapped cumsum can
-        # land back under the limit and silently corrupt the axis
-        if spans.sum() + len(seg_first) * (w_us + 2) < 2.0 ** 62:
+        spans = ts[seg_last] - ts[seg_first]         # exact int64
+        # overflow guard (float is fine for the GUARD, never the axis:
+        # float spans would round near 2^53 and shrink inter-segment
+        # gaps) BEFORE any uint64 cumsum — a wrapped cumsum can land
+        # back under the limit and silently corrupt the axis
+        if spans.astype(np.float64).sum() \
+                + len(seg_first) * (w_us + 2) < 2.0 ** 62:
             su = spans.astype(np.uint64)
             bases = np.zeros(len(seg_first), dtype=np.uint64)
             np.cumsum(su[:-1] + np.uint64(w_us + 2), out=bases[1:])

@@ -70,7 +70,8 @@ def _split_words(txt: pa.ChunkedArray | pa.Array):
 
 class QualityScorer:
     """Stateful scorer: stopword value-set + Arrow kernels per actor.
-    Fully vectorized — utf8_split_whitespace / count_substring_regex /
+    Fully vectorized — literal-space split_pattern (see _split_words:
+    SQL-reproducible tokenization) / count_substring_regex /
     is_in + np.add.reduceat; no Python loop over documents. (re2's \\w
     is ASCII; equivalent to Python's on the ASCII web corpus.)"""
 
@@ -176,7 +177,7 @@ def fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def top_terms(ds, *, text_col: str = "text", group_col: str = "lang",
               k: int = 10, num_partitions: int | None = None):
-    """Top-k most frequent whitespace words per group (≙ SQL unnest +
+    """Top-k most frequent space-delimited words per group (≙ SQL unnest +
     GROUP BY + QUALIFY row_number).
 
     Scale shape: the word explosion never leaves the map task — each

@@ -36,13 +36,14 @@ _US_PER_MIN = 60_000_000
 
 # output/internal column names an aggregate stage owns — user key/value
 # columns must not collide with them (windowed_agg validates)
-_RESERVED = ("__hb", "__ws", "__part", "window_start", "n_events",
-             "value_cents", "value_min", "value_max")
+_RESERVED = ("__hb", "__ws", "__part", "__nn", "window_start",
+             "n_events", "value_cents", "value_min", "value_max")
 
 # TableGroupBy appends the agg name; this is the exact (and only)
 # rename set — suffix guessing would mangle user columns like "bytes_sum"
 _AGG_RENAME = {"n_events_sum": "n_events", "value_cents_sum": "value_cents",
-               "value_min_min": "value_min", "value_max_max": "value_max"}
+               "value_min_min": "value_min", "value_max_max": "value_max",
+               "__nn_sum": "__nn"}
 
 
 def half_away_cents(values: np.ndarray) -> np.ndarray:
@@ -59,7 +60,7 @@ def _merge_aggs(value_col: str | None):
     aggs = [("n_events", "sum")]
     if value_col is not None:
         aggs += [("value_cents", "sum"), ("value_min", "min"),
-                 ("value_max", "max")]
+                 ("value_max", "max"), ("__nn", "sum")]
     return aggs
 
 
@@ -123,6 +124,9 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
             # SUM/MIN/MAX ignore nulls: contribute 0 cents / ±inf
             null_mask = np.asarray(pc.is_null(v))
             if null_mask.any():
+                # ±inf/0 identities make Arrow's grouped aggs skip
+                # nulls; __nn tracks non-null counts so all-NULL
+                # windows surface as SQL NULL, not the identities
                 cents = np.where(null_mask, 0.0, cents)
                 cols["value_min"] = pa.array(
                     np.where(null_mask, np.inf, vn))
@@ -132,6 +136,8 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
                 cols["value_min"] = pa.array(vn)
                 cols["value_max"] = pa.array(vn)
             cols["value_cents"] = pa.array(cents.astype(np.int64))
+            cols["__nn"] = pa.array(
+                (~null_mask).astype(np.int64))
         t = pa.table(cols)
         return _rename_grouped(
             pa.TableGroupBy(t, keys).aggregate(_merge_aggs(value_col)))
@@ -159,6 +165,17 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
         t = _rename_grouped(
             pa.TableGroupBy(group.drop_columns(["__part"]), gkeys)
             .aggregate(_merge_aggs(value_col)))
+        if value_col is not None:
+            # all-NULL window: SQL SUM/MIN/MAX return NULL, not the
+            # aggregation identities (0 / +inf / -inf)
+            nn0 = np.asarray(pc.equal(t.column("__nn"), 0))
+            if nn0.any():
+                for name in ("value_cents", "value_min", "value_max"):
+                    vals = t.column(name).to_numpy(zero_copy_only=False)
+                    t = t.set_column(
+                        t.column_names.index(name), name,
+                        pa.array(vals, mask=nn0))
+            t = t.drop_columns(["__nn"])
         ws = t.column("__ws").cast(pa.timestamp("us"))
         return t.drop_columns(["__ws"]).append_column("window_start", ws)
 

@@ -74,8 +74,9 @@ def test_window_no_key_and_count_only(ray_session):
 
 def test_window_nulls_and_negative_ts(ray_session):
     """Null ts rows are dropped; null values ignored by sum/min/max;
-    pre-epoch timestamps floor toward -inf (window containing, not
-    truncation toward zero)."""
+    an ALL-null window yields SQL NULL (not identities); pre-epoch
+    timestamps floor toward -inf (window containing, not truncation
+    toward zero)."""
     import ray
     ts = pa.array([-90 * 60_000_000, -30 * 60_000_000, 30 * 60_000_000,
                    None], pa.timestamp("us"))
@@ -87,8 +88,10 @@ def test_window_nulls_and_negative_ts(ray_session):
     starts = (out["window_start"].astype("int64") // 60_000_000).tolist()
     assert starts == [-120, -60, 0]
     assert out["n_events"].tolist() == [1, 1, 1]
-    assert out["value_cents"].tolist() == [125, 0, 350]
-    assert np.isinf(out["value_min"][1])  # all-null window: identity
+    assert out["value_cents"][0] == 125 and out["value_cents"][2] == 350
+    # all-null window: SQL SUM/MIN/MAX are NULL, never 0 / +inf / -inf
+    assert out["value_cents"].isna()[1]
+    assert out["value_min"].isna()[1] and out["value_max"].isna()[1]
 
 
 def test_window_hop_must_divide_width(ray_session):
@@ -147,7 +150,8 @@ def test_window_random_events_vs_duckdb(ray_session, data):
     rng_ts = data.draw(st.lists(
         st.integers(-10**9, 10**9), min_size=n, max_size=n))
     vals = data.draw(st.lists(
-        st.floats(-1e4, 1e4, allow_nan=False, width=32),
+        st.one_of(st.none(),
+                  st.floats(-1e4, 1e4, allow_nan=False, width=32)),
         min_size=n, max_size=n))
     keys = data.draw(st.lists(st.sampled_from(["a", "b", "c"]),
                               min_size=n, max_size=n))
@@ -155,8 +159,9 @@ def test_window_random_events_vs_duckdb(ray_session, data):
     # -0.0 excluded: windowed_agg canonicalizes signed zeros (+0.0) while
     # DuckDB MIN orders -0.0 < 0.0 — a representation detail, not a value
     tbl = pa.table({"ts": pa.array(rng_ts, pa.timestamp("us")),
-                    "value": pa.array([float(v) + 0.0 for v in vals],
-                                      pa.float64()),
+                    "value": pa.array(
+                        [None if v is None else float(v) + 0.0
+                         for v in vals], pa.float64()),
                     "k": pa.array(keys, pa.string())})
     out = windowed_agg(ray.data.from_arrow(tbl), ts_col="ts", key_col="k",
                        value_col="value", width_minutes=10,
