@@ -120,3 +120,19 @@ def test_dictionary_typed_input_roundtrip():
                                n_cols=1)
     got = pa.concat_arrays([decode_page_row(r) for r in rows])
     assert got.to_pylist() == col.to_pylist()
+
+
+def test_dictionary_typed_input_roundtrips(ray_session):
+    """pa.dictionary input columns encode and come back as their VALUE
+    type (dictionary is an encoding, not a logical type — same stance
+    as Parquet itself); values byte-identical."""
+    import ray
+    from parquet_rs_ray.pipeline import roundtrip
+    tbl = pa.table({
+        "id": pa.array(range(100), pa.int64()),
+        "cat": pa.array(["a", "b", "c", "a"] * 25,
+                        pa.string()).dictionary_encode(),
+    })
+    out = roundtrip(ray.data.from_arrow(tbl), concurrency=2).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert out["cat"].tolist() == tbl.column("cat").to_pylist()
