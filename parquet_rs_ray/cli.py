@@ -154,6 +154,11 @@ def main(argv: list[str] | None = None) -> int:
     p_dec.add_argument("--out", default=None,
                        help="write decoded parquet here (else count rows)")
 
+    p_cmp = sub.add_parser("compact",
+                           help="merge small container files")
+    p_cmp.add_argument("encoded_dir")
+    p_cmp.add_argument("--target-mb", type=int, default=256)
+
     args = ap.parse_args(argv)
     try:
         if args.cmd == "read":
@@ -166,6 +171,13 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_encode(args.inputs, args.out_dir, bc, args.concurrency)
         if args.cmd == "decode":
             return cmd_decode(args.encoded_dir, args.out)
+        if args.cmd == "compact":
+            _ray()
+            from .job import compact_job
+            print(json.dumps(compact_job(
+                args.encoded_dir,
+                target_file_bytes=args.target_mb << 20)))
+            return 0
         return cmd_inspect(args.encoded_dir)
     finally:
         # the CLI owns its Ray session (driver contract: library never

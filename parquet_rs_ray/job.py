@@ -282,3 +282,113 @@ def decode_job(out_dir: str, *, columns=None, predicate=None):
         eds = ray.data.read_parquet(files, override_num_blocks=max(nb, 1))
     from .pipeline import decode_dataset
     return decode_dataset(eds, columns=columns, predicate=predicate)
+
+
+class _CompactActor:
+    """Merge several shards' container files into one container per bin —
+    row groups (= encoded blocks) copied verbatim, so block checksums,
+    page payloads and the block=row-group invariant are all preserved."""
+
+    def __init__(self, data_dir: str):
+        self.data_dir = data_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for bin_json in batch.column("bin_json").to_pylist():
+            files = json.loads(bin_json)
+            container = _BlockContainer(self.data_dir)
+            shard_blocks: Counter = Counter()
+            for src in files:
+                pf = pq.ParquetFile(src)
+                for rg in range(pf.metadata.num_row_groups):
+                    block = pf.read_row_group(rg)
+                    container.append_block(block)
+                    shard_blocks[block.column("path")[0].as_py()] += 1
+            container.close()
+            out.extend({"shard": s, "new_file": container.final,
+                        "n_blocks": nb}
+                       for s, nb in shard_blocks.items())
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [("shard", pa.string()), ("new_file", pa.string()),
+             ("n_blocks", pa.int64())]))
+
+
+def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
+                concurrency=(1, 8)) -> dict:
+    """Merge small container files into ~``target_file_bytes`` ones —
+    the maintenance pass a long-lived 100 TB layout needs (many small
+    shards → many small containers → filesystem-metadata pressure and
+    tiny reads). Row groups are copied verbatim (block payloads,
+    checksums and the one-row-group-per-block invariant unchanged), the
+    new containers are committed atomically, every affected manifest
+    entry is rewritten to point at its new container, and only then are
+    source files deleted — a crash mid-compaction leaves a decodable
+    manifest at every step (at worst both old and new containers exist).
+    Resume/idempotence: re-running finds nothing left to merge."""
+    import ray
+
+    manifest_dir = os.path.join(out_dir, "manifest")
+    entries = manifest.load(manifest_dir)
+    # group shards by their (single, post-encode) container file set
+    file_shards: dict[str, list[str]] = defaultdict(list)
+    file_bytes: dict[str, int] = {}
+    for shard, e in entries.items():
+        files = sorted({f for f in json.loads(e["output"]) if f})
+        for f in files:
+            file_shards[f].append(shard)
+            file_bytes[f] = file_bytes.get(f) or (
+                os.path.getsize(f) if os.path.exists(f) else 0)
+    # greedy size bins over files smaller than the target
+    small = sorted(f for f, b in file_bytes.items()
+                   if b < target_file_bytes)
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for f in small:
+        if cur and cur_b + file_bytes[f] > target_file_bytes:
+            bins.append(cur)
+            cur, cur_b = [], 0
+        cur.append(f)
+        cur_b += file_bytes[f]
+    if cur:
+        bins.append(cur)
+    bins = [b for b in bins if len(b) > 1]  # singletons: nothing to gain
+    summary = {"bins": len(bins),
+               "files_before": len(file_bytes), "files_merged": 0}
+    if not bins:
+        return summary
+
+    ds = ray.data.from_items(
+        [{"bin_json": json.dumps(b)} for b in bins],
+        override_num_blocks=len(bins))
+    moved = ds.map_batches(
+        _CompactActor,
+        fn_constructor_kwargs={"data_dir": os.path.join(out_dir, "data")},
+        batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency)
+
+    # rewrite each affected shard's manifest entry (atomic per entry)
+    for row in moved.iter_rows():
+        e = entries[row["shard"]]
+        old_list = json.loads(e["output"])
+        n_data = len([f for f in old_list if f])
+        assert n_data == row["n_blocks"], \
+            f"block count changed in compaction for {row['shard']}"
+        manifest.record(
+            manifest_dir, row["shard"],
+            output_path=json.dumps([row["new_file"]] * n_data),
+            rows=e["rows"], plain_bytes=e["plain_bytes"],
+            encoded_bytes=e["encoded_bytes"], codecs=e["codecs"],
+            checksum=e["checksum"])
+
+    # delete sources only once NO entry references them anymore
+    still_used = set()
+    for e in manifest.load(manifest_dir).values():
+        still_used.update(f for f in json.loads(e["output"]) if f)
+    for b in bins:
+        for f in b:
+            if f not in still_used and os.path.exists(f):
+                os.remove(f)
+                summary["files_merged"] += 1
+    summary["files_after"] = len(committed_block_files(out_dir))
+    return summary

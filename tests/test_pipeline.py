@@ -332,3 +332,40 @@ def test_encode_job_empty_shard_commits(ray_session, tmp_path):
     assert s2["shards_encoded"] == 0 and s2["shards_skipped"] == 3
     # decode sees exactly the non-empty rows
     assert decode_job(out_dir).count() == 400
+
+
+def test_compact_job_merges_and_stays_decodable(ray_session, tmp_path):
+    """Compaction merges small containers, preserves every block verbatim
+    (decode equality + checksums), rewrites the manifest atomically, and
+    is idempotent; resume still skips all shards."""
+    from parquet_rs_ray.job import (committed_block_files, compact_job,
+                                    decode_job, encode_job)
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=150,
+                             n_shards=6)
+    out_dir = str(tmp_path / "encoded")
+    encode_job(paths, out_dir, concurrency=2)
+    before_files = committed_block_files(out_dir)
+    assert len(before_files) == 6  # one container per shard
+    exp = decode_job(out_dir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+
+    s = compact_job(out_dir, target_file_bytes=1 << 30)
+    after_files = committed_block_files(out_dir)
+    assert len(after_files) < len(before_files)
+    assert s["files_merged"] == 6
+    for f in before_files:  # sources gone, new containers exist
+        assert not os.path.exists(f)
+    for f in after_files:
+        assert os.path.exists(f)
+
+    got = decode_job(out_dir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert got.equals(exp)
+    # resume: all shards still committed
+    s2 = encode_job(paths, out_dir, concurrency=2)
+    assert s2["shards_encoded"] == 0 and s2["shards_skipped"] == 6
+    # idempotent: nothing left to merge
+    s3 = compact_job(out_dir, target_file_bytes=1 << 30)
+    assert s3["bins"] == 0 or s3["files_merged"] == 0
