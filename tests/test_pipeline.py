@@ -369,3 +369,26 @@ def test_compact_job_merges_and_stays_decodable(ray_session, tmp_path):
     # idempotent: nothing left to merge
     s3 = compact_job(out_dir, target_file_bytes=1 << 30)
     assert s3["bins"] == 0 or s3["files_merged"] == 0
+
+
+def test_compact_job_multi_stage(ray_session, tmp_path):
+    """Re-compacting already-merged containers (multi-shard files) keeps
+    decode equality — shard attribution comes from the blocks' path
+    column, not file naming."""
+    from parquet_rs_ray.job import (committed_block_files, compact_job,
+                                    decode_job, encode_job)
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=120,
+                             n_shards=8)
+    out = str(tmp_path / "enc")
+    encode_job(paths, out, concurrency=2)
+    exp = decode_job(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    s1 = compact_job(out, target_file_bytes=400_000)
+    assert 1 < len(committed_block_files(out)) < 8 and s1["files_merged"]
+    s2 = compact_job(out, target_file_bytes=1 << 30)
+    assert len(committed_block_files(out)) == 1 and s2["files_merged"]
+    got = decode_job(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert got.equals(exp)
