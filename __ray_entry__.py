@@ -321,6 +321,27 @@ def _quantiles_nchars_documents(sf_dir: str):
                            qs=(0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
 
 
+def _cms_heavy_words_documents(sf_dir: str):
+    """Approximate heavy-hitter words via a mergeable count-min sketch —
+    the bounded-memory regime for unbounded vocabularies (exact
+    top_terms shuffles one row per distinct word; the sketch ships a
+    fixed 512 KiB matrix per batch regardless). Rows-only (approximate
+    by nature; recall vs the exact counter is test-pinned)."""
+    import pyarrow as pa
+    import ray
+    from parquet_rs_ray.ops.sketch import cms_topk
+    from parquet_rs_ray.ops.textstats import _split_words
+
+    def words(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _split_words(batch.column("text"))
+        return pa.table({"w": flat})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"]) \
+        .map_batches(words, batch_format="pyarrow", zero_copy_batch=True)
+    return cms_topk(ds, "w", k=20)
+
+
 def _grouped_quantiles_documents(sf_dir: str):
     """Exact per-lang n_chars quantiles, fully distributed (histogram
     partials hash-partitioned by group; nothing driver-side —
@@ -713,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_terms_documents"] = _top_terms_documents
     q["quantiles_nchars_documents"] = _quantiles_nchars_documents
     q["grouped_quantiles_documents"] = _grouped_quantiles_documents
+    q["cms_heavy_words_documents"] = _cms_heavy_words_documents
     q["window_agg_events"] = _window_agg_events
     q["hopping_window_events"] = _hopping_window_events
     q["top2_orders_per_customer"] = _top2_orders_per_customer

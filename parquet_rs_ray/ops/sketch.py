@@ -87,3 +87,91 @@ def hll_distinct(ds, col: str):
         for r in b.column("regs").to_pylist():  # tiny: 4 KiB per batch
             merged = np.maximum(merged, np.asarray(r, dtype=np.uint8))
     return pd.DataFrame({"approx_distinct": [int(round(_estimate(merged)))]})
+
+
+# ------------------------------------------------------- count-min sketch
+
+_CMS_D = 4                    # depth: P(overcount > eps) <= e^-4 ≈ 1.8%
+_CMS_W = 1 << 14              # width: eps ≈ e/16384 ≈ 0.017% of total
+
+
+def _cms_rows(h: np.ndarray) -> np.ndarray:
+    """(d, n) row indices into the width-W counter rows — d pairwise-
+    independent views of one 64-bit hash (seeded splitmix re-mix)."""
+    from .dedup import splitmix64
+    idx = np.empty((_CMS_D, len(h)), dtype=np.int64)
+    for d in range(_CMS_D):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (d + 1))
+                         & 0xFFFFFFFFFFFFFFFF)
+        idx[d] = (splitmix64(h ^ seed)
+                  % np.uint64(_CMS_W)).astype(np.int64)
+    return idx
+
+
+def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
+    """Approximate heavy hitters with BOUNDED memory: a count-min sketch
+    (d×W int64 ≈ 512 KiB) plus each batch's exact local top candidates.
+
+    Scale shape — the unbounded-vocabulary regime `top_terms` cannot
+    enter: exact grouped counting shuffles one row per distinct value;
+    at web scale (billions of distinct tokens) that IS the data. Here
+    each batch emits its sketch matrix + ≤``candidates_per_batch``
+    candidate values (a true heavy hitter is a local heavy hitter in
+    enough batches), the driver merges matrices by ELEMENT-WISE SUM
+    (count-min is linear) and scores the union of candidates against
+    the merged sketch. Counts are overestimates by ≤ εN with
+    probability 1−e^−d; recall of the true top-k is tested against the
+    exact counter in tests. Returns a pandas DataFrame
+    (value, approx_count) sorted descending."""
+    import pandas as pd
+
+    from .dedup import _hash_strings
+
+    def fold(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        vc = arr.value_counts()
+        vals = vc.field("values").cast(pa.string())
+        counts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # hash the STRING form: candidates cross batches as strings, so
+        # sketch updates and scoring must agree on the hashed bytes
+        h = _column_hashes(vals)
+        mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        rows = _cms_rows(h)
+        for d in range(_CMS_D):
+            np.add.at(mat[d], rows[d], counts)
+        top = np.argsort(-counts)[:candidates_per_batch]
+        cand = vals.take(pa.array(top))
+        return pa.table({
+            "mat": pa.array([mat.tobytes()], pa.binary()),
+            "cands": pa.array([cand.to_pylist()],
+                              pa.list_(pa.string())),
+        })
+
+    parts = ds.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    cands: set[str] = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for mb, cl in zip(b.column("mat").to_pylist(),
+                          b.column("cands").to_pylist()):
+            mat += np.frombuffer(mb, dtype=np.int64) \
+                .reshape(_CMS_D, _CMS_W)
+            cands.update(cl)
+    if not cands:
+        return pd.DataFrame({"value": [], "approx_count": []})
+    cand_list = sorted(cands)
+    h = _column_hashes(pa.array(cand_list, pa.string()))
+    rows = _cms_rows(h)
+    est = mat[0][rows[0]]
+    for d in range(1, _CMS_D):
+        est = np.minimum(est, mat[d][rows[d]])
+    order = np.argsort(-est, kind="stable")[:k]
+    return pd.DataFrame({
+        "value": [cand_list[i] for i in order],
+        "approx_count": est[order].astype(np.int64),
+    })

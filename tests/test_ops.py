@@ -801,3 +801,28 @@ def test_rolling_window_hot_key(ray_session):
     hot_rows = out.filter(lambda r: r["k"] == 0).to_pandas()
     assert (hot_rows.roll_cnt >= 1).all()
     assert hot_rows.roll_cnt.max() <= len(hot_rows)
+
+
+def test_cms_topk_recalls_exact_heavy_hitters(ray_session):
+    """CMS top-k must contain the exact top-k (count-min never
+    undercounts; candidates survive local tops), and approx counts are
+    within eps*N of exact."""
+    import ray
+    from parquet_rs_ray.ops.sketch import cms_topk
+    rng = np.random.default_rng(5)
+    # zipf-ish: heavy head + long tail
+    head = [f"hot{i}" for i in range(10)]
+    vals = []
+    for i, h in enumerate(head):
+        vals += [h] * (2000 - 150 * i)
+    vals += [f"tail{i}" for i in range(20000)]
+    rng.shuffle(vals)
+    tbl = pa.table({"w": pa.array(vals, pa.string())})
+    ds = ray.data.from_arrow(
+        [tbl.slice(s, 4000) for s in range(0, len(vals), 4000)])
+    out = cms_topk(ds, "w", k=10)
+    exact = {h: 2000 - 150 * i for i, h in enumerate(head)}
+    assert set(out.value) == set(head)          # full recall of top-10
+    n = len(vals)
+    for _, r in out.iterrows():
+        assert exact[r.value] <= r.approx_count <= exact[r.value] + 0.01 * n
