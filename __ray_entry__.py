@@ -342,6 +342,19 @@ def _cms_heavy_words_documents(sf_dir: str):
     return cms_topk(ds, "w", k=20)
 
 
+def _quantile_sketch_events(sf_dir: str):
+    """Approximate quantiles of a CONTINUOUS double column via the
+    mergeable grid sketch (ops/sketch.py::quantile_sketch) — the
+    bounded-memory regime where exact_quantiles' value-count histogram
+    would degenerate to the column itself. Rows-only (±N/k rank error,
+    accuracy test-pinned vs quantile_disc)."""
+    import ray
+    from parquet_rs_ray.ops.sketch import quantile_sketch
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    return quantile_sketch(ds, "value", qs=(0.1, 0.5, 0.9, 0.99))
+
+
 def _grouped_quantiles_documents(sf_dir: str):
     """Exact per-lang n_chars quantiles, fully distributed (histogram
     partials hash-partitioned by group; nothing driver-side —
@@ -735,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quantiles_nchars_documents"] = _quantiles_nchars_documents
     q["grouped_quantiles_documents"] = _grouped_quantiles_documents
     q["cms_heavy_words_documents"] = _cms_heavy_words_documents
+    q["quantile_sketch_events"] = _quantile_sketch_events
     q["window_agg_events"] = _window_agg_events
     q["hopping_window_events"] = _hopping_window_events
     q["top2_orders_per_customer"] = _top2_orders_per_customer

@@ -1,13 +1,16 @@
 """Mergeable sketches for large-scale profiling (the "novel sketch"
-custom-operator slot): HyperLogLog distinct-count over any column.
+custom-operator slot): HyperLogLog distinct-count, count-min heavy
+hitters, and grid quantiles over any column.
 
-Scale shape: each batch folds its values into one 2^p-register array
-(a few KiB) inside map_batches; ONLY register arrays leave the workers
-(one tiny row per batch), and the driver merges them with an
-element-wise max — the classic mergeable-sketch topology. At 10^12
-rows the shuffle payload is #batches × 4 KiB regardless of
-cardinality, where exact COUNT(DISTINCT) would shuffle every distinct
-value.
+Scale shape (shared by all three): each batch folds its values into a
+FIXED-size summary inside map_batches — HLL: one 2^p register array
+(4 KiB, merge = element-wise max); count-min: one d×W counter matrix
+(512 KiB, merge = element-wise sum) + local candidates; quantiles: k
+weighted order statistics. ONLY summaries leave the workers (one tiny
+row per batch) and the driver merges them — at 10^12 rows the payload
+is #batches × summary-size regardless of cardinality, where the exact
+counterparts (distinct_count / top_terms / exact_quantiles) shuffle one
+row per distinct value.
 """
 
 from __future__ import annotations
@@ -175,3 +178,57 @@ def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
         "value": [cand_list[i] for i in order],
         "approx_count": est[order].astype(np.int64),
     })
+
+
+# ------------------------------------------------- quantile grid sketch
+
+def quantile_sketch(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9),
+                    k: int = 256):
+    """Approximate quantiles with BOUNDED memory — the regime
+    `relational.exact_quantiles` cannot enter (its value-count histogram
+    degenerates to the column itself for continuous doubles).
+
+    Mergeable grid summary: each batch sorts its values once and emits
+    ``k`` evenly-spaced order statistics, each carrying weight n/k; the
+    driver merges all (value, weight) pairs — #batches × k rows, fixed
+    per batch — and reads quantiles off the weighted cumulative sum.
+    Deterministic (no sampling); rank error per batch ≤ n_b/k, so the
+    merged rank error is ≤ N/k (~0.4% at k=256). Returns a pandas
+    DataFrame (q, value)."""
+    import pandas as pd
+
+    def fold(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        v = np.sort(arr.cast(pa.float64()).to_numpy(zero_copy_only=False))
+        n = len(v)
+        if n == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        kk = min(k, n)
+        pos = np.round(np.linspace(0, n - 1, kk)).astype(np.int64)
+        return pa.table({"v": pa.array(v[pos]),
+                         "w": pa.array(np.full(kk, n / kk))})
+
+    parts = ds.map_batches(fold, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    vs, ws = [], []
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        vs.append(b.column("v").to_numpy(zero_copy_only=False))
+        ws.append(b.column("w").to_numpy(zero_copy_only=False))
+    v = np.concatenate(vs) if vs else np.zeros(0)
+    w = np.concatenate(ws) if ws else np.zeros(0)
+    if len(v) == 0:
+        return pd.DataFrame({"q": list(qs), "value": [None] * len(qs)})
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        idx = int(np.searchsorted(cum, q * total, side="left"))
+        out.append(v[min(idx, len(v) - 1)])
+    return pd.DataFrame({"q": list(qs), "value": out})

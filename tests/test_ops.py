@@ -826,3 +826,29 @@ def test_cms_topk_recalls_exact_heavy_hitters(ray_session):
     n = len(vals)
     for _, r in out.iterrows():
         assert exact[r.value] <= r.approx_count <= exact[r.value] + 0.01 * n
+
+
+def test_quantile_sketch_accuracy(ray_session):
+    """Grid-sketch quantiles of a continuous double column land within
+    the documented rank tolerance of the exact quantiles."""
+    import duckdb
+    import ray
+    from parquet_rs_ray.ops.sketch import quantile_sketch
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(0, 1, 30_000),
+                           rng.exponential(5, 20_000)])
+    tbl = pa.table({"x": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(
+        [tbl.slice(s, 5000) for s in range(0, len(vals), 5000)])
+    got = quantile_sketch(ds, "x", qs=(0.1, 0.5, 0.9, 0.99))
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for _, r in got.iterrows():
+        lo, hi = con.execute(
+            f"SELECT quantile_disc(x, {max(r.q - 0.01, 0)}), "
+            f"quantile_disc(x, {min(r.q + 0.01, 1)}) FROM t").fetchone()
+        assert lo <= r.value <= hi, (r.q, r.value, lo, hi)
+    # all-null / empty safety
+    t2 = pa.table({"x": pa.array([None, None], pa.float64())})
+    out2 = quantile_sketch(ray.data.from_arrow(t2), "x", qs=(0.5,))
+    assert out2.value.isna().all() or out2.value.tolist() == [None]
