@@ -319,25 +319,45 @@ def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
     the maintenance pass a long-lived 100 TB layout needs (many small
     shards → many small containers → filesystem-metadata pressure and
     tiny reads). Row groups are copied verbatim (block payloads,
-    checksums and the one-row-group-per-block invariant unchanged), the
-    new containers are committed atomically, every affected manifest
-    entry is rewritten to point at its new container, and only then are
-    source files deleted — a crash mid-compaction leaves a decodable
-    manifest at every step (at worst both old and new containers exist).
-    Resume/idempotence: re-running finds nothing left to merge."""
+    checksums and the one-row-group-per-block invariant unchanged).
+
+    Crash safety (every reader sees ONE consistent state at all times):
+      phase 1  write merged containers (.tmp → atomic rename); a crash
+               here leaves unreferenced files, GC'd by the next run
+      phase 2  commit ALL affected manifest entries in one atomic
+               journal rename (`manifest.write_journal`) — readers
+               overlay a pending journal, so the switch from old to new
+               containers is a single atomic event across shards
+      phase 3  fold the journal into the per-shard entry files, then
+               clear it
+      phase 4  GC every data file no manifest entry references (old
+               sources AND orphans of earlier crashed runs)
+    Idempotent; re-running finds nothing left to merge. Run it as the
+    SINGLE maintainer — phase-4 GC would delete containers an encode
+    job running concurrently has written but not yet committed."""
     import ray
 
     manifest_dir = os.path.join(out_dir, "manifest")
-    entries = manifest.load(manifest_dir)
-    # group shards by their (single, post-encode) container file set
+    data_dir = os.path.join(out_dir, "data")
+    entries = manifest.load(manifest_dir)  # overlays any pending journal
+    if manifest.pending_journal(manifest_dir):
+        # finish a crashed run's phase 3 before planning anything new
+        for shard, e in manifest.pending_journal(manifest_dir).items():
+            manifest.record(
+                manifest_dir, shard, output_path=e["output"],
+                rows=e["rows"], plain_bytes=e["plain_bytes"],
+                encoded_bytes=e["encoded_bytes"], codecs=e["codecs"],
+                checksum=e["checksum"])
+        manifest.clear_journal(manifest_dir)
+    # group shards by container file; a missing file (external cleanup)
+    # is skipped — it cannot be merged, only reported
     file_shards: dict[str, list[str]] = defaultdict(list)
     file_bytes: dict[str, int] = {}
     for shard, e in entries.items():
-        files = sorted({f for f in json.loads(e["output"]) if f})
-        for f in files:
+        for f in sorted({x for x in json.loads(e["output"]) if x}):
             file_shards[f].append(shard)
-            file_bytes[f] = file_bytes.get(f) or (
-                os.path.getsize(f) if os.path.exists(f) else 0)
+            if f not in file_bytes and os.path.exists(f):
+                file_bytes[f] = os.path.getsize(f)
     # greedy size bins over files smaller than the target
     small = sorted(f for f, b in file_bytes.items()
                    if b < target_file_bytes)
@@ -354,41 +374,51 @@ def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
         bins.append(cur)
     bins = [b for b in bins if len(b) > 1]  # singletons: nothing to gain
     summary = {"bins": len(bins),
-               "files_before": len(file_bytes), "files_merged": 0}
-    if not bins:
-        return summary
+               "files_before": len(file_bytes), "files_merged": 0,
+               "orphans_deleted": 0}
+    if bins:
+        ds = ray.data.from_items(
+            [{"bin_json": json.dumps(b)} for b in bins],
+            override_num_blocks=len(bins))
+        moved = ds.map_batches(
+            _CompactActor,
+            fn_constructor_kwargs={"data_dir": data_dir},
+            batch_format="pyarrow", batch_size=None,
+            concurrency=concurrency)
 
-    ds = ray.data.from_items(
-        [{"bin_json": json.dumps(b)} for b in bins],
-        override_num_blocks=len(bins))
-    moved = ds.map_batches(
-        _CompactActor,
-        fn_constructor_kwargs={"data_dir": os.path.join(out_dir, "data")},
-        batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency)
+        # validate and stage ALL entry rewrites, then commit atomically
+        updates: dict[str, dict] = {}
+        for row in moved.iter_rows():
+            e = entries[row["shard"]]
+            n_data = len([f for f in json.loads(e["output"]) if f])
+            if n_data != row["n_blocks"]:
+                raise RuntimeError(
+                    f"compaction block count changed for {row['shard']}: "
+                    f"{n_data} -> {row['n_blocks']}")  # pre-commit abort
+            updates[row["shard"]] = dict(
+                e, output=json.dumps([row["new_file"]] * n_data))
+        manifest.write_journal(manifest_dir, updates)    # phase 2
+        for shard, e in updates.items():                 # phase 3
+            manifest.record(
+                manifest_dir, shard, output_path=e["output"],
+                rows=e["rows"], plain_bytes=e["plain_bytes"],
+                encoded_bytes=e["encoded_bytes"], codecs=e["codecs"],
+                checksum=e["checksum"])
+        manifest.clear_journal(manifest_dir)
+        summary["files_merged"] = sum(len(b) for b in bins)
 
-    # rewrite each affected shard's manifest entry (atomic per entry)
-    for row in moved.iter_rows():
-        e = entries[row["shard"]]
-        old_list = json.loads(e["output"])
-        n_data = len([f for f in old_list if f])
-        assert n_data == row["n_blocks"], \
-            f"block count changed in compaction for {row['shard']}"
-        manifest.record(
-            manifest_dir, row["shard"],
-            output_path=json.dumps([row["new_file"]] * n_data),
-            rows=e["rows"], plain_bytes=e["plain_bytes"],
-            encoded_bytes=e["encoded_bytes"], codecs=e["codecs"],
-            checksum=e["checksum"])
-
-    # delete sources only once NO entry references them anymore
+    # phase 4: GC every data file the manifest no longer references
+    # (merged sources + committed-but-never-referenced containers from
+    # crashed runs); .tmp files are in-flight writes, left alone
     still_used = set()
     for e in manifest.load(manifest_dir).values():
         still_used.update(f for f in json.loads(e["output"]) if f)
-    for b in bins:
-        for f in b:
-            if f not in still_used and os.path.exists(f):
-                os.remove(f)
-                summary["files_merged"] += 1
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            f = os.path.join(data_dir, name)
+            if name.endswith(".tmp") or f in still_used:
+                continue
+            os.remove(f)
+            summary["orphans_deleted"] += 1
     summary["files_after"] = len(committed_block_files(out_dir))
     return summary

@@ -43,13 +43,46 @@ def record(manifest_dir: str, shard_path: str, *, output_path: str,
     return entry
 
 
+JOURNAL = "_compaction_journal.json"
+
+
+def write_journal(manifest_dir: str, updates: dict[str, dict]) -> None:
+    """Atomically commit a MULTI-shard entry rewrite (compaction): all
+    updates land in one journal file via rename, so readers see either
+    none of them or all of them. `load` overlays a pending journal, and
+    `clear_journal` is called only after every per-shard entry file has
+    been rewritten — a crash at any point leaves every reader with ONE
+    consistent view."""
+    fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(updates, f)
+    os.replace(tmp, os.path.join(manifest_dir, JOURNAL))
+
+
+def pending_journal(manifest_dir: str) -> dict[str, dict]:
+    try:
+        with open(os.path.join(manifest_dir, JOURNAL)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return {}  # torn journal write → rename never happened → empty
+
+
+def clear_journal(manifest_dir: str) -> None:
+    try:
+        os.remove(os.path.join(manifest_dir, JOURNAL))
+    except FileNotFoundError:
+        pass
+
+
 def load(manifest_dir: str) -> dict[str, dict]:
-    """shard path → lineage entry for all committed shards."""
+    """shard path → lineage entry for all committed shards. A pending
+    compaction journal OVERLAYS the per-shard files (its entries are the
+    committed truth the moment the journal rename lands)."""
     out: dict[str, dict] = {}
     if not os.path.isdir(manifest_dir):
         return out
     for name in os.listdir(manifest_dir):
-        if not name.endswith(".json"):
+        if not name.endswith(".json") or name == JOURNAL:
             continue
         try:
             with open(os.path.join(manifest_dir, name)) as f:
@@ -57,6 +90,7 @@ def load(manifest_dir: str) -> dict[str, dict]:
             out[e["shard"]] = e
         except (json.JSONDecodeError, KeyError, OSError):
             continue  # torn write → treated as uncommitted
+    out.update(pending_journal(manifest_dir))
     return out
 
 

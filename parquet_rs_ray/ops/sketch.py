@@ -128,8 +128,6 @@ def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
     (value, approx_count) sorted descending."""
     import pandas as pd
 
-    from .dedup import _hash_strings
-
     def fold(batch: pa.Table) -> pa.Table:
         arr = batch.column(col)
         if isinstance(arr, pa.ChunkedArray):
@@ -137,11 +135,14 @@ def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
         if arr.null_count:
             arr = arr.drop_null()
         vc = arr.value_counts()
-        vals = vc.field("values").cast(pa.string())
+        # candidates cross batches as BYTES (binary-safe — string cast
+        # would raise on non-UTF8 binary columns); sketch updates and
+        # scoring hash the same byte form
+        vals = vc.field("values")
+        if not pa.types.is_binary(vals.type):
+            vals = vals.cast(pa.string()).cast(pa.binary())
         counts = vc.field("counts").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        # hash the STRING form: candidates cross batches as strings, so
-        # sketch updates and scoring must agree on the hashed bytes
         h = _column_hashes(vals)
         mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
         rows = _cms_rows(h)
@@ -152,7 +153,7 @@ def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
         return pa.table({
             "mat": pa.array([mat.tobytes()], pa.binary()),
             "cands": pa.array([cand.to_pylist()],
-                              pa.list_(pa.string())),
+                              pa.list_(pa.binary())),
         })
 
     parts = ds.map_batches(fold, batch_format="pyarrow",
@@ -168,16 +169,24 @@ def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
     if not cands:
         return pd.DataFrame({"value": [], "approx_count": []})
     cand_list = sorted(cands)
-    h = _column_hashes(pa.array(cand_list, pa.string()))
+    h = _column_hashes(pa.array(cand_list, pa.binary()))
     rows = _cms_rows(h)
     est = mat[0][rows[0]]
     for d in range(1, _CMS_D):
         est = np.minimum(est, mat[d][rows[d]])
     order = np.argsort(-est, kind="stable")[:k]
     return pd.DataFrame({
-        "value": [cand_list[i] for i in order],
+        "value": [_as_str(cand_list[i]) for i in order],
         "approx_count": est[order].astype(np.int64),
     })
+
+
+def _as_str(b: bytes):
+    """Candidates travel as bytes; present UTF-8 ones as str."""
+    try:
+        return b.decode()
+    except UnicodeDecodeError:
+        return b
 
 
 # ------------------------------------------------- quantile grid sketch

@@ -392,3 +392,78 @@ def test_compact_job_multi_stage(ray_session, tmp_path):
     got = decode_job(out).to_pandas().sort_values("url") \
         .reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_compact_job_crash_mid_rewrite_stays_consistent(
+        ray_session, tmp_path, monkeypatch):
+    """Crash between per-shard entry rewrites (phase 3): the pending
+    journal OVERLAYS reads, so decode sees the new containers exactly
+    once (no duplicates); the next run folds the journal and GCs."""
+    from parquet_rs_ray import manifest
+    from parquet_rs_ray.job import (committed_block_files, compact_job,
+                                    decode_job, encode_job)
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=100,
+                             n_shards=4)
+    out = str(tmp_path / "enc")
+    encode_job(paths, out, concurrency=2)
+    exp = decode_job(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    old_files = committed_block_files(out)
+
+    real_record = manifest.record
+    calls = {"n": 0}
+
+    def crashing_record(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid phase 3")
+        return real_record(*a, **k)
+
+    monkeypatch.setattr(manifest, "record", crashing_record)
+    with pytest.raises(RuntimeError):
+        compact_job(out, target_file_bytes=1 << 30)
+    monkeypatch.setattr(manifest, "record", real_record)
+
+    mdir = os.path.join(out, "manifest")
+    assert manifest.pending_journal(mdir)          # journal pending
+    for f in old_files:
+        assert os.path.exists(f)                   # phase 4 never ran
+    # journal overlay: decode already sees the NEW state, exactly once
+    got = decode_job(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert got.equals(exp)
+    assert len(committed_block_files(out)) == 1
+
+    # repair run: folds journal, clears it, GCs old containers
+    s = compact_job(out, target_file_bytes=1 << 30)
+    assert not manifest.pending_journal(mdir)
+    assert s["orphans_deleted"] >= len(old_files)
+    for f in old_files:
+        assert not os.path.exists(f)
+    got2 = decode_job(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert got2.equals(exp)
+
+
+def test_compact_job_gcs_orphan_containers(ray_session, tmp_path):
+    """A committed-but-unreferenced container (phase-1 crash of an
+    earlier run) is garbage-collected; in-flight .tmp files are not."""
+    from parquet_rs_ray.job import compact_job, decode_job, encode_job
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=100,
+                             n_shards=2)
+    out = str(tmp_path / "enc")
+    encode_job(paths, out, concurrency=2)
+    data = os.path.join(out, "data")
+    orphan = os.path.join(data, "deadbeef.parquet")
+    inflight = os.path.join(data, "cafe.parquet.tmp")
+    open(orphan, "wb").write(b"x")
+    open(inflight, "wb").write(b"y")
+    s = compact_job(out, target_file_bytes=1 << 30)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(inflight)
+    assert s["orphans_deleted"] >= 1
+    assert decode_job(out).count() == 200
