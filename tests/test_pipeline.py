@@ -467,3 +467,23 @@ def test_compact_job_gcs_orphan_containers(ray_session, tmp_path):
     assert os.path.exists(inflight)
     assert s["orphans_deleted"] >= 1
     assert decode_job(out).count() == 200
+
+
+def test_compact_then_pruned_decode(ray_session, tmp_path):
+    """Stats/bloom pushdown keeps working through compacted containers
+    (pruning is per BLOCK row, not per file)."""
+    from parquet_rs_ray.job import compact_job, decode_job, encode_job
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=200,
+                             n_shards=4)
+    out = str(tmp_path / "enc")
+    encode_job(paths, out, concurrency=2)
+    exp = decode_job(out, columns=["url", "lang"],
+                     predicate=("lang", "==", "en")).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    compact_job(out, target_file_bytes=1 << 30)
+    got = decode_job(out, columns=["url", "lang"],
+                     predicate=("lang", "==", "en")).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert got.equals(exp) and len(got) > 0
