@@ -585,31 +585,50 @@ def prefix_block_pairs(ds, *, text_col: str = "text",
     heads). Deterministic and SQL-expressible, unlike the hash-defined
     LSH candidates, so the driver oracle can verify it exactly.
 
-    Shuffle shape: only (prefix, key) rows move; the groupby key is the
-    prefix string itself (no hash-collision false pairs). Buckets above
-    ``max_bucket`` are truncated to bound the O(n²) emission — at web
-    scale a >4096-doc identical-prefix bucket is one template family and
-    its pairs are redundant for dedup anyway."""
+    Shuffle shape: only (prefix, key) rows move, hash-partitioned on
+    the prefix into ~ncpu COARSE partitions (one Python call per
+    partition, not per distinct prefix — at 10^8 mostly-singleton
+    prefixes the per-group dispatch of `groupby(prefix).map_groups`
+    would dominate); within a partition, equality is on the prefix
+    STRING (no hash-collision false pairs) and only multi-doc prefix
+    runs emit. Buckets above ``max_bucket`` are truncated to bound the
+    O(n²) emission — at web scale a >4096-doc identical-prefix bucket
+    is one template family and its pairs are redundant for dedup
+    anyway."""
+    from .temporal import _default_partitions, _key_part, _new_key_mask
+    P = _default_partitions()
+
     def sig(batch: pa.Table) -> pa.Table:
         txt = batch.column(text_col)
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
         if txt.null_count:
-            # SQL semantics: NULL prefixes never match (Ray's groupby
-            # would group nulls together and pair them)
+            # SQL semantics: NULL prefixes never match (grouping nulls
+            # together would pair them)
             keep = pc.is_valid(txt)
             batch = batch.filter(keep)
             txt = txt.filter(keep)
         pfx = pc.utf8_slice_codeunits(txt, 0, prefix_len)
-        return pa.table({"__pfx": pfx, "__k": batch.column(key_col)})
+        return pa.table({"__pfx": pfx, "__k": batch.column(key_col),
+                         "__part": _key_part(pfx, P)})
 
-    def emit(group: pa.Table) -> pa.Table:
-        return _bucket_pairs(
-            group.column("__k").to_numpy(zero_copy_only=False), max_bucket)
+    def per_part(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("__pfx", "ascending"), ("__k", "ascending")])
+        keys = g.column("__k").to_numpy(zero_copy_only=False)
+        new_p = _new_key_mask(g.column("__pfx"))
+        seg_first = np.flatnonzero(new_p)
+        seg_len = np.diff(np.append(seg_first, len(keys)))
+        multi = np.flatnonzero(seg_len > 1)  # dup prefixes are the rare case
+        parts = [_bucket_pairs(keys[seg_first[i]:seg_first[i] + seg_len[i]],
+                               max_bucket) for i in multi]
+        if not parts:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.concat_tables(parts)
 
     pairs = ds.map_batches(sig, batch_format="pyarrow",
                            zero_copy_batch=True) \
-        .groupby("__pfx").map_groups(emit, batch_format="pyarrow")
+        .groupby("__part").map_groups(per_part, batch_format="pyarrow")
     return _distinct_pairs(pairs)
 
 
