@@ -321,12 +321,11 @@ def minhash_lsh_candidates(ds, *, text_col: str = "text",
                                "text_col": text_col, "key_col": key_col},
         batch_format="pyarrow", concurrency=concurrency)
 
-    def emit_pairs(batch: pa.Table) -> pa.Table:
+    def emit_pairs(sub: pa.Table) -> pa.Table:
         return _bucket_pairs(
-            batch.column("key").to_numpy(zero_copy_only=False), max_bucket)
+            sub.column("key").to_numpy(zero_copy_only=False), max_bucket)
 
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pyarrow")
+    pairs = _coarse_grouped(buckets, ["band", "bucket"], emit_pairs)
     # distinct pairs (a pair can fire in several bands)
     return _distinct_pairs(pairs)
 
@@ -344,6 +343,54 @@ def _bucket_pairs(keys: np.ndarray, max_bucket: int) -> pa.Table:
     ii, jj = np.triu_indices(n, 1)
     return pa.table({"a": pa.array(keys[ii], pa.int64()),
                      "b": pa.array(keys[jj], pa.int64())})
+
+
+def _coarse_grouped(rows, group_cols: list, kernel, *,
+                    num_partitions: int | None = None):
+    """Apply ``kernel(equal-group sub-table) → pa.Table`` to every
+    equal-``group_cols`` run — via ~ncpu COARSE hash partitions and ONE
+    vectorized sort + segment scan per partition. `groupby(cols)
+    .map_groups` would pay one Python dispatch per DISTINCT group; at
+    web scale LSH buckets / blocking prefixes are mostly singletons and
+    dispatch would dominate, so singleton runs are skipped entirely and
+    only multi-row runs reach the kernel."""
+    from .temporal import _default_partitions, _key_part, _new_key_mask
+    P = num_partitions or _default_partitions()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = np.zeros(len(batch), np.uint64)
+        for c in group_cols:
+            arr = batch.column(c)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_integer(arr.type):
+                v = splitmix64(int_column_u64(arr))
+            else:
+                v = _hash_strings(arr.cast(pa.string()))
+            with np.errstate(over="ignore"):
+                h = splitmix64(h ^ v)
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def per_part(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__part"]) \
+            .sort_by([(c, "ascending") for c in group_cols])
+        n = g.num_rows
+        if n == 0:
+            return kernel(g)
+        new_seg = np.zeros(n, dtype=bool)
+        for c in group_cols:
+            new_seg |= _new_key_mask(g.column(c))
+        seg_first = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(seg_first, n))
+        multi = seg_len > 1
+        outs = [kernel(g.slice(int(st), int(ln)))
+                for st, ln in zip(seg_first[multi], seg_len[multi])]
+        return pa.concat_tables(outs) if outs else kernel(g.slice(0, 0))
+
+    return rows.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("__part").map_groups(per_part, batch_format="pyarrow")
 
 
 def _distinct_pairs(pairs, *, num_partitions: int = 64, extra_cols=()):
@@ -595,9 +642,6 @@ def prefix_block_pairs(ds, *, text_col: str = "text",
     O(n²) emission — at web scale a >4096-doc identical-prefix bucket
     is one template family and its pairs are redundant for dedup
     anyway."""
-    from .temporal import _default_partitions, _key_part, _new_key_mask
-    P = _default_partitions()
-
     def sig(batch: pa.Table) -> pa.Table:
         txt = batch.column(text_col)
         if isinstance(txt, pa.ChunkedArray):
@@ -609,27 +653,15 @@ def prefix_block_pairs(ds, *, text_col: str = "text",
             batch = batch.filter(keep)
             txt = txt.filter(keep)
         pfx = pc.utf8_slice_codeunits(txt, 0, prefix_len)
-        return pa.table({"__pfx": pfx, "__k": batch.column(key_col),
-                         "__part": _key_part(pfx, P)})
+        return pa.table({"__pfx": pfx, "__k": batch.column(key_col)})
 
-    def per_part(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("__pfx", "ascending"), ("__k", "ascending")])
-        keys = g.column("__k").to_numpy(zero_copy_only=False)
-        new_p = _new_key_mask(g.column("__pfx"))
-        seg_first = np.flatnonzero(new_p)
-        seg_len = np.diff(np.append(seg_first, len(keys)))
-        multi = np.flatnonzero(seg_len > 1)  # dup prefixes are the rare case
-        parts = [_bucket_pairs(keys[seg_first[i]:seg_first[i] + seg_len[i]],
-                               max_bucket) for i in multi]
-        if not parts:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        return pa.concat_tables(parts)
+    def kern(sub: pa.Table) -> pa.Table:
+        return _bucket_pairs(
+            sub.column("__k").to_numpy(zero_copy_only=False), max_bucket)
 
-    pairs = ds.map_batches(sig, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-        .groupby("__part").map_groups(per_part, batch_format="pyarrow")
-    return _distinct_pairs(pairs)
+    rows = ds.map_batches(sig, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return _distinct_pairs(_coarse_grouped(rows, ["__pfx"], kern))
 
 
 def ngram_jaccard_pairs(pairs, ds, *, text_col: str = "text",
@@ -712,8 +744,7 @@ def simhash_candidates(ds, *, text_col: str = "text",
                          "b": pa.array(keys[jj[hit]], pa.int64()),
                          "hamming": pa.array(ham[hit], pa.int64())})
 
-    pairs = bucketed.groupby(["band", "value"]).map_groups(
-        emit_pairs, batch_format="pyarrow")
+    pairs = _coarse_grouped(bucketed, ["band", "value"], emit_pairs)
     return _distinct_pairs(pairs, extra_cols=("hamming",))
 
 
