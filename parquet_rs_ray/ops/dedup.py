@@ -827,8 +827,7 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.85,
                               pa.float64()),
         })
 
-    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
-        verify, batch_format="pyarrow")
+    pairs = _coarse_grouped(bucketed, ["table", "bucket"], verify)
     out = _distinct_pairs(pairs, extra_cols=("score",))
     return out.map_batches(
         lambda b: pa.table({"id_a": b.column("a"), "id_b": b.column("b"),
