@@ -353,8 +353,13 @@ def _coarse_grouped(rows, group_cols: list, kernel, *,
     .map_groups` would pay one Python dispatch per DISTINCT group; at
     web scale LSH buckets / blocking prefixes are mostly singletons and
     dispatch would dominate, so singleton runs are skipped entirely and
-    only multi-row runs reach the kernel."""
-    from .temporal import _default_partitions, _key_part, _new_key_mask
+    only multi-row runs reach the kernel.
+
+    For COMPACT rows only (keys / fingerprints / band values): one task
+    sorts a whole coarse partition (~rows/ncpu), so payload-carrying
+    rows (e.g. embedding vectors) belong in a block-bounded
+    ``groupby(...).map_groups`` instead — see embedding_near_dup_lsh."""
+    from .temporal import _default_partitions, _new_key_mask
     P = num_partitions or _default_partitions()
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -366,7 +371,12 @@ def _coarse_grouped(rows, group_cols: list, kernel, *,
             if pa.types.is_integer(arr.type):
                 v = splitmix64(int_column_u64(arr))
             else:
-                v = _hash_strings(arr.cast(pa.string()))
+                # fill_null AFTER the cast — same convention as
+                # temporal._key_part (null groups one partition)
+                arr = arr.cast(pa.string())
+                if arr.null_count:
+                    arr = arr.fill_null("")
+                v = _hash_strings(arr)
             with np.errstate(over="ignore"):
                 h = splitmix64(h ^ v)
         return batch.append_column(
@@ -827,7 +837,13 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.85,
                               pa.float64()),
         })
 
-    pairs = _coarse_grouped(bucketed, ["table", "bucket"], verify)
+    # NOT _coarse_grouped: these rows carry full vectors, and a coarse
+    # partition would hold n_tables × corpus/ncpu of them in ONE task's
+    # sort. groupby keeps per-task memory block-bounded, and the group
+    # count is bounded by CONSTRUCTION (≤ 2^nbits × n_tables occupied
+    # buckets), so per-group dispatch never explodes here.
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(
+        verify, batch_format="pyarrow")
     out = _distinct_pairs(pairs, extra_cols=("score",))
     return out.map_batches(
         lambda b: pa.table({"id_a": b.column("a"), "id_b": b.column("b"),
