@@ -712,29 +712,23 @@ _TABLES = {
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registration order matters: the driver's correctness check caps at the
+    # first 50 entries, so every oracle-backed query (has an oracle_sql()
+    # twin, hard rows+schema+hash compare) registers FIRST, then the
+    # rows-only queries in decreasing informativeness. Entries past 50 are
+    # still exercised by the pytest suite.
     q: dict[str, Callable[[str], Any]] = {}
+    # --- oracle-backed (40) ---
     for table, cols in _TABLES.items():
         q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
     q["stats_documents"] = _stats_documents
     q["lang_counts"] = _lang_counts
     q["global_lang_dictionary"] = _global_lang_dictionary
-    q["encoded_pages_documents"] = _encoded_pages_documents
-    q["compression_ratio_documents"] = _compression_ratio
     q["exact_dedup_documents"] = _exact_dedup_documents
     q["exact_dedup_join_documents"] = _exact_dedup_join_documents
     q["token_counts_documents"] = _token_counts_documents
     q["topk_similarity_embeddings"] = _topk_similarity_embeddings
-    q["lang_id_documents"] = _lang_id_documents
-    q["quality_scores_documents"] = _quality_scores_documents
-    q["fingerprints_documents"] = _fingerprints_documents
-    q["minhash_candidates_documents"] = _minhash_candidates_documents
-    q["media_features_documents"] = _media_features_documents
     q["embedding_near_dup_embeddings"] = _embedding_near_dup_embeddings
-    q["embedding_near_dup_lsh_embeddings"] = _embedding_near_dup_lsh_embeddings
-    q["near_dedup_documents"] = _near_dedup_documents
-    q["simhash_candidates_documents"] = _simhash_candidates_documents
-    q["ivf_topk_embeddings"] = _ivf_topk_embeddings
-    q["lsh_topk_embeddings"] = _lsh_topk_embeddings
     q["filter_pushdown_documents"] = _filter_pushdown_documents
     q["project_convert_events"] = _project_convert_events
     q["json_extract_events"] = _json_extract_events
@@ -743,25 +737,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize_events_salted"] = _sessionize_events_salted
     q["ngram_jaccard_blocked_documents"] = _ngram_jaccard_blocked_documents
     q["rolling_window_events"] = _rolling_window_events
-    q["audio_features_documents"] = _audio_features_documents
     q["top_terms_documents"] = _top_terms_documents
     q["quantiles_nchars_documents"] = _quantiles_nchars_documents
     q["grouped_quantiles_documents"] = _grouped_quantiles_documents
-    q["cms_heavy_words_documents"] = _cms_heavy_words_documents
-    q["quantile_sketch_events"] = _quantile_sketch_events
     q["window_agg_events"] = _window_agg_events
     q["hopping_window_events"] = _hopping_window_events
     q["top2_orders_per_customer"] = _top2_orders_per_customer
     q["customer_nation_join"] = _customer_nation_join
     q["distinct_text_count_documents"] = _distinct_text_count_documents
-    q["hll_distinct_text_documents"] = _hll_distinct_text_documents
-    q["pack_documents"] = _pack_documents
     q["range_join_orders"] = _range_join_orders
     q["asof_purchase_click_events"] = _asof_purchase_click_events
     q["customer_order_totals"] = _customer_order_totals
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
     q["pruned_scan_lineitem"] = _pruned_scan_lineitem
     q["point_lookup_orders"] = _point_lookup_orders
+    # --- rows-only, inside the 50-query window (10) ---
+    q["compression_ratio_documents"] = _compression_ratio
+    q["near_dedup_documents"] = _near_dedup_documents
+    q["minhash_candidates_documents"] = _minhash_candidates_documents
+    q["simhash_candidates_documents"] = _simhash_candidates_documents
+    q["embedding_near_dup_lsh_embeddings"] = _embedding_near_dup_lsh_embeddings
+    q["ivf_topk_embeddings"] = _ivf_topk_embeddings
+    q["lsh_topk_embeddings"] = _lsh_topk_embeddings
+    q["cms_heavy_words_documents"] = _cms_heavy_words_documents
+    q["hll_distinct_text_documents"] = _hll_distinct_text_documents
+    q["pack_documents"] = _pack_documents
+    # --- rows-only, past the driver window (pytest-covered) ---
+    q["encoded_pages_documents"] = _encoded_pages_documents
+    q["lang_id_documents"] = _lang_id_documents
+    q["quality_scores_documents"] = _quality_scores_documents
+    q["fingerprints_documents"] = _fingerprints_documents
+    q["media_features_documents"] = _media_features_documents
+    q["audio_features_documents"] = _audio_features_documents
+    q["quantile_sketch_events"] = _quantile_sketch_events
     return q
 
 

@@ -293,24 +293,30 @@ class _CompactActor:
         self.data_dir = data_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # reported per (shard, src_file): a shard's blocks may span
+        # several containers (EncodeWriteActor opens one per batch), so
+        # the driver must be able to rewrite a shard's entry file-by-
+        # file — a per-shard total here would be a partial count
+        # whenever the shard's other containers sit in another bin or
+        # above the size threshold (ADVICE r2)
         out = []
         for bin_json in batch.column("bin_json").to_pylist():
             files = json.loads(bin_json)
             container = _BlockContainer(self.data_dir)
-            shard_blocks: Counter = Counter()
+            per: Counter = Counter()
             for src in files:
                 pf = pq.ParquetFile(src)
                 for rg in range(pf.metadata.num_row_groups):
                     block = pf.read_row_group(rg)
                     container.append_block(block)
-                    shard_blocks[block.column("path")[0].as_py()] += 1
+                    per[(block.column("path")[0].as_py(), src)] += 1
             container.close()
-            out.extend({"shard": s, "new_file": container.final,
-                        "n_blocks": nb}
-                       for s, nb in shard_blocks.items())
+            out.extend({"shard": s, "src_file": f,
+                        "new_file": container.final, "n_blocks": nb}
+                       for (s, f), nb in per.items())
         return pa.Table.from_pylist(out, schema=pa.schema(
-            [("shard", pa.string()), ("new_file", pa.string()),
-             ("n_blocks", pa.int64())]))
+            [("shard", pa.string()), ("src_file", pa.string()),
+             ("new_file", pa.string()), ("n_blocks", pa.int64())]))
 
 
 def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
@@ -386,17 +392,30 @@ def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
             batch_format="pyarrow", batch_size=None,
             concurrency=concurrency)
 
-        # validate and stage ALL entry rewrites, then commit atomically
-        updates: dict[str, dict] = {}
+        # validate and stage ALL entry rewrites, then commit atomically.
+        # Aggregated per (shard, src_file): a shard's untouched
+        # containers keep their entries verbatim, and a shard whose
+        # containers landed in different bins gets every mapping applied
+        # (not last-bin-wins)
+        remap: dict[str, dict[str, str]] = defaultdict(dict)
+        moved_n: Counter = Counter()
         for row in moved.iter_rows():
-            e = entries[row["shard"]]
-            n_data = len([f for f in json.loads(e["output"]) if f])
-            if n_data != row["n_blocks"]:
-                raise RuntimeError(
-                    f"compaction block count changed for {row['shard']}: "
-                    f"{n_data} -> {row['n_blocks']}")  # pre-commit abort
-            updates[row["shard"]] = dict(
-                e, output=json.dumps([row["new_file"]] * n_data))
+            remap[row["shard"]][row["src_file"]] = row["new_file"]
+            moved_n[(row["shard"], row["src_file"])] += row["n_blocks"]
+        updates: dict[str, dict] = {}
+        for shard, mapping in remap.items():
+            e = entries[shard]
+            old = json.loads(e["output"])
+            for src, _new in mapping.items():
+                n_refs = sum(1 for f in old if f == src)
+                if n_refs != moved_n[(shard, src)]:
+                    raise RuntimeError(
+                        f"compaction block count changed for {shard} in "
+                        f"{src}: {n_refs} -> {moved_n[(shard, src)]}"
+                    )  # pre-commit abort
+            updates[shard] = dict(
+                e, output=json.dumps(
+                    [mapping.get(f, f) if f else f for f in old]))
         manifest.write_journal(manifest_dir, updates)    # phase 2
         for shard, e in updates.items():                 # phase 3
             manifest.record(

@@ -47,6 +47,18 @@ def _column_hashes(arr) -> np.ndarray:
         arr.cast(pa.string()) if not pa.types.is_binary(arr.type) else arr))
 
 
+def _leading_zeros64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros: smear the highest set bit
+    down (OR-shift doubling), then 64 − popcount. Replaces the float64
+    log2 path, whose half-ULP round-up just below powers of two
+    overstated the rank by 1 (ADVICE r2)."""
+    from .dedup import _popcount64
+    x = x.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    return 64 - _popcount64(x)
+
+
 def _registers(h: np.ndarray) -> np.ndarray:
     """Fold a batch of 64-bit hashes into one HLL register array."""
     regs = np.zeros(_M, dtype=np.uint8)
@@ -54,12 +66,8 @@ def _registers(h: np.ndarray) -> np.ndarray:
         return regs
     idx = (h >> np.uint64(64 - _P)).astype(np.int64)
     rest = (h << np.uint64(_P)) | np.uint64((1 << _P) - 1)  # sentinel tail
-    # rank = #leading zeros of `rest` + 1, vectorized via log2
-    nz = rest != 0
-    rank = np.ones(len(h), dtype=np.uint8)
-    hi = np.zeros(len(h), dtype=np.float64)
-    hi[nz] = np.log2(rest[nz].astype(np.float64))
-    rank[nz] = (64 - np.floor(hi[nz]).astype(np.int64)) \
+    # rank = #leading zeros of `rest` + 1 (sentinel ⇒ rest never 0)
+    rank = (_leading_zeros64(rest) + 1) \
         .clip(1, 64 - _P + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -73,21 +81,51 @@ def _estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+# Distributed tree-merge fan-in shared by all three sketches: each merge
+# stage folds up to 64 sketch rows into one, so after the two fixed
+# stages the driver merges O(#batches / 64²) summaries — at 10^6 input
+# batches that's ~250 rows through the driver instead of ~0.5 TB of
+# matrices (the r2 anti-pattern: every batch's summary fanned into one
+# driver loop).
+_MERGE_FANIN = 64
+
+
+def _hll_merge(batch: pa.Table) -> pa.Table:
+    """Element-wise max of up to _MERGE_FANIN register rows (HLL merge
+    is idempotent max, so tree shape/remainders don't matter)."""
+    flat = batch.column("regs").combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False)
+    regs = flat.reshape(-1, _M).max(axis=0).astype(np.uint8)
+    return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+
+def _hll_parts(ds, col: str):
+    """Per-batch register rows, pre-merged distributedly (exposed for
+    the driver-payload-bounded test)."""
+    def fold(batch: pa.Table) -> pa.Table:
+        regs = _registers(_column_hashes(batch.column(col)))
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    parts = ds.select_columns([col]).map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True)
+    # num_cpus=0.5 sizes the trivial max-merge AND (different resource
+    # request) keeps Ray from fusing this stage into fold's tasks —
+    # fused, the merge would see one register row per fold task and
+    # never reduce. Register rows are 4 KiB, so a 4096-way single-stage
+    # fan-in is ~16 MiB per merge task.
+    return parts.map_batches(_hll_merge, batch_format="pyarrow",
+                             batch_size=_MERGE_FANIN ** 2, num_cpus=0.5)
+
+
 def hll_distinct(ds, col: str):
     """Approximate COUNT(DISTINCT col) via distributed HyperLogLog
     (p=12, ~1.6% relative error — asserted vs exact in tests).
     Returns a 1-row pandas DataFrame {approx_distinct}."""
     import pandas as pd
 
-    def fold(batch: pa.Table) -> pa.Table:
-        regs = _registers(_column_hashes(batch.column(col)))
-        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
-
     merged = np.zeros(_M, dtype=np.uint8)
-    sketches = ds.select_columns([col]).map_batches(
-        fold, batch_format="pyarrow", zero_copy_batch=True)
-    for b in sketches.iter_batches(batch_format="pyarrow"):
-        for r in b.column("regs").to_pylist():  # tiny: 4 KiB per batch
+    for b in _hll_parts(ds, col).iter_batches(batch_format="pyarrow"):
+        for r in b.column("regs").to_pylist():  # few rows after tree-merge
             merged = np.maximum(merged, np.asarray(r, dtype=np.uint8))
     return pd.DataFrame({"approx_distinct": [int(round(_estimate(merged)))]})
 
@@ -156,10 +194,10 @@ def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
                               pa.list_(pa.binary())),
         })
 
-    parts = ds.map_batches(fold, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    parts = _cms_merged_parts(
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True))
     mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
-    cands: set[str] = set()
+    cands: set[bytes] = set()
     for b in parts.iter_batches(batch_format="pyarrow"):
         for mb, cl in zip(b.column("mat").to_pylist(),
                           b.column("cands").to_pylist()):
@@ -179,6 +217,54 @@ def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
         "value": [_as_str(cand_list[i]) for i in order],
         "approx_count": est[order].astype(np.int64),
     })
+
+
+# candidates kept per merged sketch row: big enough that a true global
+# top-k (k≤20 scored from 64-candidate local tops) survives every level
+_CMS_MERGE_CANDS = 512
+
+
+def _cms_score(mat: np.ndarray, cand_list: list[bytes]) -> np.ndarray:
+    """Point-query estimates (min over depth rows) for each candidate."""
+    h = _column_hashes(pa.array(cand_list, pa.binary()))
+    rows = _cms_rows(h)
+    est = mat[0][rows[0]]
+    for d in range(1, _CMS_D):
+        est = np.minimum(est, mat[d][rows[d]])
+    return est
+
+
+def _cms_merge(batch: pa.Table) -> pa.Table:
+    """Sum up to _MERGE_FANIN sketch matrices (count-min is linear) and
+    keep the top _CMS_MERGE_CANDS candidates scored against the merged
+    matrix, so row size stays bounded through every merge level."""
+    mat = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    cands: set[bytes] = set()
+    for mb, cl in zip(batch.column("mat").to_pylist(),
+                      batch.column("cands").to_pylist()):
+        mat += np.frombuffer(mb, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+        cands.update(cl)
+    cand_list = sorted(cands)
+    if len(cand_list) > _CMS_MERGE_CANDS:
+        keep = np.argsort(-_cms_score(mat, cand_list),
+                          kind="stable")[:_CMS_MERGE_CANDS]
+        cand_list = [cand_list[i] for i in sorted(keep)]
+    return pa.table({
+        "mat": pa.array([mat.tobytes()], pa.binary()),
+        "cands": pa.array([cand_list], pa.list_(pa.binary())),
+    })
+
+
+def _cms_merged_parts(parts):
+    """Two 64-way distributed merge stages (exposed for the
+    driver-payload-bounded test). 512 KiB matrices cap the fan-in at 64
+    (~32 MiB per merge task); the distinct num_cpus values keep the
+    stages from fusing with the fold (and each other) — fused, each
+    merge would see exactly one sketch row and never reduce."""
+    parts = parts.map_batches(_cms_merge, batch_format="pyarrow",
+                              batch_size=_MERGE_FANIN, num_cpus=0.5)
+    return parts.map_batches(_cms_merge, batch_format="pyarrow",
+                             batch_size=_MERGE_FANIN, num_cpus=0.25)
 
 
 def _as_str(b: bytes):
@@ -222,8 +308,33 @@ def quantile_sketch(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9),
         return pa.table({"v": pa.array(v[pos]),
                          "w": pa.array(np.full(kk, n / kk))})
 
+    def compress(batch: pa.Table) -> pa.Table:
+        """Distributed re-compression: fold up to _MERGE_FANIN·k grid
+        rows back into a k-point weighted grid (adds ≤ group-weight/k
+        rank error once — still O(N/k) overall), so the driver reads
+        O(#batches/64) rows, not every batch's grid."""
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        if len(v) <= k:
+            return pa.table({"v": pa.array(v, pa.float64()),
+                             "w": pa.array(w, pa.float64())})
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        targets = (np.arange(k, dtype=np.float64) + 0.5) * (total / k)
+        idx = np.searchsorted(cum, targets, side="left") \
+            .clip(0, len(v) - 1)
+        return pa.table({"v": pa.array(v[idx]),
+                         "w": pa.array(np.full(k, total / k))})
+
+    # num_cpus=0.5 keeps compress unfused from fold (fused, it would
+    # see one grid per fold task and never reduce); 256 grids × k
+    # float rows ≈ 1 MiB per merge task
     parts = ds.map_batches(fold, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True) \
+        .map_batches(compress, batch_format="pyarrow",
+                     batch_size=4 * _MERGE_FANIN * k, num_cpus=0.5)
     vs, ws = [], []
     for b in parts.iter_batches(batch_format="pyarrow"):
         vs.append(b.column("v").to_numpy(zero_copy_only=False))

@@ -258,6 +258,18 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
             "__part", _key_part(batch.column(key_col), P))
 
     def per_part(group: pa.Table) -> pa.Table:
+        # null key/ts handling: a null RIGHT row can never match (drop);
+        # a null LEFT row emits with a null match. Nulls would otherwise
+        # poison the int64 ts view (to_numpy goes float64+NaN) and the
+        # key-boundary mask.
+        kv = pc.and_(pc.is_valid(group.column(key_col)),
+                     pc.is_valid(group.column(ts_col)))
+        null_left = None
+        if group.num_rows and not pc.all(kv).as_py():
+            bad = pc.invert(kv)
+            null_left = group.filter(pc.and_(
+                bad, pc.equal(group.column("__side"), 1)))
+            group = group.filter(kv)
         # right rows (side=0) sort before left rows at equal ts, so the
         # forward scan's "last right so far" includes ties (≤ semantics)
         g = group.sort_by([(key_col, "ascending"), (ts_col, "ascending"),
@@ -281,8 +293,14 @@ def asof_join(left_ds, right_ds, *, key_col: str, ts_col: str,
         lmask = side == 1
         out = g.filter(pa.array(lmask)) \
             .drop_columns(["__side", "__part"])
-        return out.append_column(right_ts_name,
-                                 matched_arr.filter(pa.array(lmask)))
+        out = out.append_column(right_ts_name,
+                                matched_arr.filter(pa.array(lmask)))
+        if null_left is not None and null_left.num_rows:
+            nl = null_left.drop_columns(["__side", "__part"]) \
+                .append_column(right_ts_name,
+                               pa.nulls(null_left.num_rows, ts_type))
+            out = pa.concat_tables([out, nl])
+        return out
 
     return both.map_batches(add_part, batch_format="pyarrow",
                             zero_copy_batch=True) \
@@ -297,6 +315,11 @@ def _asof_join_broadcast(left_ds, right_ds, *, key_col: str, ts_col: str,
     side = pa.concat_tables(
         right_ds.select_columns([key_col, ts_col]).iter_batches(
             batch_format="pyarrow"))
+    # null right keys/timestamps can never be matched and break the
+    # object-array searchsorted below (shuffle mode drops them via
+    # _key_part / _new_key_mask)
+    side = side.filter(pc.and_(pc.is_valid(side.column(key_col)),
+                               pc.is_valid(side.column(ts_col))))
     side = side.sort_by([(key_col, "ascending"), (ts_col, "ascending")])
     rk = side.column(key_col).combine_chunks() \
         if isinstance(side.column(key_col), pa.ChunkedArray) \
@@ -313,22 +336,31 @@ def _asof_join_broadcast(left_ds, right_ds, *, key_col: str, ts_col: str,
 
     def match(batch: pa.Table) -> pa.Table:
         uk, st, en, ts_sorted = ray.get(bcast)
-        lk = batch.column(key_col).to_numpy(zero_copy_only=False)
-        lt = batch.column(ts_col).cast(pa.int64()) \
+        # null left keys/timestamps are "no match": a None inside the
+        # object-array searchsorted raises TypeError, and a null ts
+        # turns the int64 cast into float64+NaN (matches-last garbage)
+        lvalid = pc.and_(pc.is_valid(batch.column(key_col)),
+                         pc.is_valid(batch.column(ts_col))) \
             .to_numpy(zero_copy_only=False)
-        n = len(lk)
+        vrows = np.flatnonzero(lvalid)
+        lk = batch.column(key_col).take(pa.array(vrows)) \
+            .to_numpy(zero_copy_only=False)
+        lt = batch.column(ts_col).take(pa.array(vrows)).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = batch.num_rows
         out_ts = np.zeros(n, dtype=np.int64)
         valid = np.zeros(n, dtype=bool)
-        if len(uk):
+        if len(uk) and len(vrows):
             ki = np.searchsorted(uk, lk)
             has_key = (ki < len(uk)) & (uk[np.minimum(ki, len(uk) - 1)] == lk)
             # per distinct batch key: one vectorized searchsorted over
             # that key's right segment (few distinct keys per batch in
             # the hot-key regime this mode targets)
             for k in np.unique(ki[has_key]):
-                rows = np.flatnonzero(has_key & (ki == k))
+                sel = has_key & (ki == k)
+                rows = vrows[np.flatnonzero(sel)]
                 seg = ts_sorted[st[k]:en[k]]
-                pos = np.searchsorted(seg, lt[rows], side="right") - 1
+                pos = np.searchsorted(seg, lt[sel], side="right") - 1
                 ok = pos >= 0
                 out_ts[rows[ok]] = seg[pos[ok]]
                 valid[rows] = ok
@@ -459,8 +491,11 @@ def rolling_window(ds, *, key_col: str, ts_col: str,
         v = g.column(value_col)
         vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
         cents = half_away_cents(vn)
-        null_mask = np.asarray(pc.is_null(v)) if n else \
-            np.zeros(0, dtype=bool)
+        # NaN values are masked like nulls — their cents would
+        # int64-cast to garbage and poison the shared prefix-sum
+        # (ADVICE r2; NaN≡NULL semantics as in ops/window.py)
+        null_mask = (np.asarray(pc.is_null(v)) | np.isnan(vn)) if n \
+            else np.zeros(0, dtype=bool)
         if null_mask.any():
             cents = np.where(null_mask, 0.0, cents)
         cum = np.zeros(n + 1, dtype=np.int64)

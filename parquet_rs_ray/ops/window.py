@@ -121,8 +121,13 @@ def windowed_agg(ds, *, ts_col: str = "ts", key_col: str | None = None,
             # the result deterministic on any cluster shape
             vn = v.cast(pa.float64()).to_numpy(zero_copy_only=False) + 0.0
             cents = half_away_cents(vn)
-            # SUM/MIN/MAX ignore nulls: contribute 0 cents / ±inf
-            null_mask = np.asarray(pc.is_null(v))
+            # SUM/MIN/MAX ignore nulls: contribute 0 cents / ±inf.
+            # Non-null NaN values are masked like nulls too — their
+            # cents would int64-cast to garbage and silently poison
+            # every sum sharing the partial (ADVICE r2); DuckDB errors
+            # on the equivalent CAST, so skipping is the deterministic
+            # choice (documented NaN≡NULL semantics).
+            null_mask = np.asarray(pc.is_null(v)) | np.isnan(vn)
             if null_mask.any():
                 # ±inf/0 identities make Arrow's grouped aggs skip
                 # nulls; __nn tracks non-null counts so all-NULL

@@ -192,7 +192,35 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
                             datetime.time)):
             if getattr(val, "tzinfo", None) is not None:
                 return True  # tz-aware strings don't order vs naive
-            val = str(val)
+            # Mixed temporal granularity: a date predicate renders
+            # '2024-01-10' while a timestamp bound renders
+            # '2024-01-10 00:00:00' — a strict-prefix compare would
+            # "prove" no-match for a midnight row and unsoundly prune.
+            # Normalize to the bounds' rendering, mirroring the exact
+            # post-decode filter's semantics (Arrow casts date→midnight
+            # timestamp; pa.scalar truncates datetime→date):
+            def _shape(s: str) -> str:
+                if " " in s:
+                    head, _, tail = s.partition(" ")
+                    if "+" in tail or "-" in tail:
+                        return "tzts"  # tz-aware bound: no sound order
+                    return "ts"
+                return "date" if "-" in s else "time"
+
+            bshape = _shape(mn)
+            if bshape != _shape(mx) or bshape == "tzts":
+                return True
+            if isinstance(val, datetime.datetime):
+                sval = str(val) if bshape == "ts" else (
+                    str(val.date()) if bshape == "date" else None)
+            elif isinstance(val, datetime.date):
+                sval = str(val) if bshape == "date" else (
+                    str(val) + " 00:00:00" if bshape == "ts" else None)
+            else:  # datetime.time
+                sval = str(val) if bshape == "time" else None
+            if sval is None or _shape(sval) != bshape:
+                return True
+            val = sval
         if not isinstance(val, str):
             return True
         return check(mn, mx, val)

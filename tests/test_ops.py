@@ -433,6 +433,38 @@ def test_asof_join_randomized(ray_session, mode):
     assert got == want
 
 
+@pytest.mark.parametrize("mode", ["shuffle", "broadcast"])
+def test_asof_join_null_string_keys(ray_session, mode):
+    """ADVICE r2: broadcast mode crashed (TypeError in the object-array
+    searchsorted) on string keys with nulls; null key or ts on either
+    side must mean "no match", identically in both modes."""
+    import ray
+    from parquet_rs_ray.ops.temporal import asof_join
+    lk = ["a", None, "b", "a", None, "c", "b"]
+    lt = [100, 200, 300, None, 50, 400, 500]
+    rk = ["a", "b", None, "a", "c", None]
+    rt = [90, 250, 10, None, 500, None]
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk), "event_id": pa.array(np.arange(len(lk))),
+        "ts": pa.array(lt, pa.timestamp("us"))}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(rk), "ts": pa.array(rt, pa.timestamp("us"))}))
+    out = asof_join(left, right, key_col="k", ts_col="ts",
+                    right_ts_name="m", mode=mode) \
+        .to_pandas().sort_values("event_id")
+    got = [None if v != v else int(v.value) // 1000 for v in out["m"]]
+    # per-row oracle: max right ts <= left ts among same non-null key
+    want = []
+    for i in range(len(lk)):
+        if lk[i] is None or lt[i] is None:
+            want.append(None)
+            continue
+        cand = [t for kk, t in zip(rk, rt)
+                if kk == lk[i] and t is not None and t <= lt[i]]
+        want.append(max(cand) if cand else None)
+    assert got == want, mode
+
+
 def test_embedding_near_dup_lsh_scale_path(ray_session):
     """Bucketed LSH near-dup: finds planted near-identical pairs, never
     emits a below-threshold pair (per-bucket verify is exact), and all
@@ -826,6 +858,41 @@ def test_cms_topk_recalls_exact_heavy_hitters(ray_session):
     n = len(vals)
     for _, r in out.iterrows():
         assert exact[r.value] <= r.approx_count <= exact[r.value] + 0.01 * n
+
+
+def test_sketch_driver_payload_is_tree_merged(ray_session):
+    """VERDICT r2: sketch partials must pre-merge distributedly — the
+    driver reads O(#batches/64²) summary rows, not one per batch.
+    200 input blocks ⇒ a handful of rows reach the final merge, and the
+    estimates are unchanged vs the direct fold (merges are exact:
+    max / sum / weight-preserving re-grid)."""
+    import ray
+    from parquet_rs_ray.ops.sketch import (_cms_merged_parts, _hll_parts,
+                                           cms_topk, hll_distinct)
+    n_blocks = 200
+    tbls = [pa.table({"w": pa.array(
+        [f"hot{j}" for j in range(5)] * 10 + [f"t{i}_{j}" for j in range(30)]
+    )}) for i in range(n_blocks)]
+    ds = ray.data.from_arrow(tbls)
+
+    hparts = _hll_parts(ds, "w").materialize()
+    assert hparts.count() <= 8          # 200 → ≤4 after stage 1 → ≤8 slack
+    approx = hll_distinct(ds, "w")["approx_distinct"][0]
+    exact = 5 + 30 * n_blocks
+    assert abs(approx - exact) / exact < 0.05
+
+    out = cms_topk(ds, "w", k=5)
+    assert set(out.value) == {f"hot{j}" for j in range(5)}
+    # and the merged parts the driver reads are few
+    def fold_count(b):
+        return pa.table({"n": pa.array([b.num_rows])})
+    cparts = _cms_merged_parts(ds.map_batches(
+        lambda b: pa.table({
+            "mat": pa.array([np.zeros((4, 1 << 14), np.int64).tobytes()],
+                            pa.binary()),
+            "cands": pa.array([[b"x"]], pa.list_(pa.binary()))}),
+        batch_format="pyarrow")).materialize()
+    assert cparts.count() <= 8
 
 
 def test_quantile_sketch_accuracy(ray_session):

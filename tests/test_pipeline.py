@@ -311,6 +311,67 @@ def test_pushdown_typed_predicates(ray_session):
         assert pruned.count() < pages.count(), (col, op, val)
 
 
+def test_pushdown_mixed_temporal_granularity(ray_session):
+    """ADVICE r2: a datetime.date predicate against a timestamp column
+    renders '2024-01-10' vs stored '2024-01-10 00:00:00'; a strict-prefix
+    string compare would prune the block holding the exact-midnight row.
+    Pruned decode must equal decode-then-filter for every mixed pairing."""
+    import datetime
+    import ray
+    import pyarrow.compute as pc2
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+
+    n = 300
+    # block 1 min is EXACTLY midnight Jan 10 (the boundary row at risk)
+    t1 = pa.table({
+        "ts": pa.array([datetime.datetime(2024, 1, 10) +
+                        datetime.timedelta(minutes=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "d": pa.array([datetime.date(2024, 1, 10)] * n, pa.date32()),
+        "i": pa.array(np.arange(n), pa.int64()),
+    })
+    t2 = pa.table({
+        "ts": pa.array([datetime.datetime(2024, 2, 1) +
+                        datetime.timedelta(minutes=i) for i in range(n)],
+                       pa.timestamp("us")),
+        "d": pa.array([datetime.date(2024, 2, 1)] * n, pa.date32()),
+        "i": pa.array(np.arange(n, 2 * n), pa.int64()),
+    })
+    full = pa.concat_tables([t1, t2])
+    pages = encode_dataset(ray.data.from_arrow([t1, t2]),
+                           concurrency=2).materialize()
+
+    kern = {"==": pc2.equal, ">": pc2.greater, ">=": pc2.greater_equal,
+            "<": pc2.less, "<=": pc2.less_equal}
+    cases = [
+        # date predicate on timestamp column (midnight boundary, all ops)
+        ("ts", "<=", datetime.date(2024, 1, 10)),
+        ("ts", "==", datetime.date(2024, 1, 10)),
+        ("ts", "<", datetime.date(2024, 1, 10)),
+        ("ts", ">=", datetime.date(2024, 2, 1)),
+        ("ts", ">", datetime.date(2024, 1, 10)),
+        # datetime predicate on date column (pa.scalar truncates to date)
+        ("d", "<=", datetime.datetime(2024, 1, 10, 5, 30)),
+        ("d", "==", datetime.datetime(2024, 1, 10, 5, 30)),
+        ("d", ">=", datetime.datetime(2024, 2, 1, 0, 0)),
+        # same-granularity still exact
+        ("ts", "<=", datetime.datetime(2024, 1, 10)),
+        ("d", "==", datetime.date(2024, 2, 1)),
+    ]
+    for col, op, val in cases:
+        batches = [b for b in decode_dataset(pages, predicate=(col, op, val))
+                   .iter_batches(batch_format="pyarrow") if b.num_rows]
+        got = (pa.concat_tables(batches, promote_options="default")
+               if batches else full.slice(0, 0))
+        try:
+            sval = pa.scalar(val, full.schema.field(col).type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+            sval = val
+        want = full.filter(kern[op](full.column(col), sval))
+        assert got.num_rows == want.num_rows, (col, op, val)
+        assert got.sort_by("i").equals(want.sort_by("i")), (col, op, val)
+
+
 def test_encode_job_empty_shard_commits(ray_session, tmp_path):
     """A shard with zero rows (pq.write_table of an empty table yields one
     0-row row group) must still COMMIT via a sentinel lineage row, or
@@ -369,6 +430,76 @@ def test_compact_job_merges_and_stays_decodable(ray_session, tmp_path):
     # idempotent: nothing left to merge
     s3 = compact_job(out_dir, target_file_bytes=1 << 30)
     assert s3["bins"] == 0 or s3["files_merged"] == 0
+
+
+def test_compact_job_shard_spanning_containers(ray_session, tmp_path):
+    """ADVICE r2: a shard whose blocks span several container files
+    (the EncodeWriteActor layout — one container per batch) must compact
+    correctly even when those files land in DIFFERENT bins or only some
+    of them are merged; previously the per-shard block-count validation
+    aborted (or the updates dict dropped blocks)."""
+    import json as _json
+    from parquet_rs_ray import manifest
+    from parquet_rs_ray.job import compact_job, decode_job, encode_job
+    from parquet_rs_ray.webgen import write_web_shards
+
+    paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=120,
+                             n_shards=3)
+    # shard 0 gets TWO row groups ⇒ two blocks in its container
+    t0 = pq.read_table(paths[0])
+    pq.write_table(t0, paths[0], row_group_size=60)
+    out_dir = str(tmp_path / "encoded")
+    encode_job(paths, out_dir, concurrency=2)
+
+    mdir = os.path.join(out_dir, "manifest")
+    ddir = os.path.join(out_dir, "data")
+    entries = manifest.load(mdir)
+    e0 = entries[paths[0]]
+    files0 = _json.loads(e0["output"])
+    assert len(files0) == 2 and len(set(files0)) == 1  # 2 blocks, 1 file
+    # split shard 0's container into two files (names chosen so the
+    # greedy name-sorted binning puts them in different bins)
+    src = files0[0]
+    pf = pq.ParquetFile(src)
+    fa = os.path.join(ddir, "00000000aaaaaaaa.parquet")
+    fz = os.path.join(ddir, "zzzzzzzzzzzzzzzz.parquet")
+    for f, rg in ((fa, 0), (fz, 1)):
+        blk = pf.read_row_group(rg)
+        pq.write_table(blk, f, compression="none")
+    pf.close()
+    os.remove(src)
+    manifest.record(
+        mdir, paths[0], output_path=_json.dumps([fa, fz]),
+        rows=e0["rows"], plain_bytes=e0["plain_bytes"],
+        encoded_bytes=e0["encoded_bytes"],
+        codecs=_json.loads(e0["codecs"]) if isinstance(e0["codecs"], str)
+        else e0["codecs"], checksum=e0["checksum"])
+
+    exp = decode_job(out_dir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    # bin capacity ≈ 2 files: fa pairs with the other shards' containers,
+    # fz lands in a different bin (or stays unmerged) — shard 0's entry
+    # must get BOTH mappings applied, not last-bin-wins
+    sizes = [os.path.getsize(os.path.join(ddir, f))
+             for f in os.listdir(ddir)]
+    target = max(sizes) * 5 // 2
+    s = compact_job(out_dir, target_file_bytes=target)
+    assert s["files_merged"] >= 2
+
+    new0 = _json.loads(manifest.load(mdir)[paths[0]]["output"])
+    assert len(new0) == 2
+    for f in new0:
+        assert os.path.exists(f)
+    got = decode_job(out_dir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert got.equals(exp)
+
+    # and the all-in-one-bin variant stays correct too (idempotent run
+    # with a huge target merges whatever is left)
+    s2 = compact_job(out_dir, target_file_bytes=1 << 30)
+    got2 = decode_job(out_dir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert got2.equals(exp)
 
 
 def test_compact_job_multi_stage(ray_session, tmp_path):

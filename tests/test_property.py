@@ -169,3 +169,22 @@ def test_random_nested_roundtrip(data):
                                path="", block_id="b", block_rows=n, n_cols=1)
     got = pa.concat_arrays([decode_page_row(r) for r in rows])
     assert got.to_pylist() == col.to_pylist()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=60)), max_size=40),
+       st.lists(st.one_of(st.none(), st.binary(max_size=60)), max_size=40))
+def test_hash_strings_large_offset_parity(texts, blobs):
+    """_hash_strings must accept large_string/large_binary (int64
+    offsets — the >2 GiB-batch regime) and hash byte-identically to the
+    int32-offset types, including sliced arrays (VERDICT r2 item 6)."""
+    from parquet_rs_ray.ops.dedup import _hash_strings
+    cases = [
+        (pa.array(texts, pa.string()), pa.array(texts, pa.large_string())),
+        (pa.array(blobs, pa.binary()), pa.array(blobs, pa.large_binary())),
+    ]
+    for small, large in cases:
+        assert np.array_equal(_hash_strings(small), _hash_strings(large))
+        if len(small) > 2:
+            assert np.array_equal(_hash_strings(small.slice(1, 2)),
+                                  _hash_strings(large.slice(1, 2)))

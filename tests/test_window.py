@@ -94,6 +94,36 @@ def test_window_nulls_and_negative_ts(ray_session):
     assert out["value_min"].isna()[1] and out["value_max"].isna()[1]
 
 
+def test_window_and_rolling_nan_values_mask_like_null(ray_session):
+    """ADVICE r2: a non-null NaN value must not int64-poison the cents
+    sums — NaN ≡ NULL (skipped; all-NaN window/frame sums NULL)."""
+    import ray
+    from parquet_rs_ray.ops.temporal import rolling_window
+    M = 60_000_000
+    tbl = pa.table({
+        "ts": pa.array([0, 10 * M, 70 * M, 80 * M], pa.timestamp("us")),
+        "k": pa.array(["a", "a", "a", "a"]),
+        "value": pa.array([1.25, float("nan"), float("nan"),
+                           float("nan")], pa.float64()),
+    })
+    out = windowed_agg(ray.data.from_arrow(tbl), ts_col="ts",
+                       value_col="value", width_minutes=60).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["value_cents"][0] == 125      # NaN skipped, not garbage
+    assert out["value_cents"].isna()[1]      # all-NaN window → NULL
+    assert out["value_min"].isna()[1] and out["value_max"].isna()[1]
+
+    roll = rolling_window(ray.data.from_arrow(
+        tbl.append_column("event_id", pa.array(np.arange(4)))),
+        key_col="k", ts_col="ts", value_col="value",
+        preceding_minutes=30).to_pandas().sort_values("event_id") \
+        .reset_index(drop=True)
+    assert roll["roll_cnt"].tolist() == [1, 2, 1, 2]
+    assert roll["roll_cents"][0] == 125 and roll["roll_cents"][1] == 125
+    assert roll["roll_cents"].isna()[2] and roll["roll_cents"].isna()[3]
+
+
 def test_window_hop_must_divide_width(ray_session):
     import ray
     ds = ray.data.range(1)
