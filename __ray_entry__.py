@@ -166,6 +166,32 @@ def _pruned_scan_lineitem(sf_dir: str):
                           predicate=("l_extendedprice", ">", 90000.0))
 
 
+def _hash_sample_orders(sf_dir: str):
+    """Deterministic 25% sample by multiplicative key hash — the
+    reproducible-selection primitive a resumable training pipeline
+    needs (membership is a pure row property; no shuffle, no RNG
+    state). Bit-exact SQL oracle via HUGEINT arithmetic."""
+    import ray
+    from parquet_rs_ray.ops.sampling import hash_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_totalprice"])
+    return hash_sample(ds, key_col="o_orderkey", rate_ppm=250_000)
+
+
+def _hash_split_documents(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split — labels from
+    contiguous hash-bucket ranges (exhaustive + disjoint by
+    construction, stable across cluster shapes)."""
+    import ray
+    from parquet_rs_ray.ops.sampling import hash_split
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return hash_split(ds, key_col="doc_id",
+                      weights=[("train", 0.8), ("val", 0.1),
+                               ("test", 0.1)])
+
+
 def _point_lookup_orders(sf_dir: str):
     """Point lookup through the encoded format: per-page bloom filters
     prune every block whose key set provably excludes the target."""
@@ -751,7 +777,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
     q["pruned_scan_lineitem"] = _pruned_scan_lineitem
     q["point_lookup_orders"] = _point_lookup_orders
-    # --- rows-only, inside the 50-query window (10) ---
+    q["hash_sample_orders"] = _hash_sample_orders
+    q["hash_split_documents"] = _hash_split_documents
+    # --- rows-only, inside the 50-query window (8) ---
     q["compression_ratio_documents"] = _compression_ratio
     q["near_dedup_documents"] = _near_dedup_documents
     q["minhash_candidates_documents"] = _minhash_candidates_documents
@@ -759,10 +787,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_near_dup_lsh_embeddings"] = _embedding_near_dup_lsh_embeddings
     q["ivf_topk_embeddings"] = _ivf_topk_embeddings
     q["lsh_topk_embeddings"] = _lsh_topk_embeddings
+    q["pack_documents"] = _pack_documents
+    # --- rows-only, past the driver window (pytest-covered; the CMS/HLL
+    # sketches additionally carry recall/error-bound + payload tests) ---
     q["cms_heavy_words_documents"] = _cms_heavy_words_documents
     q["hll_distinct_text_documents"] = _hll_distinct_text_documents
-    q["pack_documents"] = _pack_documents
-    # --- rows-only, past the driver window (pytest-covered) ---
     q["encoded_pages_documents"] = _encoded_pages_documents
     q["lang_id_documents"] = _lang_id_documents
     q["quality_scores_documents"] = _quality_scores_documents
@@ -913,6 +942,24 @@ def oracle_sql() -> dict[str, str]:
         "FROM events")
     sql["point_lookup_orders"] = (
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = 777")
+    # sampling/split: identical multiplicative-hash arithmetic, exact in
+    # HUGEINT; the threshold/cut constants come from the SAME helpers
+    # the Ray operators use
+    from parquet_rs_ray.ops.sampling import (sample_rate_threshold,
+                                             split_cut_points)
+    _thr = sample_rate_threshold(250_000)
+    sql["hash_sample_orders"] = (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE (CAST(o_orderkey % 4294967296 AS HUGEINT) * 2654435761) "
+        f"% 4294967296 < {_thr}")
+    _cuts = split_cut_points([("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    sql["hash_split_documents"] = (
+        "SELECT doc_id, lang, n_chars, CASE "
+        f"WHEN __h < {_cuts[0][1]} THEN 'train' "
+        f"WHEN __h < {_cuts[1][1]} THEN 'val' ELSE 'test' END AS split "
+        "FROM (SELECT doc_id, lang, n_chars, "
+        "(CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) "
+        "% 4294967296 AS __h FROM documents)")
     sql["pruned_scan_lineitem"] = (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
         "WHERE l_extendedprice > 90000.0")

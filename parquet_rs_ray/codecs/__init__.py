@@ -8,11 +8,12 @@ plus the north-star additions (FSST, FOR).
 
 from .base import (PhysicalType, ByteArrayVals, physical_of_arrow,
                    values_from_arrow, values_to_arrow)
-from . import plain, levels, delta, dictionary, delta_bytes, forpack, fsst, rlebool
+from . import (plain, levels, delta, dictionary, delta_bytes, forpack,
+               fsst, rlebool, bss)
 
 __all__ = [
     "PhysicalType", "ByteArrayVals", "physical_of_arrow",
     "values_from_arrow", "values_to_arrow",
     "plain", "levels", "delta", "dictionary", "delta_bytes",
-    "forpack", "fsst", "rlebool",
+    "forpack", "fsst", "rlebool", "bss",
 ]

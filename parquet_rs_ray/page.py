@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .errors import DecodeError, FormatError
-from .codecs import (ByteArrayVals, PhysicalType, dictionary, delta,
+from .codecs import (ByteArrayVals, PhysicalType, bss, dictionary, delta,
                      delta_bytes, forpack, fsst, levels, plain, rlebool,
                      physical_of_arrow, values_from_arrow, values_to_arrow)
 
@@ -161,6 +161,8 @@ def encode_with(codec: str, phys: PhysicalType, values, type_length: int = 0,
         return delta_bytes.encode_delta_byte_array(values), b"", 0
     if codec == "FSST":
         return fsst.encode(values, fsst_table), b"", 0
+    if codec == "BYTE_STREAM_SPLIT":
+        return bss.encode(values, phys), b"", 0
     raise FormatError(f"unknown codec {codec}")
 
 
@@ -187,6 +189,8 @@ def decode_with(codec: str, phys: PhysicalType, data: bytes, dict_page: bytes,
         return delta_bytes.decode_delta_byte_array(data, num_values)
     if codec == "FSST":
         return fsst.decode(data)
+    if codec == "BYTE_STREAM_SPLIT":
+        return bss.decode(data, num_values, phys)
     raise FormatError(f"unknown codec {codec}")
 
 

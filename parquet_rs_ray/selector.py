@@ -31,6 +31,7 @@ from .codecs import ByteArrayVals, PhysicalType, dictionary, fsst
 from . import page as page_mod
 from .codecs import delta as delta_codec
 from .codecs import delta_bytes, forpack, plain, rlebool
+from .codecs import bss as bss_codec
 
 SAMPLE_VALUES = 2048
 PROBE_BYTES = 96 * 1024
@@ -126,6 +127,14 @@ class CodecSelector:
             distinct = self._try_dict(phys, values, candidates)
         elif phys in (PhysicalType.FLOAT, PhysicalType.DOUBLE):
             distinct = self._try_dict(phys, values, candidates)
+            if self.block_codec == "auto":
+                # BYTE_STREAM_SPLIT is a pure permutation (raw size ==
+                # PLAIN); it only pays off through the outer block codec,
+                # so offer it exactly where _pick_auto ranks candidates
+                # on POST-compression size
+                b = bss_codec.encode(values, phys)
+                candidates.append((len(b), "BYTE_STREAM_SPLIT",
+                                   (b, b"", 0)))
         elif phys == PhysicalType.BYTE_ARRAY and n >= 64:
             return self._select_bytes_probed(phys, values, column,
                                              type_length, plain_size)
@@ -291,6 +300,7 @@ class CodecSelector:
         # real margin (>3%) to displace a cheaper one
         cost_rank = {"PLAIN": 0, "FOR": 1, "DELTA_BINARY_PACKED": 1,
                      "DELTA_LENGTH_BYTE_ARRAY": 1, "RLE": 1,
+                     "BYTE_STREAM_SPLIT": 1,
                      "RLE_DICTIONARY": 2, "DELTA_BYTE_ARRAY": 2, "FSST": 3}
         compare.sort(key=lambda c: cost_rank.get(c[1], 2))
         c = pa.Codec(AUTO_BLOCK_CODEC, compression_level=ZSTD_LEVEL)

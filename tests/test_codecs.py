@@ -312,6 +312,10 @@ def test_fsst_table_roundtrip():
     ("DELTA_BINARY_PACKED", pa.int64(), list(range(0, 5000, 7))),
     ("FOR", pa.int64(), [10_000_000 + i for i in range(500)]),
     ("RLE", pa.bool_(), [True] * 100 + [False] * 37),
+    ("BYTE_STREAM_SPLIT", pa.float64(),
+     [100.0 + i * 0.125 for i in range(300)]),
+    ("BYTE_STREAM_SPLIT", pa.float32(),
+     [float(i) / 7 for i in range(300)]),
 ])
 def test_force_codec_roundtrip(codec, typ, vals):
     """Every codec is reachable via force_codec (≙ explicitly-chosen
@@ -326,3 +330,32 @@ def test_force_codec_roundtrip(codec, typ, vals):
     assert all(r["codec"] == codec for r in rows)
     got = pa.concat_arrays([decode_page_row(r) for r in rows])
     assert got.to_pylist() == col.to_pylist()
+
+
+def test_byte_stream_split_wins_under_auto_block_codec():
+    """Clustered doubles (shared sign/exponent bytes): zstd over the
+    byte-transposed stream beats zstd over PLAIN, so the auto selector
+    picks BYTE_STREAM_SPLIT — and never offers it without a block codec
+    (alone it is a pure permutation, raw size == PLAIN)."""
+    import numpy as np
+    from parquet_rs_ray.page import decode_page_row, encode_column_chunk
+    from parquet_rs_ray.selector import CodecSelector
+    rng = np.random.default_rng(9)
+    # random-walk sensor values: near-constant high bytes, noisy mantissa
+    vals = 1000.0 + np.cumsum(rng.standard_normal(4000) * 0.01)
+    col = pa.chunked_array([pa.array(vals, pa.float64())])
+
+    sel = CodecSelector(block_codec="auto")
+    rows = encode_column_chunk("c", 0, col, selector=sel, path="",
+                               block_id="b", block_rows=len(vals), n_cols=1)
+    assert any(r["codec"] == "BYTE_STREAM_SPLIT" for r in rows), \
+        [r["codec"] for r in rows]
+    assert sum(r["encoded_size"] for r in rows) < \
+        sum(r["plain_size"] for r in rows)
+    got = pa.concat_arrays([decode_page_row(r) for r in rows])
+    assert got.to_pylist() == col.combine_chunks().to_pylist()
+
+    sel2 = CodecSelector(block_codec=None)
+    rows2 = encode_column_chunk("c", 0, col, selector=sel2, path="",
+                                block_id="b", block_rows=len(vals), n_cols=1)
+    assert all(r["codec"] != "BYTE_STREAM_SPLIT" for r in rows2)

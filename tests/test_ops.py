@@ -919,3 +919,54 @@ def test_quantile_sketch_accuracy(ray_session):
     t2 = pa.table({"x": pa.array([None, None], pa.float64())})
     out2 = quantile_sketch(ray.data.from_arrow(t2), "x", qs=(0.5,))
     assert out2.value.isna().all() or out2.value.tolist() == [None]
+
+
+def test_hash_sample_and_split_deterministic(ray_session):
+    """Sampling/split membership is a pure row property: identical
+    results for any partitioning; split labels are exhaustive+disjoint
+    with fractions near the weights; null keys excluded from samples
+    and routed to the LAST split (SQL CASE ELSE parity)."""
+    import ray
+    from parquet_rs_ray.ops.sampling import (hash_sample, hash_split,
+                                             sample_rate_threshold,
+                                             split_cut_points)
+    n = 20_000
+    tbl = pa.table({"id": pa.array(np.arange(n)),
+                    "v": pa.array(np.arange(n) % 7)})
+    one = ray.data.from_arrow(tbl)
+    many = ray.data.from_arrow([tbl.slice(s, 500)
+                                for s in range(0, n, 500)])
+
+    s1 = hash_sample(one, key_col="id", rate_ppm=100_000).to_pandas()
+    s2 = hash_sample(many, key_col="id", rate_ppm=100_000).to_pandas()
+    assert sorted(s1.id) == sorted(s2.id)
+    assert abs(len(s1) / n - 0.1) < 0.01  # ~10% ±1pp at 20k keys
+
+    w = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    p1 = hash_split(one, key_col="id", weights=w).to_pandas()
+    p2 = hash_split(many, key_col="id", weights=w).to_pandas()
+    assert len(p1) == n  # exhaustive
+    m1 = dict(zip(p1.id, p1.split))
+    assert m1 == dict(zip(p2.id, p2.split))
+    frac = p1.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+
+    # null keys: dropped from sample, last label in split
+    tnull = pa.table({"id": pa.array([1, None, 3], pa.int64())})
+    ds = ray.data.from_arrow(tnull)
+    got = hash_sample(ds, key_col="id", rate_ppm=1_000_000).to_pandas()
+    assert sorted(got.id) == [1, 3]
+    sp = hash_split(ds, key_col="id", weights=w).to_pandas()
+    assert sp[sp.id.isna()].split.tolist() == ["test"]
+
+    # negative keys refuse loudly (SQL % divergence)
+    import pytest as _pytest
+    bad = ray.data.from_arrow(pa.table({"id": pa.array([-5])}))
+    with _pytest.raises(Exception):
+        hash_sample(bad, key_col="id", rate_ppm=10).to_pandas()
+
+    # helper constants are exact integers (oracle embeds them)
+    assert sample_rate_threshold(250_000) == (1 << 32) // 4
+    cuts = split_cut_points(w)
+    assert cuts[-1][1] == 1 << 32 and cuts[0][1] < cuts[1][1]

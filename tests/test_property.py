@@ -188,3 +188,22 @@ def test_hash_strings_large_offset_parity(texts, blobs):
         if len(small) > 2:
             assert np.array_equal(_hash_strings(small.slice(1, 2)),
                                   _hash_strings(large.slice(1, 2)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data(), SIZES, st.booleans())
+def test_byte_stream_split_roundtrip(data, n, is_double):
+    """BYTE_STREAM_SPLIT is a pure byte permutation: decode(encode(v))
+    must be bit-identical for any floats incl. NaN/inf/-0.0."""
+    from parquet_rs_ray.codecs import bss
+    phys = PhysicalType.DOUBLE if is_double else PhysicalType.FLOAT
+    dt = np.float64 if is_double else np.float32
+    specials = [0.0, -0.0, np.nan, np.inf, -np.inf, 1e-300 if is_double else 1e-30]
+    vals = data.draw(st.lists(
+        st.one_of(st.floats(allow_nan=True, width=64 if is_double else 32),
+                  st.sampled_from(specials)),
+        min_size=n, max_size=n))
+    v = np.array(vals, dtype=dt)
+    out = bss.decode(bss.encode(v, phys), n, phys)
+    assert out.dtype == v.dtype
+    assert np.array_equal(out.view(np.uint8), v.view(np.uint8))
