@@ -717,6 +717,68 @@ def _media_features_documents(sf_dir: str):
     return decode_images(media, batch_size=64, concurrency=2, fake=True)
 
 
+def _dup_clusters_documents(sf_dir: str):
+    """Duplicate-cluster labelling: deterministic prefix-blocking +
+    exact word-5-gram Jaccard edges (>= 0.9), then distributed
+    connected components (BSP min-label propagation over Ray joins +
+    groupby-min; ops/graph.py). Every doc gets the min doc_id of its
+    duplicate family; the oracle replays it with a recursive CTE."""
+    import ray
+    from parquet_rs_ray.ops.graph import dup_clusters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dup_clusters(ds, jaccard_threshold=0.9)
+
+
+def _decontaminate_documents(sf_dir: str):
+    """Test-set decontamination: docs with doc_id < 100 act as the eval
+    set; every remaining doc sharing any word-5-gram with it is dropped.
+    Broadcast blocklist + streaming searchsorted filter — no shuffle
+    (ops/decontam.py)."""
+    import ray
+    from parquet_rs_ray.ops.decontam import decontaminate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang",
+                                        "n_chars"])
+    ref = ds.filter(expr="doc_id < 100")
+    corpus = ds.filter(expr="doc_id >= 100")
+    out = decontaminate(corpus, ref)
+    return out.map_batches(lambda b: b.drop_columns(["text"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _stratified_sample_documents(sf_dir: str):
+    """Per-lang deterministic sampling (training-mixture rates: 50% en,
+    25% zh, 10% everything else) — pure row-property membership, no
+    shuffle, reproducible on any cluster shape
+    (ops/sampling.py::stratified_hash_sample)."""
+    import ray
+    from parquet_rs_ray.ops.sampling import stratified_hash_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return stratified_hash_sample(ds, key_col="doc_id", group_col="lang",
+                                  rates_ppm={"en": 500_000,
+                                             "zh": 250_000},
+                                  default_ppm=100_000)
+
+
+def _domain_cap_documents(sf_dir: str):
+    """Per-domain quota capping (keep the 10 lowest-doc_id docs per
+    source) — the standard per-domain contribution cap of web-corpus
+    curation, via the distributed grouped_topk (one map_groups per hash
+    partition, not per domain)."""
+    import ray
+    from parquet_rs_ray.ops.relational import grouped_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return grouped_topk(ds, group_col="source", order_col="doc_id",
+                        k=10, descending=False)
+
+
 _TABLES = {
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -744,7 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only queries in decreasing informativeness. Entries past 50 are
     # still exercised by the pytest suite.
     q: dict[str, Callable[[str], Any]] = {}
-    # --- oracle-backed (40) ---
+    # --- oracle-backed (46) ---
     for table, cols in _TABLES.items():
         q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
     q["stats_documents"] = _stats_documents
@@ -779,7 +841,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["point_lookup_orders"] = _point_lookup_orders
     q["hash_sample_orders"] = _hash_sample_orders
     q["hash_split_documents"] = _hash_split_documents
-    # --- rows-only, inside the 50-query window (8) ---
+    q["dup_clusters_documents"] = _dup_clusters_documents
+    q["decontaminate_documents"] = _decontaminate_documents
+    q["stratified_sample_documents"] = _stratified_sample_documents
+    q["domain_cap_documents"] = _domain_cap_documents
+    # --- rows-only, inside the 50-query window (4) ---
     q["compression_ratio_documents"] = _compression_ratio
     q["near_dedup_documents"] = _near_dedup_documents
     q["minhash_candidates_documents"] = _minhash_candidates_documents
@@ -960,6 +1026,58 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT doc_id, lang, n_chars, "
         "(CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) "
         "% 4294967296 AS __h FROM documents)")
+    # connected components over verified near-dup edges: the edge set
+    # reuses the (already bit-exact) prefix-blocking + 5-gram Jaccard
+    # SQL; min-reachable-key per node via a recursive CTE
+    sql["dup_clusters_documents"] = (
+        "WITH RECURSIVE d AS (SELECT doc_id, substr(text,1,50) AS pfx, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS w0 "
+        "FROM documents), "
+        "dp AS (SELECT doc_id, pfx, CASE WHEN len(w0) < 5 THEN "
+        "list_resize(w0, 5, '') ELSE w0 END AS w FROM d "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY pfx ORDER BY doc_id) "
+        "<= 4096), "
+        "g AS (SELECT doc_id, pfx, list_distinct([array_to_string("
+        "w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS gs FROM dp), "
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+        "FROM g a JOIN g b ON a.pfx = b.pfx AND b.doc_id > a.doc_id "
+        "WHERE len(list_intersect(a.gs, b.gs))::DOUBLE / "
+        "len(list_distinct(a.gs || b.gs)) >= 0.9), "
+        "e AS (SELECT a AS src, b AS dst FROM p "
+        "UNION ALL SELECT b AS src, a AS dst FROM p), "
+        "reach(node, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.dst, reach.r FROM e "
+        "JOIN reach ON reach.node = e.src) "
+        "SELECT CAST(node AS BIGINT) AS doc_id, "
+        "CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY node")
+    sql["decontaminate_documents"] = (
+        "WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w0 FROM documents), "
+        "dp AS (SELECT doc_id, CASE WHEN len(w0) < 5 THEN "
+        "list_resize(w0, 5, '') ELSE w0 END AS w FROM d), "
+        "g AS (SELECT doc_id, [array_to_string(w[i:i+4], ' ') "
+        "FOR i IN range(1, len(w)-3)] AS gs FROM dp), "
+        "bl AS (SELECT DISTINCT unnest(gs) AS gram FROM g "
+        "WHERE doc_id < 100), "
+        "hits AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, "
+        "unnest(gs) AS gram FROM g WHERE doc_id >= 100) x "
+        "JOIN bl USING (gram)) "
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 100 "
+        "AND doc_id NOT IN (SELECT doc_id FROM hits)")
+    _se = sample_rate_threshold(500_000)
+    _sz = sample_rate_threshold(250_000)
+    _sd = sample_rate_threshold(100_000)
+    sql["stratified_sample_documents"] = (
+        "SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, "
+        "n_chars, (CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) "
+        "% 4294967296 AS __h FROM documents) WHERE CASE "
+        f"WHEN lang = 'en' THEN __h < {_se} "
+        f"WHEN lang = 'zh' THEN __h < {_sz} "
+        f"ELSE __h < {_sd} END")
+    sql["domain_cap_documents"] = (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        "ORDER BY doc_id) <= 10")
     sql["pruned_scan_lineitem"] = (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
         "WHERE l_extendedprice > 90000.0")

@@ -1,0 +1,78 @@
+"""Test-set decontamination: drop corpus docs sharing any word k-gram
+with a reference (evaluation/benchmark) set.
+
+The standard LLM-training hygiene pass: before training, every corpus
+document that shares even one word-k-gram with an eval set is removed
+so benchmark numbers measure generalization, not memorization.
+
+Regime: the reference side is SMALL (eval sets are 10^3–10^6 grams)
+while the corpus is the 100 TB side — so this is a broadcast filter,
+not a join: the reference's distinct shingle hashes are collected once,
+sorted, `ray.put` into the object store, and every corpus task does a
+vectorized `searchsorted` membership test against the shared read-only
+array (zero-copy numpy view per worker). The corpus streams through one
+map_batches filter — no shuffle, no driver materialization of corpus
+data. If the reference side ever outgrew worker memory, the shape to
+switch to is a hash-partitioned anti-join on gram hashes (the
+`near_dedup` join machinery); documented, not needed for eval sets.
+
+Gram definition is the repo-wide SQL-pinned tokenization (literal
+single-space split, empties dropped, docs padded to k words — see
+`dedup._words` / `_batch_shingles`), so the driver oracle replays the
+filter exactly with DuckDB list ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _batch_shingles
+
+
+def contamination_ngrams(ref_ds, *, text_col: str = "text",
+                         k: int = 5) -> np.ndarray:
+    """Distinct word-k-gram hashes of the (small) reference Dataset,
+    sorted — the broadcast blocklist for `decontaminate`. Collected on
+    the driver: the SMALL-side regime, like `asof_join_broadcast`."""
+    parts = [np.zeros(0, np.uint64)]
+    for batch in ref_ds.iter_batches(batch_format="pyarrow"):
+        sh, _ = _batch_shingles(batch.column(text_col), k)
+        parts.append(np.unique(sh))
+    return np.unique(np.concatenate(parts))
+
+
+def decontaminate(ds, ref_ds=None, *, blocklist: np.ndarray | None = None,
+                  text_col: str = "text", k: int = 5, invert: bool = False):
+    """Remove every document of ``ds`` whose word-k-gram set intersects
+    the reference set's. Pass either ``ref_ds`` (a Dataset of reference
+    texts, shingled here) or a precomputed sorted ``blocklist`` from
+    `contamination_ngrams`. ``invert=True`` returns the CONTAMINATED
+    docs instead (audit mode)."""
+    import ray
+
+    if blocklist is None:
+        if ref_ds is None:
+            raise ValueError("need ref_ds or blocklist")
+        blocklist = contamination_ngrams(ref_ds, text_col=text_col, k=k)
+    bl_ref = ray.put(np.ascontiguousarray(blocklist, dtype=np.uint64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bl = ray.get(bl_ref)
+        n = len(batch)
+        if n == 0 or len(bl) == 0:
+            return batch if not invert else batch.slice(0, 0)
+        sh, seg = _batch_shingles(batch.column(text_col), k)
+        pos = np.searchsorted(bl, sh)
+        pos[pos == len(bl)] = len(bl) - 1
+        hit = bl[pos] == sh
+        doc_hit = np.zeros(n, dtype=bool)
+        if hit.any():
+            # every doc has >= 1 shingle (padded), so diff(seg) > 0
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64),
+                                np.diff(seg))
+            doc_hit[doc_idx[hit]] = True
+        return batch.filter(pa.array(doc_hit if invert else ~doc_hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

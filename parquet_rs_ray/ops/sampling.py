@@ -118,3 +118,34 @@ def hash_split(ds, *, key_col: str, weights, split_col: str = "split"):
 
     return ds.map_batches(lab, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def stratified_hash_sample(ds, *, key_col: str, group_col: str,
+                           rates_ppm: dict, default_ppm: int = 0):
+    """Per-group deterministic sampling — the training-mixture staple
+    ("keep 100% of en-wiki, 3% of common-crawl"): each row's keep
+    threshold comes from its ``group_col`` value's entry in
+    ``rates_ppm`` (parts-per-million; groups absent from the dict and
+    null groups use ``default_ppm``). Membership stays a pure row
+    property (same multiplicative hash as `hash_sample`), so the sample
+    is reproducible on any cluster shape with NO shuffle — one
+    streaming map_batches filter. The group→threshold map rides inside
+    the task closure (a few dozen entries), never per-batch shipping."""
+    groups = list(rates_ppm.keys())
+    thresholds = np.array(
+        [sample_rate_threshold(rates_ppm[g]) for g in groups] +
+        [sample_rate_threshold(default_ppm)], dtype=np.uint64)
+    group_arr = pa.array(groups)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b, valid = _key_buckets(batch, key_col)
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        idx = pc.index_in(g, value_set=group_arr) \
+            .fill_null(len(groups)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((b < thresholds[idx]) & valid))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -970,3 +970,153 @@ def test_hash_sample_and_split_deterministic(ray_session):
     assert sample_rate_threshold(250_000) == (1 << 32) // 4
     cuts = split_cut_points(w)
     assert cuts[-1][1] == 1 << 32 and cuts[0][1] < cuts[1][1]
+
+
+def test_connected_components_shapes(ray_session):
+    """CC labels = min key per component on a mixed graph (chain +
+    triangle + singleton vertices from the node universe); empty edge
+    set degenerates to all-singletons; non-convergence raises."""
+    import pytest as _pytest
+    import ray
+    from parquet_rs_ray.ops.graph import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), isolated 99
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 10, 11, 10], pa.int64()),
+        "b": pa.array([2, 3, 4, 11, 12, 12], pa.int64())}))
+    nodes = ray.data.from_arrow(pa.table({
+        "node": pa.array([1, 2, 3, 4, 10, 11, 12, 99], pa.int64())}))
+    got = connected_components(edges, nodes=nodes, key_col="node") \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert got.node.tolist() == [1, 2, 3, 4, 10, 11, 12, 99]
+    assert got.cluster_id.tolist() == [1, 1, 1, 1, 10, 10, 10, 99]
+
+    # without a node universe: vertices derived from edges
+    got2 = connected_components(edges, key_col="v").to_pandas()
+    assert dict(zip(got2.v, got2.cluster_id)) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    # empty edges → every vertex its own cluster
+    e0 = ray.data.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64())}))
+    got3 = connected_components(e0, nodes=nodes, key_col="node") \
+        .to_pandas()
+    assert dict(zip(got3.node, got3.cluster_id)) == {
+        k: k for k in [1, 2, 3, 4, 10, 11, 12, 99]}
+
+    # a 6-chain cannot converge in 2 rounds → loud error, not wrong data
+    chain = ray.data.from_arrow(pa.table({
+        "a": pa.array([5, 6, 7, 8, 9], pa.int64()),
+        "b": pa.array([6, 7, 8, 9, 10], pa.int64())}))
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iters=2)
+
+
+def test_dup_clusters_oracle(ray_session):
+    """dup_clusters matches the recursive-CTE SQL oracle bit-exactly on
+    real test data (prefix-block + jaccard>=0.9 edges, min-key label)."""
+    import duckdb
+    import ray
+    from parquet_rs_ray.ops.graph import dup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = dup_clusters(ds, jaccard_threshold=0.9).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    import __ray_entry__ as E
+    ora = con.execute(E.oracle_sql()["dup_clusters_documents"]).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.doc_id.tolist() == ora.doc_id.tolist()
+    assert got.cluster_id.tolist() == ora.cluster_id.tolist()
+    # sanity: at least one multi-doc cluster exists in the fixture
+    assert (got.groupby("cluster_id").size() > 1).any()
+
+
+def test_decontaminate_planted(ray_session):
+    """Planted contamination: docs sharing a 5-gram with the ref set are
+    dropped, others survive; invert=True returns exactly the dropped
+    set; empty blocklist keeps everything."""
+    import ray
+    from parquet_rs_ray.ops.decontam import (contamination_ngrams,
+                                             decontaminate)
+
+    ref = ray.data.from_arrow(pa.table({
+        "text": ["the quick brown fox jumps over the lazy dog"]}))
+    corpus_tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["xx the quick brown fox jumps yy",   # shares a 5-gram
+                 "completely different words here entirely now",
+                 "quick brown fox over dog",           # no shared 5-gram
+                 None]})                               # null → padded gram
+    corpus = ray.data.from_arrow(corpus_tbl)
+    kept = decontaminate(corpus, ref).to_pandas()
+    assert sorted(kept.doc_id.tolist()) == [1, 2, 3]
+    dropped = decontaminate(corpus, ref, invert=True).to_pandas()
+    assert dropped.doc_id.tolist() == [0]
+
+    bl = contamination_ngrams(ref)
+    assert bl.dtype == np.uint64 and len(bl) == 5  # 9 words → 5 5-grams
+    kept2 = decontaminate(corpus, blocklist=bl).to_pandas()
+    assert sorted(kept2.doc_id.tolist()) == [1, 2, 3]
+
+    empty_bl = np.zeros(0, np.uint64)
+    all_kept = decontaminate(corpus, blocklist=empty_bl).to_pandas()
+    assert len(all_kept) == 4
+
+    # short/null docs pad to hash("")-grams: a null ref doc contaminates
+    # null+short corpus docs (SQL list_resize parity), not real text
+    nref = ray.data.from_arrow(pa.table({"text": pa.array([None],
+                                                          pa.string())}))
+    kept3 = decontaminate(corpus, nref).to_pandas()
+    assert sorted(kept3.doc_id.tolist()) == [0, 1, 2]
+
+
+def test_stratified_hash_sample(ray_session):
+    """Per-group rates hold; unknown + null groups take default_ppm;
+    membership is partition-invariant and agrees with hash_sample at
+    the same rate."""
+    import ray
+    from parquet_rs_ray.ops.sampling import (hash_sample,
+                                             stratified_hash_sample)
+
+    n = 30_000
+    langs = pa.array((["en", "zh", "xx"] * (n // 3 + 1))[:n])
+    ids = pa.array(np.arange(n), pa.int64())
+    tbl = pa.table({"id": ids, "lang": langs})
+    ds = ray.data.from_arrow(tbl)
+    got = stratified_hash_sample(
+        ds, key_col="id", group_col="lang",
+        rates_ppm={"en": 600_000, "zh": 200_000},
+        default_ppm=50_000).to_pandas()
+    frac = got.lang.value_counts() / (n / 3)
+    assert abs(frac.get("en", 0) - 0.6) < 0.03
+    assert abs(frac.get("zh", 0) - 0.2) < 0.02
+    assert abs(frac.get("xx", 0) - 0.05) < 0.02
+
+    # same membership as plain hash_sample at the group's rate
+    import pyarrow.compute as pc
+    en = ray.data.from_arrow(tbl.filter(pc.equal(tbl.column("lang"),
+                                                 "en")))
+    plain = hash_sample(en, key_col="id", rate_ppm=600_000).to_pandas()
+    assert sorted(got[got.lang == "en"].id) == sorted(plain.id)
+
+    # partition invariance
+    many = ray.data.from_arrow([tbl.slice(s, 1000)
+                                for s in range(0, n, 1000)])
+    got2 = stratified_hash_sample(
+        many, key_col="id", group_col="lang",
+        rates_ppm={"en": 600_000, "zh": 200_000},
+        default_ppm=50_000).to_pandas()
+    assert sorted(got.id) == sorted(got2.id)
+
+    # null group → default rate bucket (keeps iff hash below default)
+    tnull = pa.table({"id": pa.array([7, 8], pa.int64()),
+                      "lang": pa.array([None, "en"], pa.string())})
+    res = stratified_hash_sample(
+        ray.data.from_arrow(tnull), key_col="id", group_col="lang",
+        rates_ppm={"en": 1_000_000}, default_ppm=1_000_000).to_pandas()
+    assert sorted(res.id.tolist()) == [7, 8]
