@@ -779,6 +779,59 @@ def _domain_cap_documents(sf_dir: str):
                         k=10, descending=False)
 
 
+def _synth_url_ds(sf_dir: str):
+    """documents + a deterministic synthetic `url` column (the testdata
+    tables lack one; the web-schema bench corpus has the real thing).
+    Mixed-case host + query string exercise normalization; built with
+    one vectorized Arrow concat, mirrored exactly by `||` in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://WWW.",
+            batch.column("source").combine_chunks()
+            if isinstance(batch.column("source"), pa.ChunkedArray)
+            else batch.column("source"),
+            ".example.com/docs/",
+            pc.cast(batch.column("doc_id"), pa.string()),
+            "?ref=rss", "")
+        return batch.append_column("url", url)
+
+    return ds.map_batches(add_url, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _url_parts_documents(sf_dir: str):
+    """Vectorized URL parsing + canonical normalization (one RE2
+    `pc.extract_regex` pass per batch; ops/url.py) over a synthesized
+    url column."""
+    import pyarrow as pa
+    from parquet_rs_ray.ops.url import normalize_url, url_parts
+
+    ds = normalize_url(url_parts(_synth_url_ds(sf_dir)))
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "scheme", "host", "path",
+                            "url_norm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _host_stats_documents(sf_dir: str):
+    """Per-host corpus report (doc count + char volume): map-side
+    combinable hash groupby over (host, partial) rows
+    (ops/url.py::host_stats)."""
+    return _host_stats_impl(_synth_url_ds(sf_dir))
+
+
+def _host_stats_impl(ds):
+    from parquet_rs_ray.ops.url import host_stats
+    return host_stats(ds, chars_col="n_chars")
+
+
 _TABLES = {
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -806,7 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only queries in decreasing informativeness. Entries past 50 are
     # still exercised by the pytest suite.
     q: dict[str, Callable[[str], Any]] = {}
-    # --- oracle-backed (46) ---
+    # --- oracle-backed (48) ---
     for table, cols in _TABLES.items():
         q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
     q["stats_documents"] = _stats_documents
@@ -845,7 +898,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["decontaminate_documents"] = _decontaminate_documents
     q["stratified_sample_documents"] = _stratified_sample_documents
     q["domain_cap_documents"] = _domain_cap_documents
-    # --- rows-only, inside the 50-query window (4) ---
+    q["url_parts_documents"] = _url_parts_documents
+    q["host_stats_documents"] = _host_stats_documents
+    # --- rows-only, inside the 50-query window (2) ---
     q["compression_ratio_documents"] = _compression_ratio
     q["near_dedup_documents"] = _near_dedup_documents
     q["minhash_candidates_documents"] = _minhash_candidates_documents
@@ -1078,6 +1133,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source, n_chars FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY source "
         "ORDER BY doc_id) <= 10")
+    # both URL queries synthesize the url identically to _synth_url_ds
+    # and share the engine's RE2 pattern verbatim (DuckDB is RE2 too)
+    from parquet_rs_ray.ops.url import URL_RE
+    _u = ("'https://WWW.' || source || '.example.com/docs/' || "
+          "CAST(doc_id AS VARCHAR) || '?ref=rss'")
+    sql["url_parts_documents"] = (
+        f"WITH u AS (SELECT doc_id, {_u} AS url FROM documents), "
+        f"p AS (SELECT doc_id, "
+        f"regexp_extract(url, '{URL_RE}', 1) AS scheme, "
+        f"regexp_extract(url, '{URL_RE}', 2) AS host, "
+        f"regexp_extract(url, '{URL_RE}', 3) AS path FROM u) "
+        "SELECT doc_id, scheme, host, path, "
+        "lower(scheme) || '://' || lower(host) || path AS url_norm "
+        "FROM p")
+    sql["host_stats_documents"] = (
+        f"WITH u AS (SELECT n_chars, {_u} AS url FROM documents) "
+        f"SELECT regexp_extract(url, '{URL_RE}', 2) AS host, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+        "FROM u GROUP BY host")
     sql["pruned_scan_lineitem"] = (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
         "WHERE l_extendedprice > 90000.0")

@@ -132,20 +132,32 @@ def connected_components(edges, *, nodes=None, key_col: str = "node",
 
 def dup_clusters(ds, *, text_col: str = "text", key_col: str = "doc_id",
                  jaccard_threshold: float = 0.9, k: int = 5,
-                 prefix_len: int = 50,
+                 prefix_len: int = 50, method: str = "prefix",
+                 num_perm: int = 64, bands: int = 16, concurrency=4,
                  num_partitions: int | None = None,
                  max_iters: int = 64):
     """Duplicate-cluster labelling over a document Dataset: candidate
-    pairs by deterministic prefix blocking, exact word-``k``-gram
-    Jaccard verification (both SQL-expressible — the driver oracle
-    replays them exactly), then connected components over the verified
-    edges. Every document gets (key_col, cluster_id) with cluster_id =
-    the smallest doc key in its duplicate family; non-duplicated docs
-    are singleton clusters of themselves."""
+    pairs (``method="prefix"`` = deterministic prefix blocking,
+    SQL-replayable — the driver-oracle path; ``method="minhash"`` =
+    MinHash-LSH candidates, the recall-robust path when dups don't
+    share heads), exact word-``k``-gram Jaccard verification, then
+    connected components over the verified edges. Every document gets
+    (key_col, cluster_id) with cluster_id = the smallest doc key in its
+    duplicate family; non-duplicated docs are singleton clusters of
+    themselves."""
+    if method == "prefix":
+        cand = prefix_block_pairs(ds, text_col=text_col, key_col=key_col,
+                                  prefix_len=prefix_len)
+    elif method == "minhash":
+        from .dedup import minhash_lsh_candidates
+        cand = minhash_lsh_candidates(ds, text_col=text_col,
+                                      key_col=key_col, num_perm=num_perm,
+                                      bands=bands,
+                                      concurrency=concurrency)
+    else:
+        raise ValueError(f"unknown method {method!r}")
     pairs = ngram_jaccard_pairs(
-        prefix_block_pairs(ds, text_col=text_col, key_col=key_col,
-                           prefix_len=prefix_len),
-        ds, text_col=text_col, key_col=key_col, k=k,
+        cand, ds, text_col=text_col, key_col=key_col, k=k,
         num_partitions=num_partitions)
     thr = float(jaccard_threshold)
 

@@ -1120,3 +1120,75 @@ def test_stratified_hash_sample(ray_session):
         ray.data.from_arrow(tnull), key_col="id", group_col="lang",
         rates_ppm={"en": 1_000_000}, default_ppm=1_000_000).to_pandas()
     assert sorted(res.id.tolist()) == [7, 8]
+
+
+def test_url_ops(ray_session):
+    """url_parts / normalize_url / registered_domain / host_stats over
+    messy inputs: query+fragment stripped, case normalized, unparseable
+    and null urls yield null parts, host_stats groups raw hosts."""
+    import ray
+    from parquet_rs_ray.ops.url import (host_stats, normalize_url,
+                                        registered_domain, url_parts)
+
+    t = pa.table({"url": ["https://www.Example.com/a/b?q=1#f",
+                          "http://sub.shop.co.uk/x",
+                          "ftp://files.org",
+                          "not a url", None],
+                  "n_chars": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    parts = url_parts(ds).to_pandas()
+    assert parts.scheme.tolist()[:3] == ["https", "http", "ftp"]
+    assert parts.host.tolist()[:3] == ["www.Example.com",
+                                       "sub.shop.co.uk", "files.org"]
+    assert parts.path.tolist()[:3] == ["/a/b", "/x", ""]
+    assert parts.scheme.isna().tolist()[3:] == [True, True]
+
+    norm = normalize_url(ds).to_pandas().url_norm
+    assert norm.tolist()[:3] == ["https://www.example.com/a/b",
+                                 "http://sub.shop.co.uk/x",
+                                 "ftp://files.org"]
+    assert norm.isna().tolist()[3:] == [True, True]
+
+    rd = registered_domain(pa.array(["www.example.com", "localhost",
+                                     "a.b.co.uk", None]))
+    assert rd.to_pylist() == ["example.com", "localhost", "co.uk", None]
+
+    hs = host_stats(ds, chars_col="n_chars").to_pandas()
+    got = {r.host: (r.n_docs, r.total_chars)
+           for r in hs.itertuples() if isinstance(r.host, str)}
+    assert got == {"www.Example.com": (1, 10),
+                   "sub.shop.co.uk": (1, 20), "files.org": (1, 30)}
+    # unparseable + null urls share the null-host group
+    nullrow = hs[hs.host.isna()]
+    assert nullrow.n_docs.tolist() == [2]
+
+    hs2 = host_stats(ds).to_pandas()
+    assert set(hs2.columns) == {"host", "n_docs"}
+
+
+def test_dup_clusters_minhash_method(ray_session):
+    """method='minhash' (LSH candidates instead of prefix blocking)
+    finds the same multi-doc duplicate families on the fixture — the
+    recall-robust path when dups don't share literal heads."""
+    import ray
+    from parquet_rs_ray.ops.graph import dup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"])
+    pfx = dup_clusters(ds, jaccard_threshold=0.9).to_pandas()
+    # concurrency=2: the 4-CPU test session can't host a 4-actor pool
+    # alongside the join aggregators (same sizing as the near_dedup
+    # tests)
+    mh = dup_clusters(ds, jaccard_threshold=0.9,
+                      method="minhash", concurrency=2).to_pandas()
+
+    def families(df):
+        g = df.groupby("cluster_id").doc_id.apply(
+            lambda s: tuple(sorted(s)))
+        return {fam for fam in g if len(fam) > 1}
+
+    # every prefix-found family is found by minhash too (candidates are
+    # a superset on this fixture: 0.9-Jaccard dups collide in bands)
+    assert families(pfx) <= families(mh)
+    assert families(mh)  # and it actually found something
