@@ -779,6 +779,21 @@ def _domain_cap_documents(sf_dir: str):
                         k=10, descending=False)
 
 
+def _quality_filter_documents(sf_dir: str):
+    """Per-lang median-length quality gate: keep docs at or above their
+    language's exact n_chars median. Thresholds come from the fully
+    distributed grouped_quantiles; the per-group cut table (5 rows)
+    broadcasts back onto the stream — aggregate-broadcast-join, no
+    second corpus shuffle (ops/relational.py::filter_by_group_quantile)."""
+    import ray
+    from parquet_rs_ray.ops.relational import filter_by_group_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return filter_by_group_quantile(ds, group_col="lang", col="n_chars",
+                                    q=0.5)
+
+
 def _synth_url_ds(sf_dir: str):
     """documents + a deterministic synthetic `url` column (the testdata
     tables lack one; the web-schema bench corpus has the real thing).
@@ -859,7 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only queries in decreasing informativeness. Entries past 50 are
     # still exercised by the pytest suite.
     q: dict[str, Callable[[str], Any]] = {}
-    # --- oracle-backed (48) ---
+    # --- oracle-backed (49) ---
     for table, cols in _TABLES.items():
         q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
     q["stats_documents"] = _stats_documents
@@ -900,7 +915,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["domain_cap_documents"] = _domain_cap_documents
     q["url_parts_documents"] = _url_parts_documents
     q["host_stats_documents"] = _host_stats_documents
-    # --- rows-only, inside the 50-query window (2) ---
+    q["quality_filter_documents"] = _quality_filter_documents
+    # --- rows-only, inside the 50-query window (1) ---
     q["compression_ratio_documents"] = _compression_ratio
     q["near_dedup_documents"] = _near_dedup_documents
     q["minhash_candidates_documents"] = _minhash_candidates_documents
@@ -1153,6 +1169,11 @@ def oracle_sql() -> dict[str, str]:
         "CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
         "FROM u GROUP BY host")
+    sql["quality_filter_documents"] = (
+        "WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med "
+        "FROM documents GROUP BY lang) "
+        "SELECT doc_id, d.lang, n_chars FROM documents d "
+        "JOIN m ON d.lang = m.lang WHERE n_chars >= med")
     sql["pruned_scan_lineitem"] = (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
         "WHERE l_extendedprice > 90000.0")

@@ -239,3 +239,54 @@ def grouped_quantiles(ds, *, group_col: str, col: str,
                           zero_copy_batch=True) \
         .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("__part").map_groups(per_part, batch_format="pyarrow")
+
+
+def filter_by_group_quantile(ds, *, group_col: str, col: str,
+                             q: float = 0.5,
+                             num_partitions: int | None = None):
+    """Keep only rows whose ``col`` value is >= their group's exact
+    ``q``-quantile (``quantile_disc``) — the per-language "drop the
+    bottom half by length" quality gate of web-corpus curation.
+
+    Two-phase shape: the per-group thresholds come from the fully
+    distributed `grouped_quantiles` (histogram partials shuffle, never
+    raw rows), and since there is one threshold PER GROUP the result is
+    a tiny table — it broadcasts back onto the stream as a
+    constant-size lookup inside one map_batches filter (the classic
+    aggregate-broadcast-join pattern; no second shuffle of the corpus).
+    Rows with a null value or a group absent from the thresholds (an
+    all-null group) are dropped, matching the SQL inner-join oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    thr = grouped_quantiles(ds, group_col=group_col, col=col, qs=(q,),
+                            num_partitions=num_partitions)
+    parts = [b for b in thr.iter_batches(batch_format="pyarrow")]
+    tt = pa.concat_tables(parts) if parts else None
+    if tt is None or tt.num_rows == 0:
+        return ds.map_batches(lambda b: b.slice(0, 0),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    groups = tt.column(group_col).combine_chunks()
+    cuts_ref = ray.put(tt.column("value").to_numpy(
+        zero_copy_only=False))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cuts = ray.get(cuts_ref)
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        idx = pc.index_in(g, value_set=groups)
+        v = batch.column(col)
+        ok = pc.and_(pc.is_valid(idx), pc.is_valid(v))
+        import numpy as np
+        ix = idx.fill_null(0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vv = v.cast(pa.float64()).fill_null(0.0) \
+            .to_numpy(zero_copy_only=False)
+        passed = vv >= cuts[ix]
+        return batch.filter(pc.and_(ok, pa.array(passed)))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

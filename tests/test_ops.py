@@ -1192,3 +1192,39 @@ def test_dup_clusters_minhash_method(ray_session):
     # a superset on this fixture: 0.9-Jaccard dups collide in bands)
     assert families(pfx) <= families(mh)
     assert families(mh)  # and it actually found something
+
+
+def test_filter_by_group_quantile(ray_session):
+    """Per-group quantile gate: matches the SQL join oracle on real
+    data; null values and all-null groups are dropped; q=1.0 keeps
+    only each group's max."""
+    import duckdb
+    import ray
+    from parquet_rs_ray.ops.relational import filter_by_group_quantile
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    got = filter_by_group_quantile(ds, group_col="lang", col="n_chars",
+                                   q=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    ora = con.execute(
+        "WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med "
+        "FROM documents GROUP BY lang) "
+        "SELECT doc_id, d.lang, n_chars FROM documents d "
+        "JOIN m ON d.lang = m.lang WHERE n_chars >= med "
+        "ORDER BY doc_id").fetchdf()
+    assert got.equals(ora.reset_index(drop=True))
+    assert 0 < len(got) < ds.count()
+
+    # nulls: null values dropped; all-null group vanishes; q=1.0 == max
+    t = pa.table({"g": ["a", "a", "a", "b", "b"],
+                  "v": pa.array([1, 2, None, None, None], pa.int64()),
+                  "id": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    small = ray.data.from_arrow(t)
+    top = filter_by_group_quantile(small, group_col="g", col="v",
+                                   q=1.0).to_pandas()
+    assert top.id.tolist() == [1]
