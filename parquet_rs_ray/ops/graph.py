@@ -93,34 +93,54 @@ def connected_components(edges, *, nodes=None, key_col: str = "node",
                                 "cluster_id": b.column("min(label)")}),
             batch_format="pyarrow", zero_copy_batch=True)
 
+    # Change detection rides inside the round's aggregate: old-label
+    # rows carry their label again in an `old` column, propagated rows
+    # carry an int64-max sentinel there, and groupby-min of BOTH columns
+    # yields each node's new label alongside its previous one — no extra
+    # comparison join per round. (Every edge endpoint is in the node
+    # universe under both init paths; a sentinel surviving min(old)
+    # would mean a node with no prior label, correctly counted as a
+    # change.)
+    sentinel = np.iinfo(np.int64).max
+
+    def tag_old(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "label": b.column("label"),
+                         "old": b.column("label")})
+
+    def tag_moved(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("dst"),
+                         "label": b.column("label"),
+                         "old": pa.array(np.full(b.num_rows, sentinel,
+                                                 np.int64))})
+
+    def untag(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "label": b.column("min(label)"),
+                         "old": b.column("min(old)")})
+
+    def only_changed(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.less(b.column("label"), b.column("old")))
+
     for _ in range(max_iters):
         # one round: labels cross edges, vertices take the min
         prop = sym.join(labels, "inner", num_partitions,
                         on=("src",), right_on=("node",))
-        moved = prop.map_batches(
-            lambda b: pa.table({"node": b.column("dst"),
-                                "label": b.column("label")}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        new_labels = labels.union(moved).groupby("node").min("label")
-        new_labels = new_labels.map_batches(
-            lambda b: pa.table({"node": b.column("node"),
-                                "label": b.column("min(label)")}),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        moved = prop.map_batches(tag_moved, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        tagged = labels.map_batches(tag_old, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        new_labels = tagged.union(moved).groupby("node") \
+            .min(["label", "old"]) \
+            .map_batches(untag, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
         # labels only ever decrease; a round with zero decreases is the
-        # fixpoint. The comparison join ships (node, label) rows only
-        # and reduces to ONE scalar on the driver.
-        old = labels.map_batches(
-            lambda b: pa.table({"node": b.column("node"),
-                                "old_label": b.column("label")}),
-            batch_format="pyarrow", zero_copy_batch=True)
-        def only_changed(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return b.filter(pc.less(b.column("label"),
-                                    b.column("old_label")))
-        changed = new_labels.join(old, "inner", num_partitions,
-                                  on=("node",)) \
-            .map_batches(only_changed, batch_format="pyarrow",
-                         zero_copy_batch=True).count()
+        # fixpoint. This scan runs over the just-materialized label
+        # blocks — no join, one scalar to the driver.
+        changed = new_labels.map_batches(
+            only_changed, batch_format="pyarrow",
+            zero_copy_batch=True).count()
         labels = new_labels
         if changed == 0:
             return labels.map_batches(finish, batch_format="pyarrow",
