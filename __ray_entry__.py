@@ -794,6 +794,50 @@ def _quality_filter_documents(sf_dir: str):
                                     q=0.5)
 
 
+def _redact_pii_documents(sf_dir: str):
+    """Regex PII scrubbing (ops/clean.redact): the standard email/IP/
+    phone rules plus a corpus-specific name rule so the synthetic word
+    soup actually rewrites. One RE2 pass per rule per batch — zero
+    shuffle; DuckDB's regexp_replace(...,'g') is RE2 too, so the oracle
+    is pattern-for-pattern identical."""
+    import ray
+    from parquet_rs_ray.ops.clean import PII_RULES, redact
+
+    rules = PII_RULES + ((r"\b(customer|order)\b", "[NAME]"),)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return ds.map_batches(lambda b: redact(b, rules=rules),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _repetition_stats_documents(sf_dir: str):
+    """Gopher-style repetition signals (ops/clean.repetition_stats):
+    exact integer distinct-word / top-word / bigram counts per doc via
+    dictionary-encode + one lexsort — the repetition-quality-filter
+    inputs, bit-exact vs the unnest/GROUP BY SQL oracle."""
+    import ray
+    from parquet_rs_ray.ops.clean import repetition_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _chunk_documents(sf_dir: str):
+    """Context-window chunking (ops/clean.chunk_words, 32-word
+    windows): every document explodes into byte-lossless word chunks
+    via offset re-slicing of ONE split pass + a single binary_join —
+    the flat_map shape, no shuffle."""
+    import ray
+    from parquet_rs_ray.ops.clean import chunk_words
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: chunk_words(b, size=32),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _synth_url_ds(sf_dir: str):
     """documents + a deterministic synthetic `url` column (the testdata
     tables lack one; the web-schema bench corpus has the real thing).
@@ -874,14 +918,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only queries in decreasing informativeness. Entries past 50 are
     # still exercised by the pytest suite.
     q: dict[str, Callable[[str], Any]] = {}
-    # --- oracle-backed (49) ---
+    # --- oracle-backed (the 50-query window is exactly these) ---
     for table, cols in _TABLES.items():
         q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
     q["stats_documents"] = _stats_documents
     q["lang_counts"] = _lang_counts
     q["global_lang_dictionary"] = _global_lang_dictionary
     q["exact_dedup_documents"] = _exact_dedup_documents
-    q["exact_dedup_join_documents"] = _exact_dedup_join_documents
     q["token_counts_documents"] = _token_counts_documents
     q["topk_similarity_embeddings"] = _topk_similarity_embeddings
     q["embedding_near_dup_embeddings"] = _embedding_near_dup_embeddings
@@ -890,7 +933,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["json_extract_events"] = _json_extract_events
     q["top100_orders"] = _top100_orders
     q["sessionize_events"] = _sessionize_events
-    q["sessionize_events_salted"] = _sessionize_events_salted
     q["ngram_jaccard_blocked_documents"] = _ngram_jaccard_blocked_documents
     q["rolling_window_events"] = _rolling_window_events
     q["top_terms_documents"] = _top_terms_documents
@@ -916,7 +958,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["url_parts_documents"] = _url_parts_documents
     q["host_stats_documents"] = _host_stats_documents
     q["quality_filter_documents"] = _quality_filter_documents
-    # --- rows-only, inside the 50-query window (1) ---
+    q["redact_pii_documents"] = _redact_pii_documents
+    q["repetition_stats_documents"] = _repetition_stats_documents
+    q["chunk_documents"] = _chunk_documents
+    # --- oracle-backed but past the 50-query window: the second-mode
+    # twins of two in-window queries (same op, alternate execution
+    # path; both modes stay pinned by pytest DuckDB-parity tests) ---
+    q["exact_dedup_join_documents"] = _exact_dedup_join_documents
+    q["sessionize_events_salted"] = _sessionize_events_salted
+    # --- rows-only (compression ratio is asserted per column by
+    # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
     q["near_dedup_documents"] = _near_dedup_documents
     q["minhash_candidates_documents"] = _minhash_candidates_documents
@@ -1174,6 +1225,39 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents GROUP BY lang) "
         "SELECT doc_id, d.lang, n_chars FROM documents d "
         "JOIN m ON d.lang = m.lang WHERE n_chars >= med")
+    sql["redact_pii_documents"] = (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', "
+        "'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'), "
+        "'\\+?\\b\\d[\\d -]{7,}\\d\\b', '[PHONE]', 'g'), "
+        "'\\b(customer|order)\\b', '[NAME]', 'g') AS text, lang "
+        "FROM documents")
+    sql["repetition_stats_documents"] = (
+        "WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "words AS (SELECT doc_id, unnest(w) AS word FROM base), "
+        "wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words "
+        "GROUP BY doc_id, word), "
+        "tw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct_words, "
+        "CAST(MAX(c) AS BIGINT) AS top_word_count FROM wc GROUP BY doc_id), "
+        "bg AS (SELECT doc_id, list_transform(range(1, greatest(len(w), 1)), "
+        "i -> w[i] || chr(1) || w[i+1]) AS bgs FROM base) "
+        "SELECT b.doc_id AS doc_id, COALESCE(tw.n_words, 0) AS n_words, "
+        "COALESCE(tw.n_distinct_words, 0) AS n_distinct_words, "
+        "COALESCE(tw.top_word_count, 0) AS top_word_count, "
+        "CAST(len(bg.bgs) AS BIGINT) AS n_bigrams, "
+        "CAST(len(list_distinct(bg.bgs)) AS BIGINT) AS n_distinct_bigrams "
+        "FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id "
+        "JOIN bg ON b.doc_id = bg.doc_id")
+    sql["chunk_documents"] = (
+        "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents) "
+        "SELECT doc_id, CAST((i-1)//32 AS BIGINT) AS chunk_id, "
+        "array_to_string(w[i:i+31], ' ') AS chunk_text, "
+        "CAST(least(i+31, len(w)) - i + 1 AS BIGINT) AS chunk_words "
+        "FROM base, unnest(range(1, len(w)+1, 32)) AS t(i)")
     sql["pruned_scan_lineitem"] = (
         "SELECT l_orderkey, l_extendedprice FROM lineitem "
         "WHERE l_extendedprice > 90000.0")

@@ -1,0 +1,166 @@
+"""Corpus-cleaning operators (vectorized map_batches stages):
+
+* redact            — regex PII scrubbing (emails / IPs / phones or
+                      caller rules) via RE2 `pc.replace_substring_regex`
+* repetition_stats  — Gopher-style repetition signals per document
+                      (distinct-word / top-word / duplicate-bigram
+                      counts) for repetition-based quality filtering
+* chunk_words       — split every document into fixed-size word windows
+                      (context-length chunking for training pipelines)
+
+All three are per-row/per-batch transforms: zero shuffle, stream at
+full read bandwidth, and scale linearly with cluster size. Word
+tokenization is the literal-single-space split shared with
+``ops/textstats._split_words`` so every operator here is reproducible
+by an ANSI-SQL oracle (``string_split(text, ' ')``); exactness is
+pinned by the driver oracles and tests/test_clean.py.
+
+Spec anchor: extensions beyond the reference engine's scope (the
+reference has no text ops); the dedup/quality family in SURVEY.md §2
+is the parity model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import _split_words
+
+#: default PII rules: (RE2 pattern, replacement). RE2 is the regex
+#: engine on BOTH sides of the oracle (Arrow and DuckDB), so these
+#: strings are portable verbatim into `regexp_replace(..., 'g')`.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\+?\b\d[\d -]{7,}\d\b", "[PHONE]"),
+)
+
+
+def redact(batch: pa.Table, text_col: str = "text",
+           rules: tuple[tuple[str, str], ...] = PII_RULES,
+           out_col: str | None = None) -> pa.Table:
+    """Apply each (pattern, replacement) rule globally to ``text_col``.
+
+    One RE2 pass over the batch per rule — no Python rows. RE2 compiles
+    the pattern once per kernel invocation (per batch); with the usual
+    ≥10k-row batches the compile is noise next to the scan, so this
+    stays a plain function rather than an actor stage."""
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    for pat, repl in rules:
+        txt = pc.replace_substring_regex(txt, pat, repl)
+    name = out_col or text_col
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, txt)
+    return batch.append_column(name, txt)
+
+
+def repetition_stats(batch: pa.Table,
+                     text_col: str = "text") -> pa.Table:
+    """Per-document repetition signals (the Gopher repetition-filter
+    family): word count, distinct-word count, most-frequent-word count
+    and (distinct) word-bigram counts — all exact INTEGER counts so an
+    SQL oracle compares bit-identical (fractions are one division away
+    for the caller).
+
+    Vectorized shape: one ``split_pattern`` pass, then
+    ``dictionary_encode`` gives exact string identity as int codes (no
+    hash-collision caveat), and every per-doc statistic falls out of a
+    single lexsort over (doc, code) — run boundaries are distincts, run
+    lengths feed ``np.maximum.at`` for the top word. Bigrams reuse the
+    same machinery over packed 64-bit code pairs."""
+    txt = batch.column(text_col)
+    n = len(batch)
+    flat, counts, doc_idx = _split_words(txt)
+    n_words = counts.astype(np.int64)
+    n_distinct = np.zeros(n, np.int64)
+    top = np.zeros(n, np.int64)
+    n_bigrams = np.zeros(n, np.int64)
+    n_distinct_bg = np.zeros(n, np.int64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, doc_idx))
+        d, c = doc_idx[order], codes[order]
+        newrun = np.concatenate(
+            ([True], (d[1:] != d[:-1]) | (c[1:] != c[:-1])))
+        run_doc = d[newrun]
+        n_distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+        run_starts = np.flatnonzero(newrun)
+        run_lens = np.diff(np.append(run_starts, len(d)))
+        np.maximum.at(top, run_doc, run_lens)
+        adj = doc_idx[:-1] == doc_idx[1:]
+        if adj.any():
+            bg = (codes[:-1][adj] << np.int64(32)) | codes[1:][adj]
+            bgd = doc_idx[:-1][adj]
+            n_bigrams = np.bincount(bgd, minlength=n).astype(np.int64)
+            order2 = np.lexsort((bg, bgd))
+            d2, b2 = bgd[order2], bg[order2]
+            new2 = np.concatenate(
+                ([True], (d2[1:] != d2[:-1]) | (b2[1:] != b2[:-1])))
+            n_distinct_bg = np.bincount(
+                d2[new2], minlength=n).astype(np.int64)
+    out = pa.table({
+        "n_words": pa.array(n_words),
+        "n_distinct_words": pa.array(n_distinct),
+        "top_word_count": pa.array(top),
+        "n_bigrams": pa.array(n_bigrams),
+        "n_distinct_bigrams": pa.array(n_distinct_bg),
+    })
+    for name in batch.column_names:
+        if name != text_col:
+            out = out.append_column(name, batch.column(name))
+    return out
+
+
+def chunk_words(batch: pa.Table, text_col: str = "text",
+                size: int = 64) -> pa.Table:
+    """Explode every document into consecutive ``size``-word chunks
+    (context-window chunking). Split keeps empty tokens so
+    ``' '.join(chunks)`` is byte-lossless w.r.t. the original text, and
+    matches SQL ``string_split`` exactly.
+
+    Vectorized shape: chunk boundaries are computed as offset
+    arithmetic into the ONE flat word array (chunks of a doc are
+    contiguous, so the chunk list-array is a zero-copy re-offsetting of
+    the split result), and chunk text comes back from a single
+    ``binary_join``. Output rows carry every non-text column (repeated
+    per chunk), plus ``chunk_id`` / ``chunk_text`` / ``chunk_words``."""
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    txt = batch.column(text_col)
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    n = len(batch)
+    words = pc.split_pattern(txt, " ")          # keeps empties: lossless
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    counts = pc.list_value_length(words).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    n_chunks = np.maximum((counts + size - 1) // size, 1)
+    total = int(n_chunks.sum())
+    doc_of_chunk = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_idx = np.arange(total, dtype=np.int64) - first[doc_of_chunk]
+    doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    starts = doc_start[doc_of_chunk] + chunk_idx * size
+    doc_end = (doc_start + counts)[doc_of_chunk]
+    offsets = np.append(starts, len(flat)).astype(np.int64)
+    la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                       flat)
+    chunk_text = pc.binary_join(la, " ")
+    out = pa.table({
+        "chunk_id": pa.array(chunk_idx),
+        "chunk_text": chunk_text,
+        "chunk_words": pa.array(np.minimum(starts + size, doc_end)
+                                - starts),
+    })
+    idx = pa.array(doc_of_chunk)
+    for name in batch.column_names:
+        if name != text_col:
+            out = out.append_column(name, batch.column(name).take(idx))
+    return out

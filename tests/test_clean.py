@@ -1,0 +1,183 @@
+"""Corpus-cleaning ops: PII redaction, repetition signals, word
+chunking (ops/clean.py) — unit edges + DuckDB oracle parity."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_rs_ray.ops import clean
+
+SF = "/root/testdata/sf0.001"
+
+EDGE = pa.table({
+    "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    "text": pa.array(["a b a b c", "", "x  y x",
+                      "mail a@b.co ip 10.0.0.1 tel +1 555-123 9999",
+                      "solo"]),
+})
+
+
+def _docs_con(tbl):
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    return con
+
+
+# ------------------------------------------------------------- redact
+
+def test_redact_default_rules():
+    out = clean.redact(EDGE)
+    texts = out.column("text").to_pylist()
+    assert texts[3] == "mail [EMAIL] ip [IP] tel [PHONE]"
+    # untouched rows byte-identical
+    assert texts[0] == "a b a b c" and texts[2] == "x  y x"
+    # idempotent: replacements never re-match
+    again = clean.redact(out).column("text").to_pylist()
+    assert again == texts
+
+
+def test_redact_out_col_and_custom_rules():
+    out = clean.redact(EDGE, rules=((r"\ba\b", "[A]"),), out_col="red")
+    assert out.column("text").to_pylist() == EDGE.column("text").to_pylist()
+    assert out.column("red").to_pylist()[0] == "[A] b [A] b c"
+
+
+def test_redact_duckdb_parity():
+    tbl = EDGE
+    out = clean.redact(tbl).column("text").to_pylist()
+    con = _docs_con(tbl)
+    sql = "text"
+    for pat, repl in clean.PII_RULES:
+        pat = pat.replace("'", "''")
+        sql = f"regexp_replace({sql}, '{pat}', '{repl}', 'g')"
+    exp = [r[0] for r in
+           con.execute(f"SELECT {sql} FROM documents ORDER BY doc_id")
+           .fetchall()]
+    assert out == exp
+
+
+# -------------------------------------------------- repetition_stats
+
+REP_SQL = """
+WITH base AS (SELECT doc_id, list_filter(string_split(text, ' '),
+  x -> x <> '') AS w FROM documents),
+words AS (SELECT doc_id, unnest(w) AS word FROM base),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM words GROUP BY doc_id, word),
+tw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+  CAST(MAX(c) AS BIGINT) AS top_word_count FROM wc GROUP BY doc_id),
+bg AS (SELECT doc_id, list_transform(range(1, greatest(len(w), 1)),
+  i -> w[i] || chr(1) || w[i+1]) AS bgs FROM base)
+SELECT b.doc_id AS doc_id, COALESCE(tw.n_words, 0) AS n_words,
+  COALESCE(tw.n_distinct_words, 0) AS n_distinct_words,
+  COALESCE(tw.top_word_count, 0) AS top_word_count,
+  CAST(len(bg.bgs) AS BIGINT) AS n_bigrams,
+  CAST(len(list_distinct(bg.bgs)) AS BIGINT) AS n_distinct_bigrams
+FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id
+JOIN bg ON b.doc_id = bg.doc_id ORDER BY b.doc_id
+"""
+
+
+def _rep_parity(tbl):
+    got = clean.repetition_stats(tbl).to_pandas().sort_values("doc_id")
+    exp = _docs_con(tbl).execute(REP_SQL).fetchdf()
+    got = got[exp.columns].reset_index(drop=True)
+    assert got.equals(exp.astype(got.dtypes.to_dict())), (got, exp)
+
+
+def test_repetition_stats_edges():
+    out = clean.repetition_stats(EDGE).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [5, 3, 2, 4, 3]
+    assert out.loc[2].tolist() == [0, 0, 0, 0, 0]   # empty doc
+    assert out.loc[3].tolist() == [3, 2, 2, 2, 2]   # double space dropped
+    assert out.loc[5].tolist() == [1, 1, 1, 0, 0]   # one word, no bigram
+    _rep_parity(EDGE)
+
+
+def test_repetition_stats_oracle_sf():
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    _rep_parity(tbl)
+
+
+def test_repetition_stats_bigram_exactness():
+    # adversarial: words whose concatenations collide without a
+    # separator ('ab'+'c' vs 'a'+'bc') must count as distinct bigrams
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["ab c a bc ab c"])})
+    out = clean.repetition_stats(tbl).to_pandas().iloc[0]
+    # bigrams: ab|c, c|a, a|bc, bc|ab, ab|c  -> 5 total, 4 distinct
+    assert out.n_bigrams == 5 and out.n_distinct_bigrams == 4
+    _rep_parity(tbl)
+
+
+# -------------------------------------------------------- chunk_words
+
+def _chunk_sql(size):
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, CAST((i-1)//{size} AS BIGINT) AS chunk_id,
+  array_to_string(w[i:i+{size - 1}], ' ') AS chunk_text,
+  CAST(least(i+{size - 1}, len(w)) - i + 1 AS BIGINT) AS chunk_words
+FROM base, unnest(range(1, len(w)+1, {size})) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
+@pytest.mark.parametrize("size", [1, 2, 7, 1000])
+def test_chunk_words_oracle_and_lossless(size):
+    got = clean.chunk_words(EDGE, size=size).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"])
+    exp = _docs_con(EDGE).execute(_chunk_sql(size)).fetchdf()
+    g = got[exp.columns].reset_index(drop=True)
+    assert g.equals(exp.astype(g.dtypes.to_dict())), (size, g, exp)
+    # byte-lossless: re-joining a doc's chunks restores the original
+    orig = EDGE.to_pandas().set_index("doc_id")["text"]
+    for did, sub in got.groupby("doc_id"):
+        assert " ".join(sub.chunk_text) == orig.loc[did]
+    # chunk_words sums to the split length
+    lens = got.groupby("doc_id").chunk_words.sum()
+    for did in orig.index:
+        assert lens.loc[did] == len(orig.loc[did].split(" "))
+
+
+def test_chunk_words_oracle_sf():
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    got = clean.chunk_words(tbl, size=32).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"])
+    exp = _docs_con(tbl).execute(_chunk_sql(32)).fetchdf()
+    g = got[exp.columns].reset_index(drop=True)
+    assert g.equals(exp.astype(g.dtypes.to_dict()))
+
+
+def test_chunk_words_rejects_bad_size():
+    with pytest.raises(ValueError):
+        clean.chunk_words(EDGE, size=0)
+
+
+# ---------------------------------------------------- pipeline level
+
+def test_clean_ops_over_ray(ray_session):
+    import ray
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    rep = ds.map_batches(clean.repetition_stats, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    n_docs = ds.count()
+    assert rep.count() == n_docs
+    ch = ds.map_batches(lambda b: clean.chunk_words(b, size=16),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    df = ch.to_pandas()
+    assert df.groupby("doc_id").ngroups == n_docs
+    # chunks of every doc reconstruct to the stored text
+    import pyarrow.parquet as pq
+    orig = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")["text"]
+    joined = df.sort_values(["doc_id", "chunk_id"]) \
+        .groupby("doc_id").chunk_text.agg(" ".join)
+    assert (joined == orig.loc[joined.index]).all()
