@@ -717,6 +717,50 @@ def _media_features_documents(sf_dir: str):
     return decode_images(media, batch_size=64, concurrency=2, fake=True)
 
 
+def _word_rarity_documents(sf_dir: str):
+    """Per-doc word-rarity signals from global document frequency
+    (ops/textstats.word_df_stats): pass 1 distributed df aggregate
+    (map-side combine), pass 2 broadcast-lookup scoring — the
+    aggregate-broadcast-join shape; all int64, bit-exact vs SQL."""
+    import ray
+    from parquet_rs_ray.ops.textstats import word_df_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return word_df_stats(ds)
+
+
+def _image_decode_documents(sf_dir: str):
+    """REAL image decode through the actor pool (no codec library):
+    deterministic 12×9 PPM payloads synthesized per doc, decoded by the
+    pure-numpy P6 kernel + nearest resize to 8×8, per-image blake2b
+    raster checksum out (rows-only: SQL cannot decode PPM; exactness is
+    pinned by tests/test_ops.py::test_decode_images_real_pipeline)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from parquet_rs_ray.ops.multimodal import attach_media, decode_images
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h, w = 12, 9
+        grid = (np.arange(h * w * 3, dtype=np.uint64)[None, :]
+                * (ids.astype(np.uint64)[:, None] * np.uint64(2654435761)
+                   + np.uint64(1))) & np.uint64(0xFF)
+        hdr = f"P6\n{w} {h}\n255\n".encode()
+        payloads = [hdr + row.astype(np.uint8).tobytes() for row in grid]
+        return batch.append_column("media",
+                                   pa.array(payloads, pa.binary()))
+
+    media = ds.map_batches(synth, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return decode_images(media, batch_size=64, concurrency=2,
+                         fake=False, target_hw=(8, 8))
+
+
 def _dup_clusters_documents(sf_dir: str):
     """Duplicate-cluster labelling: deterministic prefix-blocking +
     exact word-5-gram Jaccard edges (>= 0.9), then distributed
@@ -966,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # path; both modes stay pinned by pytest DuckDB-parity tests) ---
     q["exact_dedup_join_documents"] = _exact_dedup_join_documents
     q["sessionize_events_salted"] = _sessionize_events_salted
+    q["word_rarity_documents"] = _word_rarity_documents
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -985,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quality_scores_documents"] = _quality_scores_documents
     q["fingerprints_documents"] = _fingerprints_documents
     q["media_features_documents"] = _media_features_documents
+    q["image_decode_documents"] = _image_decode_documents
     q["audio_features_documents"] = _audio_features_documents
     q["quantile_sketch_events"] = _quantile_sketch_events
     return q
@@ -1251,6 +1297,18 @@ def oracle_sql() -> dict[str, str]:
         "CAST(len(list_distinct(bg.bgs)) AS BIGINT) AS n_distinct_bigrams "
         "FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id "
         "JOIN bg ON b.doc_id = bg.doc_id")
+    sql["word_rarity_documents"] = (
+        "WITH w AS (SELECT doc_id, unnest(list_filter("
+        "string_split(text, ' '), x -> x <> '')) AS word FROM documents), "
+        "dfreq AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
+        "AS df FROM w GROUP BY word), "
+        "agg AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(df) AS BIGINT) AS sum_df, "
+        "CAST(MIN(df) AS BIGINT) AS min_df "
+        "FROM w JOIN dfreq USING(word) GROUP BY w.doc_id) "
+        "SELECT d.doc_id, COALESCE(n_words, 0) AS n_words, "
+        "COALESCE(sum_df, 0) AS sum_df, COALESCE(min_df, 0) AS min_df "
+        "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id")
     sql["chunk_documents"] = (
         "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w "
         "FROM documents) "

@@ -1,13 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-The real decode libraries (Pillow / torchaudio / av) are not in this
-container, so the *decode kernels* are stubbed: ``DecodeImage`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake decode (shape + checksum derived from the payload
-bytes).  Everything Ray-side is real and tested: the schema convention,
-small-batch sizing for large payloads, the stateful actor signature
-(codec tables loaded once in ``__init__``), and the output layout.
+Decode support is split by what needs a codec library:
+
+* REAL kernels (no library required, production implementations):
+  PPM/PGM (P6/P5) and uncompressed BMP (24/32 bpp) image decode +
+  nearest-neighbor resize (`DecodeImage`), and PCM s16le audio
+  features (`AudioPcmFeatures`).
+* SEAM: compressed formats (jpeg/png/mp4...) need Pillow/av, which are
+  not in this container — `DecodeImage` raises ``NotImplementedError``
+  naming the seam when it meets one, or produces a deterministic fake
+  decode when constructed with ``fake=True`` (shape + checksum derived
+  from payload bytes) so pipelines exercise the full Ray plumbing.
 
 Schema convention for a multimodal column ``media``:
     media:        binary          (opaque encoded payload)
@@ -57,14 +61,105 @@ def _fake_decode(payload: bytes, target_hw: tuple[int, int]) -> dict:
     }
 
 
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6, rgb) / PGM (P5, gray → rgb) to a
+    (h, w, 3) uint8 array. Header tokens may be separated by any
+    whitespace and interleaved with ``#`` comments (netpbm spec)."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    gray = payload[:2] == b"P5"
+    # tokenize header: magic, width, height, maxval; then ONE
+    # whitespace byte precedes the raster
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1                              # the single whitespace
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    c = 1 if gray else 3
+    raster = np.frombuffer(payload, np.uint8, count=h * w * c, offset=i)
+    img = raster.reshape(h, w, c)
+    return np.repeat(img, 3, axis=2) if gray else img
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bpp BMP (BI_RGB) to (h, w, 3)
+    uint8 rgb. Handles 4-byte row padding, bottom-up and top-down row
+    order, and drops the alpha byte of 32-bpp payloads."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression={comp} bpp={bpp}: only uncompressed "
+            f"24/32-bpp BMP decodes without a codec library")
+    bottom_up = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=h * stride,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, :w * nb].reshape(h, w, nb)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, 2::-1]             # BGR(A) → RGB
+
+
+def _resize_nearest(img: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (sample at pixel centers)."""
+    th, tw = target_hw
+    h, w = img.shape[:2]
+    ri = np.minimum(((np.arange(th) + 0.5) * h / th).astype(np.int64), h - 1)
+    ci = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(np.int64), w - 1)
+    return img[ri][:, ci]
+
+
+def decode_image_bytes(payload: bytes,
+                       target_hw: tuple[int, int]) -> np.ndarray:
+    """Sniff + decode + resize one image payload. PPM/PGM/BMP decode
+    for real (pure numpy); anything else is the codec-library seam."""
+    if payload[:2] in (b"P6", b"P5"):
+        img = _decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        img = _decode_bmp(payload)
+    else:
+        raise NotImplementedError(
+            "compressed image formats need a codec library (Pillow/"
+            "OpenCV) that is not in this container; PPM/PGM/BMP decode "
+            "natively, or pass fake=True for the deterministic stub")
+    return np.ascontiguousarray(_resize_nearest(img, target_hw))
+
+
 class DecodeImage:
     """Actor-pool stage: decode + resize an image ``binary`` column.
 
-    Real deployment: ``__init__`` imports and warms the codec library
-    once per actor (the expensive part); ``__call__`` decodes a batch.
-    Here the decode is stubbed (``fake=True`` for a deterministic fake,
-    otherwise ``NotImplementedError`` marks the seam where Pillow/OpenCV
-    plug in).  Use with small ``batch_size`` (payloads are large):
+    ``__init__`` holds per-actor state once (target geometry; a real
+    codec library would warm here); ``__call__`` decodes a batch.
+    PPM/PGM and uncompressed BMP payloads decode for REAL (pure-numpy
+    kernels, nearest-neighbor resize); compressed formats raise
+    ``NotImplementedError`` naming the Pillow/OpenCV seam — unless
+    ``fake=True``, which replaces decode with the deterministic
+    payload-hash stub for plumbing tests. Output layout is identical
+    either way: height/width/channels + a blake2b ``pixel_checksum``
+    (of the resized rgb raster in real mode). Use with small
+    ``batch_size`` (payloads are large):
 
         ds.map_batches(DecodeImage, fn_constructor_kwargs={...},
                        batch_format="pyarrow", batch_size=32,
@@ -72,19 +167,32 @@ class DecodeImage:
     """
 
     def __init__(self, payload_col: str = "media",
-                 target_hw: tuple[int, int] = (224, 224), fake: bool = False):
+                 target_hw: tuple[int, int] = (224, 224), fake: bool = False,
+                 emit_pixels: bool = False):
         self.payload_col = payload_col
         self.target_hw = tuple(target_hw)
         self.fake = fake
-        if not fake:
-            # seam for the real library; loaded once per actor
-            raise NotImplementedError(
-                "image codec library not available in this container; "
-                "pass fake=True for the deterministic stub")
+        self.emit_pixels = emit_pixels
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
-        decoded = [_fake_decode(p or b"", self.target_hw) for p in payloads]
+        decoded, pixels = [], []
+        for p in payloads:
+            p = p or b""
+            if self.fake:
+                decoded.append(_fake_decode(p, self.target_hw))
+                pixels.append(b"")
+                continue
+            img = decode_image_bytes(p, self.target_hw)
+            raw = img.tobytes()
+            digest = hashlib.blake2b(raw, digest_size=8).digest()
+            decoded.append({
+                "height": img.shape[0], "width": img.shape[1],
+                "channels": img.shape[2],
+                "pixel_checksum": int.from_bytes(digest, "little",
+                                                 signed=True),
+            })
+            pixels.append(raw)
         out = batch.drop_columns([self.payload_col])
         out = out.append_column("height", pa.array(
             [d["height"] for d in decoded], pa.int32()))
@@ -94,6 +202,8 @@ class DecodeImage:
             [d["channels"] for d in decoded], pa.int32()))
         out = out.append_column("pixel_checksum", pa.array(
             [d["pixel_checksum"] for d in decoded], pa.int64()))
+        if self.emit_pixels:
+            out = out.append_column("pixels", pa.array(pixels, pa.binary()))
         return out
 
 

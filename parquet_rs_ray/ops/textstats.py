@@ -4,6 +4,9 @@
 * quality_score   — length / punctuation / stopword-ratio heuristics
 * language_id     — character n-gram profile heuristic
 * fingerprint     — rolling-hash document fingerprint (64-bit)
+* top_terms       — top-k words per group (map-side combine)
+* word_df_stats   — global word document-frequency → per-doc rarity
+                    signals (two-pass aggregate-broadcast / join)
 """
 
 from __future__ import annotations
@@ -218,3 +221,125 @@ def top_terms(ds, *, text_col: str = "text", group_col: str = "lang",
     return grouped_topk(merged, group_col=group_col, order_col="cnt",
                         k=k, tiebreak_col="word",
                         num_partitions=num_partitions)
+
+
+def word_document_frequency(ds, *, text_col: str = "text",
+                            num_partitions: int | None = None):
+    """(word, df) over the corpus: df = number of documents containing
+    the word at least once. Same scale shape as `top_terms`: per batch,
+    DISTINCT words per doc (one dictionary_encode + lexsort) combine to
+    (word, partial-doc-count) rows — the token explosion never leaves
+    the map task — then one vectorized merge per word-hash partition."""
+    from .temporal import _default_partitions, _key_part
+    from .relational import _grouped_cnt
+    P = num_partitions or _default_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, doc_idx = _split_words(batch.column(text_col))
+        if not len(flat):
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        codes = flat.dictionary_encode()
+        c = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((c, doc_idx))
+        d, cs = doc_idx[order], c[order]
+        first = np.concatenate(
+            ([True], (d[1:] != d[:-1]) | (cs[1:] != cs[:-1])))
+        distinct = flat.take(pa.array(order[first]))
+        return _grouped_cnt(pa.table({"word": distinct}), ["word"],
+                            "count")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column("word"), P))
+
+    def merge(group: pa.Table) -> pa.Table:
+        out = _grouped_cnt(group.drop_columns(["__part"]), ["word"],
+                           "sum")
+        return out.rename_columns(
+            [n if n != "cnt" else "df" for n in out.column_names])
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(add_part, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+class _DfScorer:
+    """Stateful stage: the broadcast (sorted words, df) table is read
+    from the object store ONCE per actor in __init__, not per batch."""
+
+    def __init__(self, df_ref, text_col: str):
+        import ray
+        self.text_col = text_col
+        words, dfs = ray.get(df_ref)
+        self.words = words          # sorted pa.StringArray
+        self.dfs = dfs              # aligned np.int64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        flat, counts, doc_idx = _split_words(batch.column(self.text_col))
+        n_words = counts.astype(np.int64)
+        sum_df = np.zeros(n, np.int64)
+        min_df = np.zeros(n, np.int64)
+        if len(flat):
+            # vocabulary lookup: one searchsorted over the sorted
+            # broadcast table (every corpus word is present by
+            # construction — the table was built from this corpus)
+            import pyarrow.compute as _pc
+            pos = _pc.index_in(flat, value_set=self.words) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            w_df = self.dfs[pos]
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_words, out=starts[1:])
+            nz = n_words > 0
+            seg = starts[:-1][nz]
+            sum_df[nz] = np.add.reduceat(w_df, seg)
+            min_df[nz] = np.minimum.reduceat(w_df, seg)
+        out = pa.table({
+            "n_words": pa.array(n_words),
+            "sum_df": pa.array(sum_df),
+            "min_df": pa.array(min_df),
+        })
+        for name in batch.column_names:
+            if name != self.text_col:
+                out = out.append_column(name, batch.column(name))
+        return out
+
+
+def word_df_stats(ds, *, text_col: str = "text",
+                  num_partitions: int | None = None, concurrency=2):
+    """Per-document rarity signals from global word document-frequency:
+    ``n_words`` (with repeats), ``sum_df`` (Σ df of each word token)
+    and ``min_df`` (the rarest word's df — the OOV/garbage detector;
+    all exact int64, so the SQL oracle compares bit-identical).
+
+    Two-pass aggregate-broadcast-join shape: pass 1 is the distributed
+    `word_document_frequency` (map-side combine, shuffles one row per
+    distinct word per block); its (word, df) result — VOCABULARY-sized,
+    not corpus-sized — broadcasts once via `ray.put` and pass 2 streams
+    the corpus through a stateful lookup stage (no second shuffle).
+    Regime note: web-scale vocabularies (~10^8 words ≈ a few GB) still
+    fit worker heaps; beyond that, replace the broadcast with a hash
+    join of the exploded (doc, word) rows against the df table on word
+    — the same two joins `near_dedup` already demonstrates."""
+    import ray
+
+    df_tbl = word_document_frequency(
+        ds, text_col=text_col, num_partitions=num_partitions)
+    parts = []
+    for b in df_tbl.iter_batches(batch_format="pyarrow"):
+        parts.append(b)
+    merged = pa.concat_tables(parts) if parts else \
+        pa.table({"word": pa.array([], pa.string()),
+                  "df": pa.array([], pa.int64())})
+    words = merged.column("word").combine_chunks()
+    dfs = merged.column("df").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ref = ray.put((words, dfs))
+    return ds.map_batches(
+        _DfScorer, fn_constructor_kwargs={"df_ref": ref,
+                                          "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)

@@ -174,8 +174,103 @@ def test_attach_media_schema():
 
 
 def test_decode_image_stub_gate():
+    # compressed formats are still the codec-library seam
+    dec = multimodal.DecodeImage(fake=False)
+    jpeg = pa.table({"media": pa.array([b"\xff\xd8fakejpeg"], pa.binary())})
     with pytest.raises(NotImplementedError):
-        multimodal.DecodeImage(fake=False)
+        dec(jpeg)
+
+
+def _ppm_bytes(img: np.ndarray, comment: bool = False) -> bytes:
+    h, w = img.shape[:2]
+    hdr = b"P6\n" + (b"# synthetic\n" if comment else b"") + \
+        f"{w} {h}\n255\n".encode()
+    return hdr + img.astype(np.uint8).tobytes()
+
+
+def _bmp_bytes(img: np.ndarray, bpp: int = 24, top_down: bool = False) -> bytes:
+    h, w = img.shape[:2]
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        row = bytearray()
+        for c in range(w):
+            px = img[r, c]
+            row += bytes([px[2], px[1], px[0]])       # BGR
+            if nb == 4:
+                row += b"\xff"                        # alpha
+        row += b"\x00" * (stride - len(row))
+        rows.append(bytes(row))
+    raster = b"".join(rows)
+    off = 14 + 40
+    hdr = (b"BM" + (off + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+           + off.to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + (-h if top_down else h).to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + b"\x00" * 20)
+    return hdr + raster
+
+
+def test_ppm_decode_real():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (5, 3, 3), np.uint8)
+    got = multimodal._decode_ppm(_ppm_bytes(img, comment=True))
+    assert (got == img).all()
+    # PGM grayscale expands to 3 identical channels
+    gray = rng.randint(0, 256, (4, 6), np.uint8)
+    pgm = b"P5\n6 4\n255\n" + gray.tobytes()
+    got = multimodal._decode_ppm(pgm)
+    assert got.shape == (4, 6, 3) and (got[:, :, 0] == gray).all() \
+        and (got[:, :, 2] == gray).all()
+
+
+@pytest.mark.parametrize("bpp,top_down", [(24, False), (24, True),
+                                          (32, False)])
+def test_bmp_decode_real(bpp, top_down):
+    rng = np.random.RandomState(bpp + top_down)
+    img = rng.randint(0, 256, (3, 3, 3), np.uint8)   # w=3 → padded stride
+    got = multimodal._decode_bmp(_bmp_bytes(img, bpp=bpp,
+                                            top_down=top_down))
+    assert (got == img).all()
+    with pytest.raises(NotImplementedError):
+        payload = bytearray(_bmp_bytes(img))
+        payload[30] = 1                              # BI_RLE8
+        multimodal._decode_bmp(bytes(payload))
+
+
+def test_resize_nearest():
+    img = np.arange(4 * 3).reshape(2, 2, 3).astype(np.uint8)
+    up = multimodal._resize_nearest(img, (4, 4))
+    assert up.shape == (4, 4, 3)
+    assert (up[:2, :2] == img[0, 0]).all() and (up[2:, 2:] == img[1, 1]).all()
+    down = multimodal._resize_nearest(up, (2, 2))
+    assert (down == img).all()
+
+
+def test_decode_images_real_pipeline(ray_session):
+    import ray
+    rng = np.random.RandomState(3)
+    imgs = [rng.randint(0, 256, (6 + i, 5, 3), np.uint8) for i in range(6)]
+    payloads = [_ppm_bytes(im) if i % 2 == 0 else _bmp_bytes(im)
+                for i, im in enumerate(imgs)]
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "media": pa.array(payloads, pa.binary())})
+    out = multimodal.decode_images(ray.data.from_arrow(tbl), batch_size=2,
+                                   concurrency=2, fake=False,
+                                   target_hw=(8, 8)).to_pandas() \
+        .sort_values("doc_id")
+    assert (out.height == 8).all() and (out.width == 8).all()
+    # checksums equal a direct single-process decode
+    import hashlib
+    for i, p in enumerate(payloads):
+        raw = multimodal.decode_image_bytes(p, (8, 8)).tobytes()
+        exp = int.from_bytes(hashlib.blake2b(raw, digest_size=8).digest(),
+                             "little", signed=True)
+        assert out.pixel_checksum.iloc[i] == exp
 
 
 def test_decode_images_pipeline(ray_session):
@@ -696,6 +791,49 @@ def test_top_terms_oracle(ray_session):
     a = out[cols].sort_values(cols).reset_index(drop=True).astype(str)
     b = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
     assert a.equals(b)
+
+
+WORD_DF_SQL = """
+WITH w AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+  x -> x <> '')) AS word FROM documents),
+dfreq AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM w GROUP BY word),
+agg AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(df) AS BIGINT) AS sum_df, CAST(MIN(df) AS BIGINT) AS min_df
+  FROM w JOIN dfreq USING(word) GROUP BY w.doc_id)
+SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+  COALESCE(sum_df, 0) AS sum_df, COALESCE(min_df, 0) AS min_df
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def test_word_df_stats_oracle(ray_session):
+    import duckdb
+    import ray
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+    got = textstats.word_df_stats(ds).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    exp = con.execute(WORD_DF_SQL).fetchdf()
+    g = got[exp.columns].reset_index(drop=True)
+    assert g.equals(exp.astype(g.dtypes.to_dict()))
+
+
+def test_word_df_stats_edges(ray_session):
+    import ray
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["rare common common", "", "common"]),
+    })
+    out = textstats.word_df_stats(ray.data.from_arrow(tbl)) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # df(common)=2 (docs 1,3), df(rare)=1
+    assert out.loc[1].tolist() == [3, 1 + 2 + 2, 1]
+    assert out.loc[2].tolist() == [0, 0, 0]
+    assert out.loc[3].tolist() == [1, 2, 2]
 
 
 def test_exact_quantiles_oracle_and_edges(ray_session):
