@@ -993,7 +993,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["agg_after_decode_lineitem"] = _agg_after_decode_lineitem
     q["pruned_scan_lineitem"] = _pruned_scan_lineitem
     q["point_lookup_orders"] = _point_lookup_orders
-    q["hash_sample_orders"] = _hash_sample_orders
     q["hash_split_documents"] = _hash_split_documents
     q["dup_clusters_documents"] = _dup_clusters_documents
     q["decontaminate_documents"] = _decontaminate_documents
@@ -1005,12 +1004,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["redact_pii_documents"] = _redact_pii_documents
     q["repetition_stats_documents"] = _repetition_stats_documents
     q["chunk_documents"] = _chunk_documents
+    q["word_rarity_documents"] = _word_rarity_documents
     # --- oracle-backed but past the 50-query window: the second-mode
     # twins of two in-window queries (same op, alternate execution
-    # path; both modes stay pinned by pytest DuckDB-parity tests) ---
+    # path) and a sampling variant sharing hash_split's bucket
+    # mechanism; all stay pinned by pytest DuckDB-parity tests ---
     q["exact_dedup_join_documents"] = _exact_dedup_join_documents
     q["sessionize_events_salted"] = _sessionize_events_salted
-    q["word_rarity_documents"] = _word_rarity_documents
+    q["hash_sample_orders"] = _hash_sample_orders
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio

@@ -174,6 +174,22 @@ def run_bench(num_cpus: int) -> dict:
             key_col="user_id", ts_col="ts", value_col="value",
             preceding_minutes=30).count())
 
+    # cleaning + rarity over documents: redact → chunk (flat_map growth)
+    # and the two-pass df-aggregate/broadcast scorer
+    from parquet_rs_ray.ops.clean import chunk_words, redact
+    from parquet_rs_ray.ops.textstats import word_df_stats
+    queries["redact_chunk_documents"] = _timed(
+        lambda: ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                      columns=["doc_id", "text"])
+        .map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda b: chunk_words(b, size=64),
+                     batch_format="pyarrow", zero_copy_batch=True).count())
+    queries["word_rarity_documents"] = _timed(
+        lambda: word_df_stats(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"]),
+            concurrency=(2, num_cpus)).count())
+
     queries["asof_join_events"] = _timed(
         lambda: asof_join(
             ray.data.read_parquet(
