@@ -40,6 +40,19 @@ def _roundtrip_query(table: str, columns: list[str]):
     return fn
 
 
+def _reorder_roundtrip_lineitem(sf_dir: str):
+    """Roundtrip through the intra-block RLE-friendly row sort
+    (`reorder.py`, SIGMOD 2020 column-permutation paper): rows come
+    back as an identical multiset (the driver compare sorts rows), and
+    the sorted block's low-cardinality columns encode ~4% smaller on
+    this table (asserted by tests/test_reorder.py)."""
+    import ray
+    from parquet_rs_ray.pipeline import roundtrip
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    out = roundtrip(ds, concurrency=4, reorder="auto")
+    return out.select_columns(_TABLES["lineitem"])
+
+
 def _stats_documents(sf_dir: str):
     """Global column stats computed from our per-page statistics
     (SURVEY §2.9): per-page min/max/null_count folded into chunk stats."""
@@ -1012,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["exact_dedup_join_documents"] = _exact_dedup_join_documents
     q["sessionize_events_salted"] = _sessionize_events_salted
     q["hash_sample_orders"] = _hash_sample_orders
+    q["reorder_roundtrip_lineitem"] = _reorder_roundtrip_lineitem
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -1041,6 +1055,8 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
     for table, cols in _TABLES.items():
         sql[f"roundtrip_{table}"] = f"SELECT {', '.join(cols)} FROM {table}"
+    sql["reorder_roundtrip_lineitem"] = (
+        f"SELECT {', '.join(_TABLES['lineitem'])} FROM lineitem")
     sql["stats_documents"] = (
         "SELECT COUNT(*) AS n_rows, MIN(n_chars) AS min_n_chars, "
         "MAX(n_chars) AS max_n_chars FROM documents")

@@ -92,7 +92,7 @@ def cmd_inspect(encoded_dir: str) -> int:
 
 
 def cmd_encode(inputs: list[str], out_dir: str, block_codec: str | None,
-               concurrency: int) -> int:
+               concurrency: int, reorder: str = "off") -> int:
     """Run (or resume) the resumable encode job over input shards."""
     import glob as _glob
     ray = _ray()
@@ -103,7 +103,7 @@ def cmd_encode(inputs: list[str], out_dir: str, block_codec: str | None,
         hits = sorted(_glob.glob(pat))
         paths.extend(hits if hits else [pat])
     s = encode_job(paths, out_dir, concurrency=concurrency,
-                   block_codec=block_codec)
+                   block_codec=block_codec, reorder=reorder)
     print(json.dumps(s))
     return 0
 
@@ -148,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
     p_enc.add_argument("out_dir")
     p_enc.add_argument("--block-codec", default="auto")
     p_enc.add_argument("--concurrency", type=int, default=8)
+    p_enc.add_argument("--reorder", default="off",
+                       choices=["off", "auto", "preserve"],
+                       help="intra-block RLE-friendly row sort: auto="
+                            "multiset (order not preserved), preserve="
+                            "store permutation when it measures smaller")
 
     p_dec = sub.add_parser("decode", help="decode committed blocks")
     p_dec.add_argument("encoded_dir")
@@ -168,7 +173,8 @@ def main(argv: list[str] | None = None) -> int:
             return cmd_schema(args.path, args.verbose)
         if args.cmd == "encode":
             bc = None if args.block_codec in ("none", "") else args.block_codec
-            return cmd_encode(args.inputs, args.out_dir, bc, args.concurrency)
+            return cmd_encode(args.inputs, args.out_dir, bc,
+                              args.concurrency, args.reorder)
         if args.cmd == "decode":
             return cmd_decode(args.encoded_dir, args.out)
         if args.cmd == "compact":

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import manifest
-from .page import PAGE_SCHEMA
+from .page import PAGE_SCHEMA, merge_stats_zones, merge_zone_dicts
 from .pipeline import EncodeActor, decode_batch
 
 LINEAGE_SCHEMA = pa.schema([
@@ -46,6 +46,9 @@ LINEAGE_SCHEMA = pa.schema([
     ("encoded_bytes", pa.int64()),
     ("codecs_json", pa.string()),
     ("checksum", pa.string()),
+    # column→{kind,min,max} zone map of this block, folded from its page
+    # stats (EDBT 2018 partition elimination; see page.merge_stats_zones)
+    ("zones_json", pa.string()),
 ])
 
 
@@ -110,6 +113,23 @@ class EncodeWriteActor(EncodeActor):
                 h.update(hashlib.sha256(buf).digest())
             codecs = Counter(zip(block.column("column").to_pylist(),
                                  block.column("codec").to_pylist()))
+            by_col: dict[str, list[dict]] = defaultdict(list)
+            for cname, sj, nv, nc in zip(
+                    block.column("column").to_pylist(),
+                    block.column("stats_json").to_pylist(),
+                    block.column("num_values").to_pylist(),
+                    block.column("null_count").to_pylist()):
+                if nv - nc <= 0:
+                    continue  # valueless page constrains nothing
+                try:
+                    by_col[cname].append(json.loads(sj))
+                except ValueError:
+                    by_col[cname].append({})  # poisons the column's zone
+            zones = {}
+            for cname, sts in by_col.items():
+                z = merge_stats_zones(sts)
+                if z:
+                    zones[cname] = z
             bpath = block.column("path")[0].as_py()
             out_rows.append({
                 "path": bpath,
@@ -120,6 +140,7 @@ class EncodeWriteActor(EncodeActor):
                 "encoded_bytes": int(sum(block.column("encoded_size").to_pylist())),
                 "codecs_json": json.dumps({f"{c}:{k}": v for (c, k), v in codecs.items()}),
                 "checksum": h.hexdigest(),
+                "zones_json": json.dumps(zones),
             })
         return pa.Table.from_pylist(out_rows, schema=LINEAGE_SCHEMA)
 
@@ -163,7 +184,8 @@ class EncodeShardActor(EncodeWriteActor):
                 per_path = pa.Table.from_pylist([{
                     "path": path, "block_file": "", "rows": 0,
                     "n_blocks": 1, "plain_bytes": 0, "encoded_bytes": 0,
-                    "codecs_json": "{}", "checksum": ""}],
+                    "codecs_json": "{}", "checksum": "",
+                    "zones_json": "{}"}],
                     schema=LINEAGE_SCHEMA)
             # n_blocks was computed per row group; fix up to the shard
             # total so the driver commits only when the whole shard landed
@@ -177,7 +199,8 @@ class EncodeShardActor(EncodeWriteActor):
 
 def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
                block_codec: str | None = None, enable_fsst: bool = True,
-               override_num_blocks: int | None = None) -> dict:
+               override_num_blocks: int | None = None,
+               reorder="off") -> dict:
     """Run (or resume) the encode job. Returns summary stats."""
     import ray
 
@@ -201,7 +224,8 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
         EncodeShardActor,
         fn_constructor_kwargs={"out_dir": out_dir,
                                "block_codec": block_codec,
-                               "enable_fsst": enable_fsst},
+                               "enable_fsst": enable_fsst,
+                               "reorder": reorder},
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         concurrency=concurrency)
 
@@ -219,15 +243,22 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
             plain_b = sum(b["plain_bytes"] for b in blocks)
             enc_b = sum(b["encoded_bytes"] for b in blocks)
             codecs: Counter = Counter()
+            zmap: dict[str, dict] = {}
             for b in blocks:
                 codecs.update(json.loads(b["codecs_json"]))
+                if b["block_file"]:
+                    z = json.loads(b.get("zones_json") or "{}")
+                    zmap[b["block_file"]] = (
+                        merge_zone_dicts(zmap[b["block_file"]], z)
+                        if b["block_file"] in zmap else z)
             manifest.record(
                 manifest_dir, p,
                 output_path=json.dumps(sorted(b["block_file"] for b in blocks)),
                 rows=got_rows[p], plain_bytes=plain_b, encoded_bytes=enc_b,
                 codecs=dict(codecs),
                 checksum=hashlib.sha256(
-                    "".join(sorted(b["checksum"] for b in blocks)).encode()).hexdigest())
+                    "".join(sorted(b["checksum"] for b in blocks)).encode()).hexdigest(),
+                zones=zmap)
             summary["shards_encoded"] += 1
             summary["rows"] += got_rows[p]
             summary["plain_bytes"] += plain_b
@@ -254,6 +285,54 @@ def committed_blocks(out_dir: str) -> tuple[list[str], int]:
     return sorted(files), n_blocks     # share one container file
 
 
+def committed_zones(out_dir: str) -> dict[str, dict | None]:
+    """container file → merged column zone map across every shard whose
+    blocks share the file; ``None`` marks a file some referencing entry
+    gives no zones for (pre-zones encode run) — never eliminate it."""
+    entries = manifest.load(os.path.join(out_dir, "manifest"))
+    zones: dict[str, dict | None] = {}
+    for e in entries.values():
+        ez = e.get("zones")
+        for f in json.loads(e["output"]):
+            if not f:
+                continue
+            if ez is None or f not in ez:
+                zones[f] = None
+            elif f not in zones:
+                zones[f] = ez[f]
+            elif zones[f] is not None:
+                zones[f] = merge_zone_dicts(zones[f], ez[f])
+    return zones
+
+
+def eliminate_files(files: list[str], zones: dict[str, dict | None],
+                    predicate) -> list[str]:
+    """Manifest-level partition elimination (EDBT 2018): drop container
+    files whose merged zones PROVE no row satisfies the predicate —
+    before a single byte of them is read. Sound: a file without zones
+    (or without bounds for a predicate column) is always kept, and
+    page-level pruning + the exact post-decode filter still run."""
+    from .pipeline import _normalize_predicates, _stats_can_match
+    preds = _normalize_predicates(predicate)
+    if not preds:
+        return files
+    keep = []
+    for f in files:
+        z = zones.get(f)
+        if z is None:
+            keep.append(f)
+            continue
+        ok = True
+        for col, op, val in preds:
+            st = z.get(col)
+            if st and not _stats_can_match(st, op, val):
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    return keep
+
+
 def decode_job(out_dir: str, *, columns=None, predicate=None):
     """Dataset over the committed encoded blocks, decoded to the original
     schema (streaming). ``columns``/``predicate`` push projection and
@@ -262,6 +341,16 @@ def decode_job(out_dir: str, *, columns=None, predicate=None):
     files, n_blocks = committed_blocks(out_dir)
     if not files:
         raise FileNotFoundError(f"no committed blocks under {out_dir}")
+    if predicate:
+        # manifest-level partition elimination: skip whole container
+        # files before any read (zones live in the manifest, so this is
+        # a driver-side dict scan — no IO per eliminated file)
+        kept = eliminate_files(files, committed_zones(out_dir), predicate)
+        n_blocks = max(1, n_blocks * len(kept) // len(files))
+        # keep one file when everything is eliminable so the decoded
+        # dataset still carries the original schema (0 rows after the
+        # exact filter)
+        files = kept or files[:1]
     # One container file holds one shard's blocks as parquet row
     # groups; parquet reads are row-group granular, so a block's pages
     # can never split across read tasks (decode_batch groups by
@@ -353,7 +442,7 @@ def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
                 manifest_dir, shard, output_path=e["output"],
                 rows=e["rows"], plain_bytes=e["plain_bytes"],
                 encoded_bytes=e["encoded_bytes"], codecs=e["codecs"],
-                checksum=e["checksum"])
+                checksum=e["checksum"], zones=e.get("zones"))
         manifest.clear_journal(manifest_dir)
     # group shards by container file; a missing file (external cleanup)
     # is skipped — it cannot be merged, only reported
@@ -413,16 +502,26 @@ def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
                         f"compaction block count changed for {shard} in "
                         f"{src}: {n_refs} -> {moved_n[(shard, src)]}"
                     )  # pre-commit abort
-            updates[shard] = dict(
+            upd = dict(
                 e, output=json.dumps(
                     [mapping.get(f, f) if f else f for f in old]))
+            if e.get("zones") is not None:
+                # zones follow their blocks: rename keys through the
+                # mapping; two source files of THIS shard landing in one
+                # container merge conservatively
+                nz: dict[str, dict] = {}
+                for f, z in e["zones"].items():
+                    nf = mapping.get(f, f)
+                    nz[nf] = merge_zone_dicts(nz[nf], z) if nf in nz else z
+                upd["zones"] = nz
+            updates[shard] = upd
         manifest.write_journal(manifest_dir, updates)    # phase 2
         for shard, e in updates.items():                 # phase 3
             manifest.record(
                 manifest_dir, shard, output_path=e["output"],
                 rows=e["rows"], plain_bytes=e["plain_bytes"],
                 encoded_bytes=e["encoded_bytes"], codecs=e["codecs"],
-                checksum=e["checksum"])
+                checksum=e["checksum"], zones=e.get("zones"))
         manifest.clear_journal(manifest_dir)
         summary["files_merged"] = sum(len(b) for b in bins)
 

@@ -23,7 +23,7 @@ def _entry_name(shard_path: str) -> str:
 
 def record(manifest_dir: str, shard_path: str, *, output_path: str,
            rows: int, plain_bytes: int, encoded_bytes: int,
-           codecs: dict, checksum: str) -> dict:
+           codecs: dict, checksum: str, zones: dict | None = None) -> dict:
     os.makedirs(manifest_dir, exist_ok=True)
     entry = {
         "shard": shard_path,
@@ -35,6 +35,11 @@ def record(manifest_dir: str, shard_path: str, *, output_path: str,
         "checksum": checksum,
         "committed_at": time.time(),
     }
+    if zones is not None:
+        # container file → column → {kind,min,max} zone for THIS shard's
+        # blocks in that file (decode_job folds these across shards for
+        # manifest-level file elimination; absent = never prunable)
+        entry["zones"] = zones
     final = os.path.join(manifest_dir, _entry_name(shard_path))
     fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
     with os.fdopen(fd, "w") as f:

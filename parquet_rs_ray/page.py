@@ -354,6 +354,55 @@ def _stats_json(arr: pa.Array, phys: PhysicalType, distinct: int | None) -> str:
     return json.dumps(out, ensure_ascii=True)
 
 
+def merge_stats_zones(stats: list[dict]) -> dict:
+    """Fold per-page stats dicts into ONE conservative zone for manifest-
+    level partition elimination (≙ "Global Range Encoding for Efficient
+    Partition Elimination", EDBT 2018, PAPERS.md): min of mins / max of
+    maxes, same `kind` only. Any contributing page without sound bounds
+    (huge-blob skip, NaN bound, kind mismatch) drops the bounds entirely
+    — a zone must cover EVERY row it stands for or pruning is unsound.
+    Callers must pre-filter pages with zero non-null values (an all-null
+    page constrains nothing and must not poison the merge). Blooms are
+    deliberately not merged: OR-folding page blooms over a whole
+    container saturates them into always-True."""
+    from decimal import Decimal, InvalidOperation
+
+    if not stats:
+        return {}
+    kinds = {s.get("kind") for s in stats}
+    if len(kinds) != 1 or None in kinds:
+        return {}
+    if any("min" not in s or "max" not in s for s in stats):
+        return {}
+    kind = kinds.pop()
+    mns = [s["min"] for s in stats]
+    mxs = [s["max"] for s in stats]
+    try:
+        if kind == "dec":
+            mn = min(mns, key=Decimal)
+            mx = max(mxs, key=Decimal)
+        else:
+            mn, mx = min(mns), max(mxs)
+    except (InvalidOperation, TypeError, ValueError):
+        return {}
+    zone = {"min": mn, "max": mx, "kind": kind}
+    if any(s.get("trunc") for s in stats):
+        zone["trunc"] = True
+    return zone
+
+
+def merge_zone_dicts(a: dict, b: dict) -> dict:
+    """Column→zone maps of two block sets landing in one container:
+    keep only columns bounded in BOTH (a column unbounded on either
+    side is unbounded for the union), zones merged conservatively."""
+    out = {}
+    for col in a.keys() & b.keys():
+        z = merge_stats_zones([a[col], b[col]])
+        if z:
+            out[col] = z
+    return out
+
+
 def encode_column_chunk(column: str, col_idx: int, arr: pa.Array, *,
                         selector, path: str, block_id: str, block_rows: int,
                         n_cols: int) -> list[dict]:

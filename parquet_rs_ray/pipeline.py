@@ -41,11 +41,13 @@ class EncodeActor:
     dictionary scratch) per actor, set up once in __init__ (not per batch)."""
 
     def __init__(self, block_codec: str | None = None,
-                 enable_fsst: bool = True, force_codec: str | None = None):
+                 enable_fsst: bool = True, force_codec: str | None = None,
+                 reorder="off"):
         _pin_arrow_threads()
         self.selector = CodecSelector(enable_fsst=enable_fsst,
                                       force_codec=force_codec,
                                       block_codec=block_codec)
+        self.reorder = reorder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -62,6 +64,9 @@ class EncodeActor:
         else:
             groups = [("", batch)]
         for path, tbl in groups:
+            if self.reorder not in (None, "off"):
+                from .reorder import maybe_reorder
+                tbl = maybe_reorder(tbl, self.reorder, self.selector)
             block_id = uuid.uuid4().hex[:16]
             n_cols = tbl.num_columns
             for idx, name in enumerate(tbl.column_names):
@@ -130,20 +135,26 @@ def decode_batch(batch: pa.Table) -> pa.Table:
                     f"{pages[0]['block_rows']}")
             arrays.append(arr)
             names.append(pages[0]["column"])
-        out_tables.append(pa.table(dict(zip(names, arrays))))
+        btbl = pa.table(dict(zip(names, arrays)))
+        from .reorder import PERM_COL, restore_order
+        if PERM_COL in names:
+            btbl = restore_order(btbl)
+        out_tables.append(btbl)
     if len(out_tables) == 1:
         return out_tables[0]
     return pa.concat_tables(out_tables, promote_options="default")
 
 
 def encode_dataset(ds, *, concurrency=(1, 8), block_codec: str | None = None,
-                   enable_fsst: bool = True, force_codec: str | None = None):
+                   enable_fsst: bool = True, force_codec: str | None = None,
+                   reorder="off"):
     """Dataset of original rows → Dataset of encoded page rows (streaming)."""
     return ds.map_batches(
         EncodeActor,
         fn_constructor_kwargs={"block_codec": block_codec,
                                "enable_fsst": enable_fsst,
-                               "force_codec": force_codec},
+                               "force_codec": force_codec,
+                               "reorder": reorder},
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         concurrency=concurrency)
 
@@ -252,7 +263,10 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
 
     preds = _normalize_predicates(predicate)
     pred_cols = {p[0] for p in preds}
-    keep_cols = (set(columns) | pred_cols) if columns else None
+    # preserve-mode reorder marker rides along under projection — its
+    # pages are ~log2(n) bits/row and decode needs them to restore order
+    from .reorder import PERM_COL
+    keep_cols = (set(columns) | pred_cols | {PERM_COL}) if columns else None
 
     def prune(batch: pa.Table) -> pa.Table:
         from .page import stats_crc

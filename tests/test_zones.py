@@ -1,0 +1,161 @@
+"""Manifest-level zone maps for partition elimination (EDBT 2018
+"Global Range Encoding" from PAPERS.md): per-block column ranges folded
+into the manifest at encode time so `decode_job(predicate=...)` skips
+whole container files before reading a byte of them."""
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_rs_ray.page import merge_stats_zones, merge_zone_dicts
+
+
+def test_merge_stats_zones_basic():
+    a = {"min": 1, "max": 5, "kind": "int"}
+    b = {"min": 3, "max": 9, "kind": "int"}
+    assert merge_stats_zones([a, b]) == {"min": 1, "max": 9, "kind": "int"}
+    # kind mismatch or missing bounds → unsound, no zone
+    assert merge_stats_zones([a, {"min": "x", "max": "y", "kind": "str"}]) == {}
+    assert merge_stats_zones([a, {"null_count": 4}]) == {}
+    assert merge_stats_zones([]) == {}
+    # truncated max propagates
+    t = {"min": "aa", "max": "zz", "kind": "str", "trunc": True}
+    assert merge_stats_zones([t, {"min": "bb", "max": "cc",
+                                  "kind": "str"}])["trunc"] is True
+    # decimals compare numerically, not lexically
+    d1 = {"min": "9.5", "max": "10.1", "kind": "dec"}
+    d2 = {"min": "2.0", "max": "100.0", "kind": "dec"}
+    z = merge_stats_zones([d1, d2])
+    assert z["min"] == "2.0" and z["max"] == "100.0"
+
+
+def test_merge_zone_dicts_intersects_columns():
+    a = {"x": {"min": 0, "max": 4, "kind": "int"},
+         "y": {"min": 1, "max": 2, "kind": "int"}}
+    b = {"x": {"min": 2, "max": 9, "kind": "int"}}
+    out = merge_zone_dicts(a, b)
+    assert out == {"x": {"min": 0, "max": 9, "kind": "int"}}
+
+
+def _range_shards(tmp_path, n_shards=4, rows=800):
+    """Shards with DISJOINT key ranges (shard i holds keys
+    [i*rows, (i+1)*rows)) — the clustered layout zone maps exploit."""
+    paths = []
+    rng = np.random.default_rng(3)
+    for i in range(n_shards):
+        k = np.arange(i * rows, (i + 1) * rows, dtype=np.int64)
+        tbl = pa.table({
+            "k": k,
+            "grp": (k % 7).astype(np.int32),
+            "payload": rng.random(rows),
+            "name": pa.array([f"row-{v}" for v in k]),
+        })
+        p = str(tmp_path / f"shard_{i}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    return paths
+
+
+def test_zone_elimination_end_to_end(ray_session, tmp_path):
+    from parquet_rs_ray import manifest
+    from parquet_rs_ray.job import (committed_blocks, committed_zones,
+                                    decode_job, eliminate_files,
+                                    encode_job)
+
+    paths = _range_shards(tmp_path)
+    out_dir = str(tmp_path / "enc")
+    encode_job(paths, out_dir, concurrency=2)
+
+    files, _ = committed_blocks(out_dir)
+    zones = committed_zones(out_dir)
+    assert set(zones) == set(files)
+    assert all(z is not None and "k" in z for z in zones.values())
+
+    # point predicate inside shard 2's range → exactly one file survives
+    kept = eliminate_files(files, zones, ("k", "==", 2 * 800 + 5))
+    assert len(kept) == 1
+    # range predicate covering shards 2..3
+    kept = eliminate_files(files, zones, ("k", ">=", 2 * 800))
+    assert len(kept) == 2
+    # non-zone column keeps everything (no bounds ⇒ conservative)
+    kept = eliminate_files(files, zones, [("k", ">=", 0)])
+    assert len(kept) == 4
+
+    # decoded rows match a brute-force filter of the inputs
+    got = decode_job(out_dir, predicate=("k", ">=", 2 * 800)) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == list(range(1600, 3200))
+    assert (got["name"] == [f"row-{v}" for v in got["k"]]).all()
+
+    # predicate matching NOTHING: zero rows, no crash (the kept file's
+    # pages are then block-pruned; empty results drop the schema, a
+    # pre-existing page-pruning property, same as before zones)
+    empty = decode_job(out_dir, predicate=("k", "==", -1)).to_pandas()
+    assert len(empty) == 0
+
+    # pre-zones manifests (older encode runs) are never eliminated
+    mdir = os.path.join(out_dir, "manifest")
+    name = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, name)) as f:
+        e = json.load(f)
+    e.pop("zones")
+    with open(os.path.join(mdir, name), "w") as f:
+        json.dump(e, f)
+    zones2 = committed_zones(out_dir)
+    legacy_files = [f for f in json.loads(e["output"]) if f]
+    assert all(zones2[f] is None for f in legacy_files)
+    assert len(eliminate_files(files, zones2, ("k", "==", 5))) >= 1
+
+
+def test_zones_survive_compaction(ray_session, tmp_path):
+    from parquet_rs_ray.job import (committed_blocks, committed_zones,
+                                    compact_job, decode_job,
+                                    eliminate_files, encode_job)
+
+    paths = _range_shards(tmp_path)
+    out_dir = str(tmp_path / "enc")
+    encode_job(paths, out_dir, concurrency=2)
+    s = compact_job(out_dir, target_file_bytes=1 << 30, concurrency=2)
+    assert s["files_merged"] >= 2
+
+    files, _ = committed_blocks(out_dir)
+    zones = committed_zones(out_dir)
+    # every surviving container still has a zone map (merged, not lost)
+    assert all(zones[f] is not None and "k" in zones[f] for f in files)
+    # the merged container's zone spans the union of its sources, so an
+    # in-range point keeps it…
+    assert len(eliminate_files(files, zones, ("k", "==", 100))) >= 1
+    # …and an out-of-range predicate eliminates everything
+    assert eliminate_files(files, zones, ("k", ">=", 10_000)) == []
+
+    got = decode_job(out_dir, predicate=("k", "<", 800)) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == list(range(0, 800))
+
+
+def test_all_null_column_shard_conservative(ray_session, tmp_path):
+    from parquet_rs_ray.job import (committed_blocks, committed_zones,
+                                    decode_job, eliminate_files,
+                                    encode_job)
+
+    tbl = pa.table({
+        "k": pa.array([None] * 300, pa.int64()),
+        "v": pa.array(range(300), pa.int64()),
+    })
+    p = str(tmp_path / "nulls.parquet")
+    pq.write_table(tbl, p)
+    out_dir = str(tmp_path / "enc")
+    encode_job([p], out_dir, concurrency=1)
+    files, _ = committed_blocks(out_dir)
+    zones = committed_zones(out_dir)
+    # all-null column: no zone for k (nothing to bound), but v is bounded
+    z = zones[files[0]]
+    assert "k" not in z and z["v"]["min"] == 0
+    # predicate on k cannot eliminate the file (nulls prove nothing) —
+    # the exact filter then returns zero matching rows
+    assert eliminate_files(files, zones, ("k", "==", 7)) == files
+    got = decode_job(out_dir, predicate=("k", "==", 7)).to_pandas()
+    assert len(got) == 0
