@@ -40,6 +40,35 @@ def _roundtrip_query(table: str, columns: list[str]):
     return fn
 
 
+def _line_dedup_documents(sf_dir: str):
+    """Cross-document line dedup (CCNet-style boilerplate removal,
+    `ops/clean.line_dedup`): the synthetic corpus has unique single-line
+    texts, so both sides plant the SAME deterministic banners (one on
+    every doc, one on every third doc); the op must drop exactly those
+    lines corpus-wide and return the original text intact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from parquet_rs_ray.ops.clean import line_dedup
+
+    def plant(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        t1 = pc.binary_join_element_wise(txt, "SUBSCRIBE NOW", "\n")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % 3 == 0)
+        t2 = pc.if_else(
+            mask,
+            pc.binary_join_element_wise(t1, "ALL RIGHTS RESERVED", "\n"),
+            t1)
+        return batch.set_column(
+            batch.column_names.index("text"), "text", t2)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+        .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return line_dedup(ds)
+
+
 def _reorder_roundtrip_lineitem(sf_dir: str):
     """Roundtrip through the intra-block RLE-friendly row sort
     (`reorder.py`, SIGMOD 2020 column-permutation paper): rows come
@@ -1026,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize_events_salted"] = _sessionize_events_salted
     q["hash_sample_orders"] = _hash_sample_orders
     q["reorder_roundtrip_lineitem"] = _reorder_roundtrip_lineitem
+    q["line_dedup_documents"] = _line_dedup_documents
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -1057,6 +1087,22 @@ def oracle_sql() -> dict[str, str]:
         sql[f"roundtrip_{table}"] = f"SELECT {', '.join(cols)} FROM {table}"
     sql["reorder_roundtrip_lineitem"] = (
         f"SELECT {', '.join(_TABLES['lineitem'])} FROM lineitem")
+    sql["line_dedup_documents"] = (
+        "WITH docs AS (SELECT doc_id, text || chr(10) || 'SUBSCRIBE NOW'"
+        " || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||"
+        " 'ALL RIGHTS RESERVED' ELSE '' END AS text FROM documents),"
+        " lines AS (SELECT doc_id,"
+        " unnest(string_split(text, chr(10))) AS ln,"
+        " generate_subscripts(string_split(text, chr(10)), 1) AS ord"
+        " FROM docs),"
+        " freq AS (SELECT ln FROM lines GROUP BY ln HAVING COUNT(*) > 1)"
+        " SELECT d.doc_id,"
+        " coalesce((SELECT string_agg(l.ln, chr(10) ORDER BY l.ord)"
+        " FROM lines l WHERE l.doc_id = d.doc_id"
+        " AND l.ln NOT IN (SELECT ln FROM freq)), '') AS text,"
+        " CAST((SELECT COUNT(*) FROM lines l WHERE l.doc_id = d.doc_id"
+        " AND l.ln IN (SELECT ln FROM freq)) AS BIGINT) AS lines_dropped"
+        " FROM docs d")
     sql["stats_documents"] = (
         "SELECT COUNT(*) AS n_rows, MIN(n_chars) AS min_n_chars, "
         "MAX(n_chars) AS max_n_chars FROM documents")

@@ -164,3 +164,146 @@ def chunk_words(batch: pa.Table, text_col: str = "text",
         if name != text_col:
             out = out.append_column(name, batch.column(name).take(idx))
     return out
+
+
+def _split_lines(txt):
+    """Newline split of a text column: (flat lines, per-doc line
+    counts, doc index per line). Null docs contribute zero lines."""
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lines = pc.split_pattern(txt, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    counts = pc.list_value_length(lines).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lines)
+    doc_idx = np.repeat(np.arange(len(txt), dtype=np.int64), counts)
+    return flat, counts, doc_idx
+
+
+def line_frequency(ds, *, text_col: str = "text",
+                   num_partitions: int | None = None):
+    """(line, cnt) occurrence counts over the corpus — the same
+    map-side-combine → one groupby-sum shape as
+    ``textstats.word_document_frequency``: each batch collapses to one
+    row per DISTINCT line before anything shuffles."""
+    from .relational import _grouped_cnt
+    from .temporal import _default_partitions, _key_part
+    P = num_partitions or _default_partitions()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _split_lines(batch.column(text_col))
+        if not len(flat):
+            return pa.table({"line": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return _grouped_cnt(pa.table({"line": flat}), ["line"], "count")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column("line"), P))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return _grouped_cnt(group.drop_columns(["__part"]), ["line"],
+                            "sum")
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(add_part, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+class _LineFilter:
+    """Stateful pass-2 stage of ``line_dedup``: the broadcast
+    frequent-line set is fetched from the object store ONCE per actor."""
+
+    def __init__(self, drop_ref, text_col: str):
+        import ray
+        self.drop = ray.get(drop_ref)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch.column(self.text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, counts, doc_idx = _split_lines(txt)
+        n = len(txt)
+        if len(self.drop) and len(flat):
+            keep = pc.invert(
+                pc.is_in(flat, value_set=self.drop)) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            keep = np.ones(len(flat), dtype=bool)
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            kept_counts = np.bincount(
+                doc_idx[keep], minlength=n).astype(np.int64)
+        else:
+            kept_counts = counts
+        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), flat)
+        clean = pc.binary_join(la, "\n")
+        dropped = pa.array(counts - kept_counts)
+        nulls = pc.is_null(txt)
+        if pc.any(nulls).as_py():
+            clean = pc.if_else(nulls, pa.nulls(n, pa.string()), clean)
+            dropped = pc.if_else(nulls, pa.nulls(n, pa.int64()), dropped)
+        out_cols, out_names = [], []
+        for name in batch.column_names:
+            if name == self.text_col:
+                out_cols.append(clean)
+            else:
+                out_cols.append(batch.column(name))
+            out_names.append(name)
+        out_cols.append(dropped)
+        out_names.append("lines_dropped")
+        return pa.table(dict(zip(out_names, out_cols)))
+
+
+def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
+               min_len: int = 0, num_partitions: int | None = None,
+               concurrency=2):
+    """Cross-document line deduplication (CCNet/RefinedWeb-style
+    boilerplate removal): drop every line whose OCCURRENCE count across
+    the corpus exceeds ``max_count`` (nav bars, cookie banners, footers
+    repeat on every page of a site); ``min_len`` exempts lines shorter
+    than that many characters (set >0 to keep blank-line structure).
+    The text column is rewritten with surviving lines re-joined by
+    ``\\n`` plus a ``lines_dropped`` count per doc; null text stays
+    null. Exact string matching — SQL-oracle-reproducible, no hash
+    collision caveat.
+
+    Scale shape: pass 1 is the distributed ``line_frequency`` (one row
+    per distinct line per block shuffles, never the corpus); only lines
+    with cnt > max_count — the boilerplate set — are collected and
+    broadcast once via ``ray.put``; pass 2 streams the corpus through a
+    stateful is_in + re-offset rebuild with no second shuffle. Regime:
+    the broadcast set must fit worker heaps (it is threshold-bounded,
+    not corpus-bounded; raise ``max_count`` or ``min_len`` to shrink
+    it). Past that, replace the broadcast with a hash join of the
+    exploded (doc, ord, line) rows against the frequent table on line —
+    the two-join shape ``near_dedup`` already demonstrates."""
+    import ray
+
+    freq = line_frequency(ds, text_col=text_col,
+                          num_partitions=num_partitions)
+
+    def over(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch.column("cnt"), max_count)
+        if min_len > 0:
+            m = pc.and_(m, pc.greater_equal(
+                pc.utf8_length(batch.column("line")), min_len))
+        return batch.filter(m).select(["line"])
+
+    parts = list(freq.map_batches(
+        over, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+    drop = pa.concat_tables(parts).column("line").combine_chunks() \
+        if parts else pa.array([], pa.string())
+    drop_ref = ray.put(drop)
+    return ds.map_batches(
+        _LineFilter, fn_constructor_kwargs={"drop_ref": drop_ref,
+                                            "text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)

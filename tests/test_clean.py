@@ -181,3 +181,97 @@ def test_clean_ops_over_ray(ray_session):
     joined = df.sort_values(["doc_id", "chunk_id"]) \
         .groupby("doc_id").chunk_text.agg(" ".join)
     assert (joined == orig.loc[joined.index]).all()
+
+
+def test_line_dedup_drops_cross_doc_boilerplate(ray_session):
+    import ray
+    from parquet_rs_ray.ops.clean import line_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "unique one\nSUBSCRIBE NOW\nmore text",
+            "SUBSCRIBE NOW\nanother doc",
+            "totally original",
+            "repeat me\nrepeat me",        # within-doc repeat: count 2
+            None,
+            "",                            # one empty line, count 1
+        ]),
+    })
+    out = line_dedup(ray.data.from_arrow(docs)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["text"]) == [
+        "unique one\nmore text", "another doc", "totally original",
+        "", None, ""]
+    assert list(out["lines_dropped"])[:4] == [1, 1, 0, 2]
+    assert out["lines_dropped"][4] != out["lines_dropped"][4]  # NaN
+    assert out["lines_dropped"][5] == 0
+
+
+def test_line_dedup_max_count_and_min_len(ray_session):
+    import ray
+    from parquet_rs_ray.ops.clean import line_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            "ab\nlong boilerplate line",
+            "ab\nlong boilerplate line",
+            "ab\nlong boilerplate line",
+            "ab\nkeep",
+        ]),
+    })
+    # max_count=3: 'long boilerplate line' (count 3) survives, 'ab'
+    # (count 4) is dropped
+    out = line_dedup(ray.data.from_arrow(docs), max_count=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["text"]) == ["long boilerplate line"] * 3 + ["keep"]
+    # min_len=3 exempts the short 'ab' even though it is frequent
+    out = line_dedup(ray.data.from_arrow(docs), min_len=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out["text"]) == ["ab"] * 3 + ["ab\nkeep"]
+
+
+def test_line_dedup_duckdb_parity(ray_session):
+    """Bit-exact vs the SQL oracle on planted multi-line docs."""
+    import duckdb
+    import ray
+    from parquet_rs_ray.ops.clean import line_dedup
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(60):
+        lines = [" ".join(rng.choice(words, 5)) for _ in range(4)]
+        if i % 2 == 0:
+            lines.insert(1, "COOKIE BANNER")
+        if i % 3 == 0:
+            lines.append("ALL RIGHTS RESERVED")
+        texts.append("\n".join(lines))
+    docs = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                     "text": pa.array(texts)})
+    out = line_dedup(ray.data.from_arrow(docs)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    odf = con.execute("""
+        WITH lines AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS ln,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS ord
+          FROM documents
+        ), freq AS (
+          SELECT ln FROM lines GROUP BY ln HAVING COUNT(*) > 1
+        )
+        SELECT d.doc_id,
+               coalesce((SELECT string_agg(l.ln, chr(10) ORDER BY l.ord)
+                         FROM lines l WHERE l.doc_id = d.doc_id
+                           AND l.ln NOT IN (SELECT ln FROM freq)), '') AS text,
+               CAST((SELECT COUNT(*) FROM lines l
+                     WHERE l.doc_id = d.doc_id
+                       AND l.ln IN (SELECT ln FROM freq)) AS BIGINT)
+                   AS lines_dropped
+        FROM documents d ORDER BY doc_id
+    """).fetchdf().reset_index(drop=True)
+    assert list(out["text"]) == list(odf["text"])
+    assert list(out["lines_dropped"]) == list(odf["lines_dropped"])
