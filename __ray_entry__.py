@@ -759,6 +759,48 @@ def _media_features_documents(sf_dir: str):
     return decode_images(media, batch_size=64, concurrency=2, fake=True)
 
 
+def _frame_sample_documents(sf_dir: str):
+    """REAL video frame sampling end-to-end: deterministic 5-frame
+    6×4 PPM streams (ffmpeg image2pipe/-vcodec ppm raw-video byte
+    format) per doc → `SampleFrames` picks 2 evenly spaced real frames
+    (exact standalone netpbm bytes) → `DecodeImage(fake=False)` decodes
+    them with the pure-numpy kernel (rows-only: SQL cannot decode PPM;
+    exactness pinned by tests/test_ops.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from parquet_rs_ray.ops.multimodal import DecodeImage, SampleFrames
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h, w, F = 4, 6, 5
+        hdr = f"P6\n{w} {h}\n255\n".encode()
+        base = np.arange(h * w * 3, dtype=np.uint64)
+        payloads = []
+        for d in ids.astype(np.uint64):
+            px = [(base * (d * np.uint64(2654435761)
+                           + np.uint64(f + 1))) & np.uint64(0xFF)
+                  for f in range(F)]
+            payloads.append(b"".join(
+                hdr + p.astype(np.uint8).tobytes() for p in px))
+        return batch.append_column("media",
+                                   pa.array(payloads, pa.binary()))
+
+    media = ds.map_batches(synth, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    frames = media.map_batches(
+        SampleFrames, fn_constructor_kwargs={"num_frames": 2},
+        batch_format="pyarrow", batch_size=64, concurrency=2)
+    return frames.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"payload_col": "frame_bytes",
+                               "target_hw": (4, 6), "fake": False},
+        batch_format="pyarrow", batch_size=64, concurrency=2)
+
+
 def _word_rarity_documents(sf_dir: str):
     """Per-doc word-rarity signals from global document frequency
     (ops/textstats.word_df_stats): pass 1 distributed df aggregate
@@ -1076,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fingerprints_documents"] = _fingerprints_documents
     q["media_features_documents"] = _media_features_documents
     q["image_decode_documents"] = _image_decode_documents
+    q["frame_sample_documents"] = _frame_sample_documents
     q["audio_features_documents"] = _audio_features_documents
     q["quantile_sketch_events"] = _quantile_sketch_events
     return q

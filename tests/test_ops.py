@@ -1366,3 +1366,39 @@ def test_filter_by_group_quantile(ray_session):
     top = filter_by_group_quantile(small, group_col="g", col="v",
                                    q=1.0).to_pandas()
     assert top.id.tolist() == [1]
+
+
+def _ppm(w, h, seed):
+    rng = np.random.default_rng(seed)
+    return (f"P6\n{w} {h}\n255\n".encode()
+            + rng.integers(0, 256, w * h * 3).astype(np.uint8).tobytes())
+
+
+def test_sample_frames_real_ppm_stream():
+    frames = [_ppm(6, 4, s) for s in range(10)]
+    stream = b"".join(frames)
+    tbl = pa.table({"doc_id": pa.array([7], pa.int64()),
+                    "media": pa.array([stream], pa.binary())})
+    out = multimodal.SampleFrames(num_frames=4)(tbl).to_pandas()
+    # uniform temporal sampling: floor(k*10/4) = 0,2,5,7
+    assert out["frame_idx"].tolist() == [0, 2, 5, 7]
+    assert out["n_frames"].tolist() == [10] * 4
+    # sampled bytes are the EXACT standalone netpbm frames, decodable
+    # by the real image kernel
+    for k, fb in zip([0, 2, 5, 7], out["frame_bytes"]):
+        assert fb == frames[k]
+        img = multimodal.decode_image_bytes(fb, (4, 6))
+        assert img.shape == (4, 6, 3)
+    # short video: fewer frames than requested → one row per real frame
+    out = multimodal.SampleFrames(num_frames=8)(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "media": pa.array([b"".join(frames[:3])], pa.binary())})
+    ).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 1, 2]
+    # PGM (P5) streams parse too
+    g = b"P5\n2 2\n255\n" + bytes(4)
+    bounds = multimodal.split_ppm_stream(g * 3)
+    assert len(bounds) == 3
+    # truncated stream raises (corrupt != short)
+    with pytest.raises(ValueError):
+        multimodal.split_ppm_stream(stream[:-5])
