@@ -88,6 +88,12 @@ def cmd_inspect(encoded_dir: str) -> int:
     total_p, total_e = df["plain_size"].sum(), df["encoded_size"].sum()
     print(f"total: plain={total_p} encoded={total_e} "
           f"ratio={total_e / max(total_p, 1):.4f}")
+    from .job import committed_zones
+    zones = committed_zones(encoded_dir)
+    n_zoned = sum(1 for z in zones.values() if z)
+    cols = sorted({c for z in zones.values() if z for c in z})
+    print(f"zones: {n_zoned}/{len(zones)} container files carry zone "
+          f"maps (columns: {', '.join(cols) if cols else '-'})")
     return 0
 
 

@@ -151,3 +151,38 @@ def test_reorder_deterministic_under_ties():
     a = maybe_reorder(tbl, "auto", sel)
     b = maybe_reorder(tbl, "auto", sel)
     assert a.equals(b)
+
+
+def test_reorder_with_nulls_roundtrips(ray_session):
+    """Null-heavy sort keys: nulls order at_end, preserve mode restores
+    exact order, auto mode keeps the multiset (nulls included)."""
+    import ray
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+    rng = np.random.default_rng(5)
+    n = 1500
+    k = rng.integers(0, 16, n).astype(np.int32)
+    kmask = rng.random(n) < 0.3
+    tbl = pa.table({
+        "k": pa.array(np.where(kmask, None, k).tolist(), pa.int32()),
+        "s": pa.array(np.where(rng.random(n) < 0.2, None,
+                               np.char.add("v", k.astype(str))).tolist(),
+                      pa.string()),
+        "payload": rng.random(n),
+    })
+    dec = decode_dataset(encode_dataset(
+        ray.data.from_arrow(tbl), reorder="preserve"))
+    got = pa.concat_tables(list(dec.iter_batches(batch_format="pyarrow")))
+    if PERM_COL in got.column_names:          # gate may accept or reject
+        raise AssertionError("perm column must be dropped by decode")
+    # preserve mode: either the gate rejected (original order trivially
+    # kept) or it accepted and order was restored — both mean equality
+    assert got.equals(tbl)
+    dec = decode_dataset(encode_dataset(
+        ray.data.from_arrow(tbl), reorder="auto"))
+    got = pa.concat_tables(list(dec.iter_batches(batch_format="pyarrow")))
+    import pandas as pd
+    a = got.to_pandas().sort_values(
+        ["k", "s", "payload"], na_position="last").reset_index(drop=True)
+    b = tbl.to_pandas().sort_values(
+        ["k", "s", "payload"], na_position="last").reset_index(drop=True)
+    assert a.equals(b)
