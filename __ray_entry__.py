@@ -759,6 +759,23 @@ def _media_features_documents(sf_dir: str):
     return decode_images(media, batch_size=64, concurrency=2, fake=True)
 
 
+def _container_stats_documents(sf_dir: str):
+    """Metadata-only corpus stats from COMMITTED containers
+    (`job.stats_job`): encode documents to a scratch dir, then compute
+    per-column rows/null_count/min/max reading ONLY the page-stats
+    columns of the containers (parquet projection never touches the
+    payload bytes). Oracle-exact against plain SQL aggregates."""
+    import tempfile
+
+    import ray
+    from parquet_rs_ray.job import encode_job, stats_job
+
+    out_dir = tempfile.mkdtemp(prefix="graft_stats_", dir="/tmp")
+    encode_job([f"{sf_dir}/documents.parquet"], out_dir, concurrency=4)
+    return stats_job(out_dir,
+                     columns=["doc_id", "lang", "n_chars", "source"])
+
+
 def _frame_sample_documents(sf_dir: str):
     """REAL video frame sampling end-to-end: deterministic 5-frame
     6×4 PPM streams (ffmpeg image2pipe/-vcodec ppm raw-video byte
@@ -1098,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hash_sample_orders"] = _hash_sample_orders
     q["reorder_roundtrip_lineitem"] = _reorder_roundtrip_lineitem
     q["line_dedup_documents"] = _line_dedup_documents
+    q["container_stats_documents"] = _container_stats_documents
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -1130,6 +1148,21 @@ def oracle_sql() -> dict[str, str]:
         sql[f"roundtrip_{table}"] = f"SELECT {', '.join(cols)} FROM {table}"
     sql["reorder_roundtrip_lineitem"] = (
         f"SELECT {', '.join(_TABLES['lineitem'])} FROM lineitem")
+    sql["container_stats_documents"] = (
+        "SELECT 'doc_id' AS \"column\", CAST(COUNT(*) AS BIGINT) AS"
+        " \"rows\", CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS"
+        " null_count, CAST(MIN(doc_id) AS VARCHAR) AS \"min\","
+        " CAST(MAX(doc_id) AS VARCHAR) AS \"max\" FROM documents"
+        " UNION ALL SELECT 'lang', CAST(COUNT(*) AS BIGINT),"
+        " CAST(COUNT(*) - COUNT(lang) AS BIGINT), MIN(lang), MAX(lang)"
+        " FROM documents"
+        " UNION ALL SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),"
+        " CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),"
+        " CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)"
+        " FROM documents"
+        " UNION ALL SELECT 'source', CAST(COUNT(*) AS BIGINT),"
+        " CAST(COUNT(*) - COUNT(source) AS BIGINT), MIN(source),"
+        " MAX(source) FROM documents")
     sql["line_dedup_documents"] = (
         "WITH docs AS (SELECT doc_id, text || chr(10) || 'SUBSCRIBE NOW'"
         " || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||"

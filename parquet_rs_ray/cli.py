@@ -165,6 +165,12 @@ def main(argv: list[str] | None = None) -> int:
     p_dec.add_argument("--out", default=None,
                        help="write decoded parquet here (else count rows)")
 
+    p_st = sub.add_parser("stats", help="metadata-only column stats "
+                          "(no payload reads) of an encoded dir")
+    p_st.add_argument("encoded_dir")
+    p_st.add_argument("--columns", default=None,
+                      help="comma-separated column subset")
+
     p_cmp = sub.add_parser("compact",
                            help="merge small container files")
     p_cmp.add_argument("encoded_dir")
@@ -183,6 +189,13 @@ def main(argv: list[str] | None = None) -> int:
                               args.concurrency, args.reorder)
         if args.cmd == "decode":
             return cmd_decode(args.encoded_dir, args.out)
+        if args.cmd == "stats":
+            _ray()
+            from .job import stats_job
+            cols = args.columns.split(",") if args.columns else None
+            print(stats_job(args.encoded_dir, columns=cols)
+                  .to_pandas().to_string(index=False))
+            return 0
         if args.cmd == "compact":
             _ray()
             from .job import compact_job

@@ -540,3 +540,94 @@ def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
             summary["orphans_deleted"] += 1
     summary["files_after"] = len(committed_block_files(out_dir))
     return summary
+
+
+def stats_job(out_dir: str, *, columns=None):
+    """Global per-column statistics of the ENCODED corpus without
+    touching a single payload byte: reads ONLY the metadata columns of
+    the committed containers (parquet column projection skips the
+    `data`/`dict`/`levels` payloads on disk — at 100 TB the scan is the
+    page-stats sidecar, ~0.1 % of the data), folds per-page typed stats
+    with the same conservative merge the zone maps use, and returns one
+    row per column: rows, null_count, min, max (rendered as strings;
+    empty when no sound bound exists, e.g. huge-blob columns whose
+    pages skip min/max by design). ≙ SURVEY §2.9 — the reference only
+    round-trips stats; this computes corpus-level ones from page stats
+    alone."""
+    import json as _json
+
+    import ray
+
+    files, n_blocks = committed_blocks(out_dir)
+    if not files:
+        raise FileNotFoundError(f"no committed blocks under {out_dir}")
+    ncpu = int(ray.cluster_resources().get("CPU", 32))
+    eds = ray.data.read_parquet(
+        files, columns=["column", "stats_json", "num_values",
+                        "null_count", "page_id"],
+        override_num_blocks=max(min(n_blocks, 4 * ncpu), 1))
+    if columns:
+        want = pa.array(sorted(set(columns)))
+        eds = eds.map_batches(
+            lambda b: b.filter(
+                pa.compute.is_in(b.column("column"), value_set=want)),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per: dict[str, dict] = {}
+        for cname, sj, nv, nc in zip(
+                batch.column("column").to_pylist(),
+                batch.column("stats_json").to_pylist(),
+                batch.column("num_values").to_pylist(),
+                batch.column("null_count").to_pylist()):
+            st = per.setdefault(cname, {"rows": 0, "nulls": 0,
+                                        "stats": [], "unsound": False})
+            st["rows"] += nv
+            st["nulls"] += nc
+            if nv - nc <= 0:
+                continue               # valueless page bounds nothing
+            try:
+                st["stats"].append(_json.loads(sj))
+            except ValueError:
+                st["unsound"] = True
+        rows = []
+        for cname, st in per.items():
+            z = {} if st["unsound"] else merge_stats_zones(st["stats"])
+            rows.append({"column": cname, "rows": st["rows"],
+                         "null_count": st["nulls"],
+                         "zone_json": _json.dumps(z)})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("column", pa.string()), ("rows", pa.int64()),
+             ("null_count", pa.int64()), ("zone_json", pa.string())]))
+
+    # partials are one row per (column, read task): the driver folds
+    # O(columns x tasks) summaries, never page rows
+    acc: dict[str, dict] = {}
+    for b in eds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for cname, r, nc, zj in zip(b.column("column").to_pylist(),
+                                    b.column("rows").to_pylist(),
+                                    b.column("null_count").to_pylist(),
+                                    b.column("zone_json").to_pylist()):
+            st = acc.setdefault(cname, {"rows": 0, "nulls": 0,
+                                        "zones": [], "unsound": False})
+            st["rows"] += r
+            st["nulls"] += nc
+            z = json.loads(zj)
+            if z:
+                st["zones"].append(z)
+            else:
+                st["unsound"] = True
+    out = []
+    for cname in sorted(acc):
+        st = acc[cname]
+        z = {} if st["unsound"] else merge_stats_zones(st["zones"])
+        out.append({"column": cname, "rows": st["rows"],
+                    "null_count": st["nulls"],
+                    "min": "" if "min" not in z else str(z["min"]),
+                    "max": "" if "max" not in z else str(z["max"])})
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("column", pa.string()), ("rows", pa.int64()),
+         ("null_count", pa.int64()), ("min", pa.string()),
+         ("max", pa.string())]))

@@ -159,3 +159,40 @@ def test_all_null_column_shard_conservative(ray_session, tmp_path):
     assert eliminate_files(files, zones, ("k", "==", 7)) == files
     got = decode_job(out_dir, predicate=("k", "==", 7)).to_pandas()
     assert len(got) == 0
+
+
+def test_stats_job_metadata_only(ray_session, tmp_path):
+    """Global column stats computed purely from page-stats metadata
+    (no payload reads): exact rows/null_count, sound min/max, blob
+    columns honestly unbounded."""
+    from parquet_rs_ray.job import encode_job, stats_job
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    big = ["x" * 300 + f"{i}" for i in range(n)]     # blob: stats skipped
+    k = rng.integers(-50, 1000, n)
+    kmask = rng.random(n) < 0.25
+    tbl = pa.table({
+        "k": pa.array(np.where(kmask, None, k).tolist(), pa.int64()),
+        "name": pa.array([f"id-{i:05d}" for i in range(n)]),
+        "blob": pa.array(big),
+    })
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, p, row_group_size=500)
+    out_dir = str(tmp_path / "enc")
+    encode_job([p], out_dir, concurrency=1)
+
+    st = stats_job(out_dir).to_pylist()
+    by = {r["column"]: r for r in st}
+    assert set(by) == {"k", "name", "blob"}
+    assert all(r["rows"] == n for r in st)
+    assert by["k"]["null_count"] == int(kmask.sum())
+    kv = k[~kmask]
+    assert by["k"]["min"] == str(kv.min()) and by["k"]["max"] == str(kv.max())
+    assert by["name"]["min"] == "id-00000"
+    assert by["name"]["max"] == f"id-{n-1:05d}"
+    # huge-blob pages skip min/max by design → honestly unbounded
+    assert by["blob"]["min"] == "" and by["blob"]["max"] == ""
+    # column selection
+    one = stats_job(out_dir, columns=["k"]).to_pylist()
+    assert len(one) == 1 and one[0]["column"] == "k"
