@@ -54,7 +54,15 @@ def pack_bits(values: np.ndarray, bit_width: int) -> bytes:
 
 def unpack_bits(data: bytes | memoryview | np.ndarray, bit_width: int,
                 num_values: int, bit_offset: int = 0) -> np.ndarray:
-    """Inverse of :func:`pack_bits`; returns uint64 array of `num_values`."""
+    """Inverse of :func:`pack_bits`; returns uint64 array of `num_values`.
+
+    Two regimes, measured (see SCALING.md "FastLanes experiment"):
+    widths ≤ 8 run the unpackbits/packbits spread (its traffic scales
+    with width, so narrow widths stay cheap); wider widths run a
+    word-parallel gather in the spirit of FastLanes' word-at-a-time
+    decoding (VLDB 2023, PAPERS.md) — each value is assembled from the
+    one or two uint64 words covering its bit range with shift/or/mask,
+    1.3–2.2× the spread path at widths 12–63."""
     if num_values == 0:
         return np.empty(0, dtype=np.uint64)
     if bit_width == 0:
@@ -62,14 +70,32 @@ def unpack_bits(data: bytes | memoryview | np.ndarray, bit_width: int,
     buf = np.frombuffer(data, dtype=np.uint8)
     total_bits = bit_offset + num_values * bit_width
     nbytes = ceil_div(total_bits, 8)
+    if bit_width > 8:
+        # word-gather: pad to whole uint64 words + one guard word so
+        # widx+1 never leaves the buffer
+        padded = np.zeros(((nbytes + 7) // 8 + 1) * 8, dtype=np.uint8)
+        padded[:nbytes] = buf[:nbytes]
+        words = padded.view("<u8")
+        bitpos = np.uint64(bit_offset) + np.arange(
+            num_values, dtype=np.uint64) * np.uint64(bit_width)
+        widx = (bitpos >> np.uint64(6)).astype(np.int64)
+        shift = bitpos & np.uint64(63)
+        val = words[widx] >> shift
+        # straddling values take their top bits from the next word;
+        # (64-shift)&63 keeps the shift count defined at shift==0, and
+        # the where() discards that lane's bogus contribution
+        hi = words[widx + 1] << ((np.uint64(64) - shift) & np.uint64(63))
+        val |= np.where(shift == np.uint64(0), np.uint64(0), hi)
+        if bit_width < 64:
+            val &= np.uint64((1 << bit_width) - 1)
+        return val
     bits = np.unpackbits(buf[:nbytes], bitorder="little", count=nbytes * 8)
     bits = bits[bit_offset:bit_offset + num_values * bit_width]
     bits = bits.reshape(num_values, bit_width)
-    width_bytes = 1 if bit_width <= 8 else 2 if bit_width <= 16 else 4 if bit_width <= 32 else 8
-    padded = np.zeros((num_values, width_bytes * 8), dtype=np.uint8)
+    padded = np.zeros((num_values, 8), dtype=np.uint8)
     padded[:, :bit_width] = bits
     packed = np.packbits(padded, axis=1, bitorder="little")
-    return packed.view(f"<u{width_bytes}").reshape(num_values).astype(np.uint64)
+    return packed.view("<u1").reshape(num_values).astype(np.uint64)
 
 
 def encode_vlq(value: int) -> bytes:
