@@ -196,3 +196,78 @@ def test_stats_job_metadata_only(ray_session, tmp_path):
     # column selection
     one = stats_job(out_dir, columns=["k"]).to_pylist()
     assert len(one) == 1 and one[0]["column"] == "k"
+
+
+def test_pruning_stack_soundness_fuzz(ray_session, tmp_path):
+    """End-to-end pruning soundness fuzz: random typed shards + random
+    predicates through encode_job → decode_job(predicate=...) must
+    equal the brute-force Arrow filter of the inputs — file-level zone
+    elimination, page-level stats pruning, and the exact filter may
+    never drop a matching row. Covers int+nulls, float+NaN, short and
+    64-char-straddling strings, timestamps, and date-vs-timestamp
+    granularity (the ADVICE-r2 soundness class)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    from parquet_rs_ray.job import decode_job, encode_job
+
+    rng = np.random.default_rng(123)
+    n_per, n_shards = 300, 3
+
+    def build(case):
+        tbls = []
+        for s in range(n_shards):
+            base = case * 1000 + s * n_per
+            iv = rng.integers(-100, 5000, n_per)
+            imask = rng.random(n_per) < 0.2
+            fv = rng.random(n_per) * 100
+            fv[rng.random(n_per) < 0.1] = np.nan
+            sv = ["s" + "x" * int(rng.integers(0, 70)) + str(int(v))
+                  for v in rng.integers(0, 50, n_per)]
+            ts = (np.int64(1577836800) + rng.integers(0, 86400 * 400,
+                                                      n_per)) * 1_000_000
+            tbls.append(pa.table({
+                "i": pa.array(np.where(imask, None, iv).tolist(),
+                              pa.int64()),
+                "f": pa.array(fv),
+                "s": pa.array(sv),
+                "t": pa.array(ts, pa.timestamp("us")),
+                "row": pa.array(range(base, base + n_per), pa.int64()),
+            }))
+        return tbls
+
+    preds = [
+        ("i", "==", 250), ("i", ">", 4000), ("i", "<=", -50),
+        ("i", ">=", 99999),                       # eliminates everything
+        ("f", ">", 50.0), ("f", "<", 0.5),
+        ("s", ">=", "sxxx"), ("s", "==", "s0"),
+        ("t", ">", datetime.datetime(2020, 6, 1)),
+        ("t", "<=", datetime.date(2020, 1, 10)),  # date vs timestamp col
+        ("t", ">=", datetime.datetime(2021, 1, 1)),
+        ("i", "<", 0),
+    ]
+    kernels = {"==": pc.equal, ">": pc.greater, ">=": pc.greater_equal,
+               "<": pc.less, "<=": pc.less_equal}
+    for case, pred in enumerate(preds):
+        tbls = build(case)
+        paths = []
+        for s, t in enumerate(tbls):
+            p = str(tmp_path / f"c{case}_s{s}.parquet")
+            pq.write_table(t, p, row_group_size=100)
+            paths.append(p)
+        out_dir = str(tmp_path / f"enc{case}")
+        encode_job(paths, out_dir, concurrency=2)
+        got = decode_job(out_dir, predicate=pred).to_pandas()
+        full = pa.concat_tables(tbls)
+        col, op, val = pred
+        arr = full.column(col)
+        try:
+            sval = pa.scalar(val, type=arr.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            sval = val
+        exp = full.filter(kernels[op](arr, sval)).to_pandas()
+        if len(got) == 0:
+            # fully-pruned results legitimately drop the schema
+            assert len(exp) == 0, pred
+        else:
+            assert sorted(got["row"]) == sorted(exp["row"]), pred
