@@ -261,29 +261,14 @@ class _LineFilter:
         return pa.table(dict(zip(out_names, out_cols)))
 
 
-def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
-               min_len: int = 0, num_partitions: int | None = None,
-               concurrency=2):
-    """Cross-document line deduplication (CCNet/RefinedWeb-style
-    boilerplate removal): drop every line whose OCCURRENCE count across
-    the corpus exceeds ``max_count`` (nav bars, cookie banners, footers
-    repeat on every page of a site); ``min_len`` exempts lines shorter
-    than that many characters (set >0 to keep blank-line structure).
-    The text column is rewritten with surviving lines re-joined by
-    ``\\n`` plus a ``lines_dropped`` count per doc; null text stays
-    null. Exact string matching — SQL-oracle-reproducible, no hash
-    collision caveat.
-
-    Scale shape: pass 1 is the distributed ``line_frequency`` (one row
-    per distinct line per block shuffles, never the corpus); only lines
-    with cnt > max_count — the boilerplate set — are collected and
-    broadcast once via ``ray.put``; pass 2 streams the corpus through a
-    stateful is_in + re-offset rebuild with no second shuffle. Regime:
-    the broadcast set must fit worker heaps (it is threshold-bounded,
-    not corpus-bounded; raise ``max_count`` or ``min_len`` to shrink
-    it). Past that, replace the broadcast with a hash join of the
-    exploded (doc, ord, line) rows against the frequent table on line —
-    the two-join shape ``near_dedup`` already demonstrates."""
+def _line_dedup_broadcast(ds, *, text_col: str, max_count: int,
+                          min_len: int, num_partitions: int | None,
+                          concurrency):
+    """Broadcast-mode pass 2 of ``line_dedup``: only the
+    threshold-bounded frequent-line set — the boilerplate set — is
+    collected and broadcast once via ``ray.put``; the corpus then
+    streams through a stateful is_in + re-offset rebuild with no
+    second shuffle."""
     import ray
 
     freq = line_frequency(ds, text_col=text_col,
@@ -307,3 +292,135 @@ def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
                                             "text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
+
+
+def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
+                     min_len: int, num_partitions: int | None):
+    """Join-mode pass 2 of ``line_dedup``: no broadcast, no driver
+    materialization — the regime for frequent-line sets past worker
+    heaps (e.g. ``max_count=1`` over a heavily templated web corpus).
+
+    Shape: explode docs to (id, ord, line, n_lines) rows; LEFT-join
+    against the distributed frequent-line table on ``line`` (shuffle 1);
+    hash-partition by ``id`` and rebuild every doc with ONE vectorized
+    lexsort + re-offset + binary_join per partition (shuffle 2 — no
+    per-doc dispatch); LEFT-join the rebuilt (id, text, lines_dropped)
+    back onto the input to restore the other columns (shuffle 3).
+    Docs whose text is null never explode and come back null."""
+    import ray
+    from .dedup import _join_partitions
+    from .temporal import _key_part
+
+    P = _join_partitions(num_partitions)
+
+    freq = line_frequency(ds, text_col=text_col,
+                          num_partitions=num_partitions)
+
+    def over(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch.column("cnt"), max_count)
+        if min_len > 0:
+            m = pc.and_(m, pc.greater_equal(
+                pc.utf8_length(batch.column("line")), min_len))
+        out = batch.filter(m).select(["line"])
+        return out.append_column(
+            "__freq", pa.array(np.ones(out.num_rows, dtype=np.int8)))
+
+    freqm = freq.map_batches(over, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        flat, counts, doc_idx = _split_lines(txt)
+        ids = batch.column(id_col).take(pa.array(doc_idx))
+        ords = (np.arange(len(flat), dtype=np.int64)
+                - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])),
+                            counts))
+        return pa.table({
+            "__id": ids, "__ord": pa.array(ords), "line": flat,
+            "__n_lines": pa.array(np.repeat(counts, counts)),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    tagged = exploded.join(freqm, "left_outer", P, on=("line",))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column("__id"), P))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"__id": pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string()),
+                             "lines_dropped": pa.array([], pa.int64())})
+        ids = group.column("__id")
+        codes = ids.combine_chunks().dictionary_encode()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = group.column("__ord").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ords, gid))
+        gid = gid[order]
+        keep = pc.is_null(group.column("__freq")) \
+            .to_numpy(zero_copy_only=False)[order]
+        lines = group.column("line").combine_chunks().take(pa.array(order))
+        n_groups = int(gid.max()) + 1
+        total = np.bincount(gid, minlength=n_groups)
+        kept_n = np.bincount(gid[keep], minlength=n_groups)
+        kept_lines = lines.filter(pa.array(keep))
+        offsets = np.concatenate(([0], np.cumsum(kept_n))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                           kept_lines)
+        clean = pc.binary_join(la, "\n")
+        first = np.concatenate(([True], gid[1:] != gid[:-1]))
+        return pa.table({
+            "__id": ids.combine_chunks().take(pa.array(order[first])),
+            text_col: clean,
+            "lines_dropped": pa.array((total - kept_n).astype(np.int64)),
+        })
+
+    rebuilt = tagged.map_batches(add_part, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("__part").map_groups(rebuild, batch_format="pyarrow")
+
+    out = ds.drop_columns([text_col]).join(
+        rebuilt, "left_outer", P, on=(id_col,), right_on=("__id",))
+    return out
+
+
+def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
+               min_len: int = 0, num_partitions: int | None = None,
+               concurrency=2, mode: str = "broadcast",
+               id_col: str = "doc_id"):
+    """Cross-document line deduplication (CCNet/RefinedWeb-style
+    boilerplate removal): drop every line whose OCCURRENCE count across
+    the corpus exceeds ``max_count`` (nav bars, cookie banners, footers
+    repeat on every page of a site); ``min_len`` exempts lines shorter
+    than that many characters (set >0 to keep blank-line structure).
+    The text column is rewritten with surviving lines re-joined by
+    ``\\n`` plus a ``lines_dropped`` count per doc; null text stays
+    null. Exact string matching — SQL-oracle-reproducible, no hash
+    collision caveat. Pass 1 in both modes is the distributed
+    ``line_frequency`` (one row per distinct line per block shuffles,
+    never the corpus).
+
+    ``mode="broadcast"`` (default): the frequent set ships to every
+    actor once via ``ray.put`` and the corpus streams — no second
+    shuffle. Right while the set fits worker heaps (it is
+    threshold-bounded, not corpus-bounded; raise ``max_count`` /
+    ``min_len`` to shrink it). Row order and columns are preserved.
+
+    ``mode="join"``: fully distributed for frequent sets past worker
+    heaps — three hash shuffles (explode⋈frequent on line, rebuild
+    partitioned by ``id_col``, reattach to the input on ``id_col``),
+    vectorized per partition with no per-doc dispatch. Requires
+    ``id_col`` to be a unique row key; output row order follows the
+    joins (a relation, not a sequence)."""
+    if mode == "join":
+        return _line_dedup_join(ds, text_col=text_col, id_col=id_col,
+                                max_count=max_count, min_len=min_len,
+                                num_partitions=num_partitions)
+    if mode != "broadcast":
+        raise ValueError(f"unknown line_dedup mode {mode!r}")
+    return _line_dedup_broadcast(ds, text_col=text_col,
+                                 max_count=max_count, min_len=min_len,
+                                 num_partitions=num_partitions,
+                                 concurrency=concurrency)

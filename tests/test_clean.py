@@ -275,3 +275,42 @@ def test_line_dedup_duckdb_parity(ray_session):
     """).fetchdf().reset_index(drop=True)
     assert list(out["text"]) == list(odf["text"])
     assert list(out["lines_dropped"]) == list(odf["lines_dropped"])
+
+
+def test_line_dedup_join_mode_matches_broadcast(ray_session):
+    """mode="join" (no broadcast, three hash shuffles) must produce the
+    exact broadcast-mode result on a randomized multi-line corpus with
+    planted boilerplate, nulls, empty docs, and within-doc repeats."""
+    import ray
+    from parquet_rs_ray.ops.clean import line_dedup
+
+    rng = np.random.default_rng(21)
+    words = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(80):
+        lines = [" ".join(rng.choice(words, 4)) for _ in range(3)]
+        if i % 2 == 0:
+            lines.insert(0, "COOKIE BANNER")
+        if i % 5 == 0:
+            lines.append(lines[-1])          # within-doc repeat
+        texts.append("\n".join(lines))
+    texts[7] = None
+    texts[13] = ""
+    docs = pa.table({"doc_id": pa.array(range(80), pa.int64()),
+                     "lang": pa.array(["en", "de"] * 40),
+                     "text": pa.array(texts)})
+    cols = ["doc_id", "lang", "text", "lines_dropped"]
+    a = line_dedup(ray.data.from_arrow(docs), mode="broadcast") \
+        .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    b = line_dedup(ray.data.from_arrow(docs), mode="join",
+                   id_col="doc_id") \
+        .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # min_len / max_count knobs agree across modes too
+    a = line_dedup(ray.data.from_arrow(docs), mode="broadcast",
+                   max_count=3, min_len=5) \
+        .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    b = line_dedup(ray.data.from_arrow(docs), mode="join",
+                   max_count=3, min_len=5) \
+        .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
