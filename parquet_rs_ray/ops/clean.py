@@ -117,20 +117,32 @@ def repetition_stats(batch: pa.Table,
 
 
 def chunk_words(batch: pa.Table, text_col: str = "text",
-                size: int = 64) -> pa.Table:
-    """Explode every document into consecutive ``size``-word chunks
-    (context-window chunking). Split keeps empty tokens so
-    ``' '.join(chunks)`` is byte-lossless w.r.t. the original text, and
-    matches SQL ``string_split`` exactly.
+                size: int = 64, stride: int | None = None) -> pa.Table:
+    """Explode every document into ``size``-word chunks (context-window
+    chunking). Split keeps empty tokens so with the default
+    non-overlapping stride ``' '.join(chunks)`` is byte-lossless w.r.t.
+    the original text, and matches SQL ``string_split`` exactly.
 
-    Vectorized shape: chunk boundaries are computed as offset
-    arithmetic into the ONE flat word array (chunks of a doc are
-    contiguous, so the chunk list-array is a zero-copy re-offsetting of
-    the split result), and chunk text comes back from a single
-    ``binary_join``. Output rows carry every non-text column (repeated
-    per chunk), plus ``chunk_id`` / ``chunk_text`` / ``chunk_words``."""
+    ``stride`` (default ``size``) sets the window step: ``stride <
+    size`` yields overlapping sliding windows (the standard
+    context-overlap chunking for training pipelines) — window k of a
+    doc covers words ``[k·stride, k·stride+size)``, advancing until the
+    doc is covered (the final window ends at the doc's last word; no
+    trailing window that would only repeat already-covered words).
+
+    Vectorized shape: chunk boundaries are offset arithmetic into the
+    ONE flat word array. Non-overlapping chunks re-offset the split
+    result zero-copy; overlapping windows gather their word ranges with
+    one vectorized ``take`` (the output genuinely repeats words, so the
+    copy is the payload, not overhead). Chunk text comes back from a
+    single ``binary_join``. Output rows carry every non-text column
+    (repeated per chunk), plus ``chunk_id``/``chunk_text``/``chunk_words``."""
     if size < 1:
         raise ValueError("size must be >= 1")
+    if stride is None:
+        stride = size
+    if stride < 1 or stride > size:
+        raise ValueError("stride must be in [1, size]")
     txt = batch.column(text_col)
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
@@ -141,17 +153,32 @@ def chunk_words(batch: pa.Table, text_col: str = "text",
     counts = pc.list_value_length(words).fill_null(0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(words)
-    n_chunks = np.maximum((counts + size - 1) // size, 1)
+    if stride == size:
+        n_chunks = np.maximum((counts + size - 1) // size, 1)
+    else:
+        n_chunks = np.maximum(
+            (np.maximum(counts - size, 0) + stride - 1) // stride + 1, 1)
     total = int(n_chunks.sum())
     doc_of_chunk = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
     first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
     chunk_idx = np.arange(total, dtype=np.int64) - first[doc_of_chunk]
     doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    starts = doc_start[doc_of_chunk] + chunk_idx * size
+    starts = doc_start[doc_of_chunk] + chunk_idx * stride
     doc_end = (doc_start + counts)[doc_of_chunk]
-    offsets = np.append(starts, len(flat)).astype(np.int64)
-    la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
-                                       flat)
+    if stride == size:
+        offsets = np.append(starts, len(flat)).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                           flat)
+    else:
+        ends = np.minimum(starts + size, doc_end)
+        lens = ends - starts
+        offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        # gather each window's word range: one vectorized take
+        idx = (np.repeat(starts, lens)
+               + (np.arange(int(lens.sum()), dtype=np.int64)
+                  - np.repeat(offsets[:-1], lens)))
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), flat.take(pa.array(idx)))
     chunk_text = pc.binary_join(la, " ")
     out = pa.table({
         "chunk_id": pa.array(chunk_idx),
@@ -166,12 +193,13 @@ def chunk_words(batch: pa.Table, text_col: str = "text",
     return out
 
 
-def _split_lines(txt):
-    """Newline split of a text column: (flat lines, per-doc line
-    counts, doc index per line). Null docs contribute zero lines."""
+def _split_lines(txt, sep: str = "\n"):
+    """Separator split of a text column (default: lines): (flat
+    segments, per-doc segment counts, doc index per segment). Null
+    docs contribute zero segments."""
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
-    lines = pc.split_pattern(txt, "\n")
+    lines = pc.split_pattern(txt, sep)
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     counts = pc.list_value_length(lines).fill_null(0) \
@@ -182,7 +210,8 @@ def _split_lines(txt):
 
 
 def line_frequency(ds, *, text_col: str = "text",
-                   num_partitions: int | None = None):
+                   num_partitions: int | None = None,
+                   sep: str = "\n"):
     """(line, cnt) occurrence counts over the corpus — the same
     map-side-combine → one groupby-sum shape as
     ``textstats.word_document_frequency``: each batch collapses to one
@@ -192,7 +221,7 @@ def line_frequency(ds, *, text_col: str = "text",
     P = num_partitions or _default_partitions()
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, _, _ = _split_lines(batch.column(text_col))
+        flat, _, _ = _split_lines(batch.column(text_col), sep)
         if not len(flat):
             return pa.table({"line": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
@@ -217,16 +246,17 @@ class _LineFilter:
     """Stateful pass-2 stage of ``line_dedup``: the broadcast
     frequent-line set is fetched from the object store ONCE per actor."""
 
-    def __init__(self, drop_ref, text_col: str):
+    def __init__(self, drop_ref, text_col: str, sep: str = "\n"):
         import ray
         self.drop = ray.get(drop_ref)
         self.text_col = text_col
+        self.sep = sep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         txt = batch.column(self.text_col)
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
-        flat, counts, doc_idx = _split_lines(txt)
+        flat, counts, doc_idx = _split_lines(txt, self.sep)
         n = len(txt)
         if len(self.drop) and len(flat):
             keep = pc.invert(
@@ -243,7 +273,7 @@ class _LineFilter:
         offsets = np.concatenate(([0], np.cumsum(kept_counts)))
         la = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()), flat)
-        clean = pc.binary_join(la, "\n")
+        clean = pc.binary_join(la, self.sep)
         dropped = pa.array(counts - kept_counts)
         nulls = pc.is_null(txt)
         if pc.any(nulls).as_py():
@@ -263,7 +293,7 @@ class _LineFilter:
 
 def _line_dedup_broadcast(ds, *, text_col: str, max_count: int,
                           min_len: int, num_partitions: int | None,
-                          concurrency):
+                          concurrency, sep: str = "\n"):
     """Broadcast-mode pass 2 of ``line_dedup``: only the
     threshold-bounded frequent-line set — the boilerplate set — is
     collected and broadcast once via ``ray.put``; the corpus then
@@ -272,7 +302,7 @@ def _line_dedup_broadcast(ds, *, text_col: str, max_count: int,
     import ray
 
     freq = line_frequency(ds, text_col=text_col,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions, sep=sep)
 
     def over(batch: pa.Table) -> pa.Table:
         m = pc.greater(batch.column("cnt"), max_count)
@@ -289,13 +319,15 @@ def _line_dedup_broadcast(ds, *, text_col: str, max_count: int,
     drop_ref = ray.put(drop)
     return ds.map_batches(
         _LineFilter, fn_constructor_kwargs={"drop_ref": drop_ref,
-                                            "text_col": text_col},
+                                            "text_col": text_col,
+                                            "sep": sep},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
 
 
 def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
-                     min_len: int, num_partitions: int | None):
+                     min_len: int, num_partitions: int | None,
+                     sep: str = "\n"):
     """Join-mode pass 2 of ``line_dedup``: no broadcast, no driver
     materialization — the regime for frequent-line sets past worker
     heaps (e.g. ``max_count=1`` over a heavily templated web corpus).
@@ -314,7 +346,7 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
     P = _join_partitions(num_partitions)
 
     freq = line_frequency(ds, text_col=text_col,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions, sep=sep)
 
     def over(batch: pa.Table) -> pa.Table:
         m = pc.greater(batch.column("cnt"), max_count)
@@ -330,7 +362,7 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
 
     def explode(batch: pa.Table) -> pa.Table:
         txt = batch.column(text_col)
-        flat, counts, doc_idx = _split_lines(txt)
+        flat, counts, doc_idx = _split_lines(txt, sep)
         ids = batch.column(id_col).take(pa.array(doc_idx))
         ords = (np.arange(len(flat), dtype=np.int64)
                 - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])),
@@ -369,7 +401,7 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
         offsets = np.concatenate(([0], np.cumsum(kept_n))).astype(np.int64)
         la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
                                            kept_lines)
-        clean = pc.binary_join(la, "\n")
+        clean = pc.binary_join(la, sep)
         first = np.concatenate(([True], gid[1:] != gid[:-1]))
         return pa.table({
             "__id": ids.combine_chunks().take(pa.array(order[first])),
@@ -389,7 +421,7 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
 def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
                min_len: int = 0, num_partitions: int | None = None,
                concurrency=2, mode: str = "broadcast",
-               id_col: str = "doc_id"):
+               id_col: str = "doc_id", sep: str = "\n"):
     """Cross-document line deduplication (CCNet/RefinedWeb-style
     boilerplate removal): drop every line whose OCCURRENCE count across
     the corpus exceeds ``max_count`` (nav bars, cookie banners, footers
@@ -417,10 +449,10 @@ def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
     if mode == "join":
         return _line_dedup_join(ds, text_col=text_col, id_col=id_col,
                                 max_count=max_count, min_len=min_len,
-                                num_partitions=num_partitions)
+                                num_partitions=num_partitions, sep=sep)
     if mode != "broadcast":
         raise ValueError(f"unknown line_dedup mode {mode!r}")
     return _line_dedup_broadcast(ds, text_col=text_col,
                                  max_count=max_count, min_len=min_len,
                                  num_partitions=num_partitions,
-                                 concurrency=concurrency)
+                                 concurrency=concurrency, sep=sep)

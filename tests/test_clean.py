@@ -314,3 +314,64 @@ def test_line_dedup_join_mode_matches_broadcast(ray_session):
                    max_count=3, min_len=5) \
         .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_line_dedup_paragraph_sep(ray_session):
+    """sep='\\n\\n' deduplicates at paragraph granularity across docs
+    (same machinery, different separator), both modes agreeing."""
+    import ray
+    from parquet_rs_ray.ops.clean import line_dedup
+
+    boiler = "Follow us on social media.\nCopyright 2024."
+    docs = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array([
+            f"para one\nstill para one\n\n{boiler}",
+            f"{boiler}\n\nanother para",
+            "standalone\n\nsecond para",
+        ]),
+    })
+    cols = ["doc_id", "text", "lines_dropped"]
+    a = line_dedup(ray.data.from_arrow(docs), sep="\n\n") \
+        .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    assert list(a["text"]) == ["para one\nstill para one",
+                               "another para",
+                               "standalone\n\nsecond para"]
+    assert list(a["lines_dropped"]) == [1, 1, 0]
+    b = line_dedup(ray.data.from_arrow(docs), sep="\n\n", mode="join") \
+        .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_chunk_words_stride_sliding_windows():
+    from parquet_rs_ray.ops.clean import chunk_words
+
+    text = " ".join(f"w{i}" for i in range(10))
+    tbl = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array([text])})
+    out = chunk_words(tbl, size=4, stride=2).to_pandas()
+    # windows [0:4),[2:6),[4:8),[6:10) — advance by stride until the
+    # doc is covered; no trailing window that would only repeat words
+    assert list(out["chunk_id"]) == [0, 1, 2, 3]
+    assert list(out["chunk_text"]) == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9"]
+    assert list(out["chunk_words"]) == [4, 4, 4, 4]
+    # stride == size reproduces the non-overlapping result exactly
+    a = chunk_words(tbl, size=4).to_pandas()
+    b = chunk_words(tbl, size=4, stride=4).to_pandas()
+    assert a.equals(b)
+    # consecutive windows overlap by size - stride words
+    for i in range(3):
+        tail = out["chunk_text"][i].split(" ")[2:]
+        head = out["chunk_text"][i + 1].split(" ")[:2]
+        assert tail == head
+    # bad stride rejected
+    with pytest.raises(ValueError):
+        chunk_words(tbl, size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_words(tbl, size=4, stride=0)
+    # empty / short docs: one window
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array(["", "only three words"])})
+    o2 = chunk_words(t2, size=8, stride=3).to_pandas()
+    assert list(o2["chunk_text"]) == ["", "only three words"]
