@@ -189,6 +189,12 @@ def run_bench(num_cpus: int) -> dict:
             ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
                                   columns=["doc_id", "text"]),
             concurrency=(2, num_cpus)).count())
+    from parquet_rs_ray.ops.clean import line_dedup
+    queries["line_dedup_documents"] = _timed(
+        lambda: line_dedup(
+            ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"]),
+            concurrency=(2, num_cpus)).count())
 
     queries["asof_join_events"] = _timed(
         lambda: asof_join(

@@ -165,6 +165,14 @@ def test_cli_encode_decode(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=300)
     assert out3.returncode == 0, out3.stderr
     assert json.loads(out3.stdout.strip().splitlines()[-1]) == {"rows": 500}
+    # stats: metadata-only column stats of the same encoded dir
+    out4 = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "stats", enc_dir,
+         "--columns", "doc_id,lang"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out4.returncode == 0, out4.stderr
+    body = out4.stdout
+    assert "doc_id" in body and "lang" in body and "499" in body
 
 
 def test_cli_encode_kill_midrun_resumes(tmp_path):
