@@ -76,3 +76,58 @@ def decontaminate(ds, ref_ds=None, *, blocklist: np.ndarray | None = None,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def decontaminate_join(ds, ref_ds, *, text_col: str = "text",
+                       ref_text_col: str = "text", k: int = 5,
+                       id_col: str = "doc_id", invert: bool = False,
+                       num_partitions: int | None = None):
+    """Cross-corpus decontamination — BOTH sides big (e.g. "drop every
+    doc sharing a 5-gram with corpus B"), where the broadcast blocklist
+    of `decontaminate` would outgrow worker heaps.
+
+    Fully distributed, no driver materialization: each side explodes to
+    its DISTINCT gram hashes (corpus: distinct per doc via one lexsort,
+    so a doc contributes each gram once; reference: distinct per
+    block), a hash-partitioned LEFT-SEMI join on gram finds the
+    contaminated (id, gram) rows, a groupby collapses them to one row
+    per contaminated id, and a LEFT-ANTI (or INNER, ``invert=True``)
+    join filters the corpus. Three shuffles of 16-byte gram rows +
+    one id-join of the corpus — text never shuffles. Gram semantics are
+    identical to `decontaminate` (same `_batch_shingles`, same padding),
+    pinned by the parity test."""
+    from .dedup import _join_partitions
+
+    P = _join_partitions(num_partitions)
+
+    def corpus_grams(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"__id": batch.column(id_col),
+                             "gram": pa.array([], pa.int64())})
+        sh, seg = _batch_shingles(batch.column(text_col), k)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(seg))
+        order = np.lexsort((sh, doc_idx))
+        d, s = doc_idx[order], sh[order]
+        first = np.concatenate(
+            ([True], (d[1:] != d[:-1]) | (s[1:] != s[:-1])))
+        ids = batch.column(id_col).take(pa.array(d[first]))
+        return pa.table({"__id": ids,
+                         "gram": pa.array(s[first].view(np.int64))})
+
+    def ref_grams(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"gram": pa.array([], pa.int64())})
+        sh, _ = _batch_shingles(batch.column(ref_text_col), k)
+        return pa.table({"gram": pa.array(np.unique(sh).view(np.int64))})
+
+    cg = ds.map_batches(corpus_grams, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    rg = ref_ds.map_batches(ref_grams, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    hits = cg.join(rg, "left_semi", P, on=("gram",))
+    contaminated = hits.groupby("__id").count() \
+        .map_batches(lambda b: b.select(["__id"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    jt = "inner" if invert else "left_anti"
+    return ds.join(contaminated, jt, P, on=(id_col,), right_on=("__id",))

@@ -1402,3 +1402,37 @@ def test_sample_frames_real_ppm_stream():
     # truncated stream raises (corrupt != short)
     with pytest.raises(ValueError):
         multimodal.split_ppm_stream(stream[:-5])
+
+
+def test_decontaminate_join_matches_broadcast(ray_session):
+    """Join-mode (both-sides-big regime) must equal the broadcast
+    filter exactly, both polarities, including short-doc padding."""
+    import ray
+    from parquet_rs_ray.ops.decontam import decontaminate, decontaminate_join
+
+    rng = np.random.default_rng(31)
+    words = [f"t{i}" for i in range(60)]
+    corpus_texts = [" ".join(rng.choice(words, 12)) for _ in range(70)]
+    ref_texts = [" ".join(rng.choice(words, 9)) for _ in range(25)]
+    # plant exact overlap: corpus docs 3 and 9 contain a ref 5-gram
+    shared = " ".join(words[:5])
+    corpus_texts[3] = "prefix " + shared + " suffix"
+    corpus_texts[9] = shared
+    ref_texts[0] = "aa " + shared + " bb"
+    corpus_texts[11] = "tiny doc"          # < k words: padding path
+    docs = pa.table({"doc_id": pa.array(range(70), pa.int64()),
+                     "text": pa.array(corpus_texts)})
+    ref = pa.table({"text": pa.array(ref_texts)})
+    for invert in (False, True):
+        a = decontaminate(ray.data.from_arrow(docs),
+                          ray.data.from_arrow(ref), invert=invert) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = decontaminate_join(ray.data.from_arrow(docs),
+                               ray.data.from_arrow(ref), invert=invert) \
+            .to_pandas()[["doc_id", "text"]] \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a[["doc_id", "text"]].equals(b), invert
+    dropped = decontaminate_join(ray.data.from_arrow(docs),
+                                 ray.data.from_arrow(ref), invert=True) \
+        .to_pandas()
+    assert {3, 9} <= set(dropped["doc_id"])
