@@ -894,6 +894,53 @@ def _decontaminate_documents(sf_dir: str):
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _decontaminate_join_documents(sf_dir: str):
+    """Same decontamination semantics as `decontaminate_documents`
+    through the cross-corpus JOIN path (both-sides-big regime:
+    distinct-gram explode → left-semi gram join → id collapse →
+    anti-join; ops/decontam.py::decontaminate_join). Shares that
+    query's SQL oracle — a hard driver check that the two execution
+    modes agree."""
+    import ray
+    from parquet_rs_ray.ops.decontam import decontaminate_join
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang",
+                                        "n_chars"])
+    ref = ds.filter(expr="doc_id < 100")
+    corpus = ds.filter(expr="doc_id >= 100")
+    out = decontaminate_join(corpus, ref)
+    return out.map_batches(lambda b: b.drop_columns(["text"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _line_dedup_join_documents(sf_dir: str):
+    """`line_dedup_documents` through mode="join" (no broadcast; three
+    hash shuffles) — same planted banners, same SQL oracle: the driver
+    hard-checks the two modes produce identical text and counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from parquet_rs_ray.ops.clean import line_dedup
+
+    def plant(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        t1 = pc.binary_join_element_wise(txt, "SUBSCRIBE NOW", "\n")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = pa.array(ids % 3 == 0)
+        t2 = pc.if_else(
+            mask,
+            pc.binary_join_element_wise(t1, "ALL RIGHTS RESERVED", "\n"),
+            t1)
+        return batch.set_column(
+            batch.column_names.index("text"), "text", t2)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+        .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return line_dedup(ds, mode="join", id_col="doc_id")
+
+
 def _stratified_sample_documents(sf_dir: str):
     """Per-lang deterministic sampling (training-mixture rates: 50% en,
     25% zh, 10% everything else) — pure row-property membership, no
@@ -1116,6 +1163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["reorder_roundtrip_lineitem"] = _reorder_roundtrip_lineitem
     q["line_dedup_documents"] = _line_dedup_documents
     q["container_stats_documents"] = _container_stats_documents
+    q["line_dedup_join_documents"] = _line_dedup_join_documents
+    q["decontaminate_join_documents"] = _decontaminate_join_documents
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -1179,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         " CAST((SELECT COUNT(*) FROM lines l WHERE l.doc_id = d.doc_id"
         " AND l.ln IN (SELECT ln FROM freq)) AS BIGINT) AS lines_dropped"
         " FROM docs d")
+    sql["line_dedup_join_documents"] = sql["line_dedup_documents"]
     sql["stats_documents"] = (
         "SELECT COUNT(*) AS n_rows, MIN(n_chars) AS min_n_chars, "
         "MAX(n_chars) AS max_n_chars FROM documents")
@@ -1371,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "JOIN bl USING (gram)) "
         "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 100 "
         "AND doc_id NOT IN (SELECT doc_id FROM hits)")
+    sql["decontaminate_join_documents"] = sql["decontaminate_documents"]
     _se = sample_rate_threshold(500_000)
     _sz = sample_rate_threshold(250_000)
     _sd = sample_rate_threshold(100_000)

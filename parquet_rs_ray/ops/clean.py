@@ -232,6 +232,12 @@ def line_frequency(ds, *, text_col: str = "text",
             "__part", _key_part(batch.column("line"), P))
 
     def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            # schema-stable empty: Ray calls map_groups with an empty
+            # table for empty hash partitions, and a schema-less result
+            # breaks downstream joins on "line" (join-mode consumer)
+            return pa.table({"line": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
         return _grouped_cnt(group.drop_columns(["__part"]), ["line"],
                             "sum")
 
@@ -328,37 +334,23 @@ def _line_dedup_broadcast(ds, *, text_col: str, max_count: int,
 def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
                      min_len: int, num_partitions: int | None,
                      sep: str = "\n"):
-    """Join-mode pass 2 of ``line_dedup``: no broadcast, no driver
+    """Join-mode pass of ``line_dedup``: no broadcast, no driver
     materialization — the regime for frequent-line sets past worker
     heaps (e.g. ``max_count=1`` over a heavily templated web corpus).
 
-    Shape: explode docs to (id, ord, line, n_lines) rows; LEFT-join
-    against the distributed frequent-line table on ``line`` (shuffle 1);
-    hash-partition by ``id`` and rebuild every doc with ONE vectorized
-    lexsort + re-offset + binary_join per partition (shuffle 2 — no
-    per-doc dispatch); LEFT-join the rebuilt (id, text, lines_dropped)
-    back onto the input to restore the other columns (shuffle 3).
-    Docs whose text is null never explode and come back null."""
+    Shape: explode docs to (id, ord, line, n_lines) rows; ONE groupby
+    on the line hash both counts and marks every occurrence (fused —
+    no separate frequent-table join; shuffle 1); hash-partition by
+    ``id`` and rebuild every doc with ONE vectorized lexsort +
+    re-offset + binary_join per partition (shuffle 2 — no per-doc
+    dispatch); LEFT-join the rebuilt (id, text, lines_dropped) back
+    onto the input to restore the other columns (shuffle 3). Docs
+    whose text is null never explode and come back null."""
     import ray
     from .dedup import _join_partitions
     from .temporal import _key_part
 
     P = _join_partitions(num_partitions)
-
-    freq = line_frequency(ds, text_col=text_col,
-                          num_partitions=num_partitions, sep=sep)
-
-    def over(batch: pa.Table) -> pa.Table:
-        m = pc.greater(batch.column("cnt"), max_count)
-        if min_len > 0:
-            m = pc.and_(m, pc.greater_equal(
-                pc.utf8_length(batch.column("line")), min_len))
-        out = batch.filter(m).select(["line"])
-        return out.append_column(
-            "__freq", pa.array(np.ones(out.num_rows, dtype=np.int8)))
-
-    freqm = freq.map_batches(over, batch_format="pyarrow",
-                             zero_copy_batch=True)
 
     def explode(batch: pa.Table) -> pa.Table:
         txt = batch.column(text_col)
@@ -367,14 +359,42 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
         ords = (np.arange(len(flat), dtype=np.int64)
                 - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])),
                             counts))
-        return pa.table({
+        out = pa.table({
             "__id": ids, "__ord": pa.array(ords), "line": flat,
             "__n_lines": pa.array(np.repeat(counts, counts)),
         })
+        return out.append_column(
+            "__lpart", _key_part(out.column("line"), P))
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               zero_copy_batch=True)
-    tagged = exploded.join(freqm, "left_outer", P, on=("line",))
+
+    def mark(group: pa.Table) -> pa.Table:
+        # one line-hash partition holds EVERY occurrence of its lines:
+        # count + mark in a single pass (dictionary_encode + bincount)
+        # instead of a separate frequent-table join — same semantics,
+        # one less shuffle, and immune to Ray's schema-less empty
+        # partition bundles that a Dataset.join on the frequent side
+        # chokes on
+        if group.num_rows == 0:
+            return pa.table({"__id": pa.array([], pa.int64()),
+                             "__ord": pa.array([], pa.int64()),
+                             "line": pa.array([], pa.string()),
+                             "__n_lines": pa.array([], pa.int64()),
+                             "__keep": pa.array([], pa.bool_())})
+        codes = group.column("line").combine_chunks().dictionary_encode()
+        c = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(c)
+        freq_line = cnt > max_count
+        if min_len > 0:
+            short = pc.less(pc.utf8_length(codes.dictionary),
+                            min_len).to_numpy(zero_copy_only=False)
+            freq_line &= ~short
+        return group.drop_columns(["__lpart"]).append_column(
+            "__keep", pa.array(~freq_line[c]))
+
+    tagged = exploded.groupby("__lpart").map_groups(
+        mark, batch_format="pyarrow")
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -391,7 +411,7 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
         ords = group.column("__ord").to_numpy(zero_copy_only=False)
         order = np.lexsort((ords, gid))
         gid = gid[order]
-        keep = pc.is_null(group.column("__freq")) \
+        keep = group.column("__keep") \
             .to_numpy(zero_copy_only=False)[order]
         lines = group.column("line").combine_chunks().take(pa.array(order))
         n_groups = int(gid.max()) + 1
