@@ -1111,8 +1111,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still exercised by the pytest suite.
     q: dict[str, Callable[[str], Any]] = {}
     # --- oracle-backed (the 50-query window is exactly these) ---
+    # tiny-table roundtrips (region/nation/supplier: 5/25/100 rows,
+    # same codec path as the 7 larger roundtrips) register past the
+    # window to make room for unique round-3 operators
+    _tiny = ("region", "nation", "supplier")
     for table, cols in _TABLES.items():
-        q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
+        if table not in _tiny:
+            q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
     q["stats_documents"] = _stats_documents
     q["lang_counts"] = _lang_counts
     q["global_lang_dictionary"] = _global_lang_dictionary
@@ -1153,16 +1158,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["repetition_stats_documents"] = _repetition_stats_documents
     q["chunk_documents"] = _chunk_documents
     q["word_rarity_documents"] = _word_rarity_documents
-    # --- oracle-backed but past the 50-query window: the second-mode
-    # twins of two in-window queries (same op, alternate execution
-    # path) and a sampling variant sharing hash_split's bucket
-    # mechanism; all stay pinned by pytest DuckDB-parity tests ---
-    q["exact_dedup_join_documents"] = _exact_dedup_join_documents
-    q["sessionize_events_salted"] = _sessionize_events_salted
-    q["hash_sample_orders"] = _hash_sample_orders
     q["reorder_roundtrip_lineitem"] = _reorder_roundtrip_lineitem
     q["line_dedup_documents"] = _line_dedup_documents
     q["container_stats_documents"] = _container_stats_documents
+    # --- oracle-backed but past the 50-query window: tiny-table
+    # roundtrips (same codec path as the in-window seven), the
+    # second-mode twins of in-window queries (same op, alternate
+    # execution path), and a sampling variant sharing hash_split's
+    # bucket mechanism; all stay pinned by pytest DuckDB-parity tests ---
+    for table in _tiny:
+        q[f"roundtrip_{table}"] = _roundtrip_query(table, _TABLES[table])
+    q["exact_dedup_join_documents"] = _exact_dedup_join_documents
+    q["sessionize_events_salted"] = _sessionize_events_salted
+    q["hash_sample_orders"] = _hash_sample_orders
     q["line_dedup_join_documents"] = _line_dedup_join_documents
     q["decontaminate_join_documents"] = _decontaminate_join_documents
     # --- rows-only (compression ratio is asserted per column by
