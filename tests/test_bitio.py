@@ -56,3 +56,23 @@ def test_zigzag():
         assert bitio.zigzag_decode(z) == v
     for v in [-(2 ** 63), 2 ** 63 - 1, -12345, 98765]:
         assert bitio.zigzag_decode(bitio.zigzag_encode(v)) == v
+
+
+def test_unpack_bits_word_gather_with_bit_offset():
+    """The width>8 word-gather path must honor arbitrary bit offsets,
+    byte-aligned and sub-byte alike."""
+    rng = np.random.default_rng(17)
+    for w in (9, 12, 16, 24, 31, 33, 40, 63, 64):
+        vals = rng.integers(0, 2 ** min(w, 63), 1000, dtype=np.uint64)
+        # byte-aligned offsets: prepend whole junk bytes
+        for off_bytes in (0, 1, 8, 9):
+            blob = b"\xff" * off_bytes + bitio.pack_bits(vals, w)
+            got = bitio.unpack_bits(blob, w, len(vals),
+                                    bit_offset=off_bytes * 8)
+            assert (got == vals).all(), (w, off_bytes)
+        # sub-byte offsets (odd widths): skip k packed junk values
+        for k in (1, 3, 7):
+            junk = rng.integers(0, 2 ** min(w, 63), k, dtype=np.uint64)
+            blob = bitio.pack_bits(np.concatenate((junk, vals)), w)
+            got = bitio.unpack_bits(blob, w, len(vals), bit_offset=k * w)
+            assert (got == vals).all(), (w, k)
