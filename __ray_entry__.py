@@ -831,6 +831,27 @@ def _word_rarity_documents(sf_dir: str):
     return word_df_stats(ds)
 
 
+def _word_rarity_join_documents(sf_dir: str):
+    """`word_rarity_documents` through mode="join" (beyond-heap
+    vocabulary regime: no broadcast, fused df-and-partial groupby on
+    the word hash; ops/textstats._word_df_stats_join). Shares the
+    broadcast query's SQL oracle — the driver hard-checks both
+    execution modes agree bit-exactly."""
+    import ray
+    from parquet_rs_ray.ops.textstats import word_df_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = word_df_stats(ds, mode="join")
+    import pyarrow as pa
+
+    def drop_text(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["text"])
+
+    return out.map_batches(drop_text, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _image_decode_documents(sf_dir: str):
     """REAL image decode through the actor pool (no codec library):
     deterministic 12×9 PPM payloads synthesized per doc, decoded by the
@@ -1173,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hash_sample_orders"] = _hash_sample_orders
     q["line_dedup_join_documents"] = _line_dedup_join_documents
     q["decontaminate_join_documents"] = _decontaminate_join_documents
+    q["word_rarity_join_documents"] = _word_rarity_join_documents
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -1507,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, COALESCE(n_words, 0) AS n_words, "
         "COALESCE(sum_df, 0) AS sum_df, COALESCE(min_df, 0) AS min_df "
         "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id")
+    sql["word_rarity_join_documents"] = sql["word_rarity_documents"]
     sql["chunk_documents"] = (
         "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w "
         "FROM documents) "

@@ -309,22 +309,31 @@ class _DfScorer:
 
 
 def word_df_stats(ds, *, text_col: str = "text",
-                  num_partitions: int | None = None, concurrency=2):
+                  num_partitions: int | None = None, concurrency=2,
+                  mode: str = "broadcast", id_col: str = "doc_id"):
     """Per-document rarity signals from global word document-frequency:
     ``n_words`` (with repeats), ``sum_df`` (Σ df of each word token)
     and ``min_df`` (the rarest word's df — the OOV/garbage detector;
     all exact int64, so the SQL oracle compares bit-identical).
 
-    Two-pass aggregate-broadcast-join shape: pass 1 is the distributed
-    `word_document_frequency` (map-side combine, shuffles one row per
-    distinct word per block); its (word, df) result — VOCABULARY-sized,
-    not corpus-sized — broadcasts once via `ray.put` and pass 2 streams
-    the corpus through a stateful lookup stage (no second shuffle).
-    Regime note: web-scale vocabularies (~10^8 words ≈ a few GB) still
-    fit worker heaps; beyond that, replace the broadcast with a hash
-    join of the exploded (doc, word) rows against the df table on word
-    — the same two joins `near_dedup` already demonstrates."""
+    ``mode="broadcast"`` (default), the two-pass aggregate-broadcast-
+    join shape: pass 1 is the distributed `word_document_frequency`
+    (map-side combine, shuffles one row per distinct word per block);
+    its (word, df) result — VOCABULARY-sized, not corpus-sized —
+    broadcasts once via `ray.put` and pass 2 streams the corpus through
+    a stateful lookup stage (no second shuffle). Right while the
+    vocabulary fits worker heaps (web-scale ~10^8 words ≈ a few GB).
+
+    ``mode="join"``: beyond-heap vocabularies — fully distributed
+    (`_word_df_stats_join`); requires ``id_col`` to be a unique row
+    key; output row order follows the joins."""
     import ray
+
+    if mode == "join":
+        return _word_df_stats_join(ds, text_col=text_col, id_col=id_col,
+                                   num_partitions=num_partitions)
+    if mode != "broadcast":
+        raise ValueError(f"unknown word_df_stats mode {mode!r}")
 
     df_tbl = word_document_frequency(
         ds, text_col=text_col, num_partitions=num_partitions)
@@ -343,3 +352,118 @@ def word_df_stats(ds, *, text_col: str = "text",
                                           "text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
+
+
+def _word_df_stats_join(ds, *, text_col: str, id_col: str,
+                        num_partitions: int | None):
+    """Join-mode `word_df_stats`: vocabulary beyond worker heaps (no
+    broadcast, nothing on the driver). Same fused shape as
+    `clean.line_dedup(mode="join")`:
+
+      explode to DISTINCT (id, word, in-doc count) rows (one lexsort
+      per batch — the token explosion never shuffles, the distinct
+      rows do) → ONE groupby on the word hash computes df per word AND
+      folds per-doc partials (Σ cnt·df, min df, Σ cnt) in the same
+      vectorized pass → ONE groupby on the id hash merges partials →
+      LEFT-join back onto the input (wordless docs fill 0, matching
+      broadcast mode). All sums ride int64 `np.add.at` — bit-identical
+      to the broadcast scorer at any scale."""
+    from .dedup import _join_partitions
+    from .temporal import _key_part
+
+    P = _join_partitions(num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, _, doc_idx = _split_words(batch.column(text_col))
+        if not len(flat):
+            return pa.table({
+                "__id": batch.column(id_col).slice(0, 0),
+                "word": pa.array([], pa.string()),
+                "__cnt": pa.array([], pa.int64()),
+                "__wpart": pa.array([], pa.int32())})
+        codes = flat.dictionary_encode()
+        c = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((c, doc_idx))
+        d, cs = doc_idx[order], c[order]
+        first = np.concatenate(
+            ([True], (d[1:] != d[:-1]) | (cs[1:] != cs[:-1])))
+        starts = np.flatnonzero(first)
+        run_len = np.diff(np.append(starts, len(d)))
+        words = flat.take(pa.array(order[first]))
+        out = pa.table({
+            "__id": batch.column(id_col).take(pa.array(d[first])),
+            "word": words,
+            "__cnt": pa.array(run_len.astype(np.int64)),
+        })
+        return out.append_column("__wpart",
+                                 _key_part(out.column("word"), P))
+
+    def score_part(group: pa.Table) -> pa.Table:
+        # one word-hash partition holds EVERY (id, word) row of its
+        # words: df = rows per word; per-doc partials fold here so the
+        # id shuffle moves one row per (doc, partition), not per token
+        if group.num_rows == 0:
+            return pa.table({"__id": pa.array([], pa.int64()),
+                             "__sum": pa.array([], pa.int64()),
+                             "__min": pa.array([], pa.int64()),
+                             "__nw": pa.array([], pa.int64())})
+        wcodes = group.column("word").combine_chunks().dictionary_encode()
+        wc = wcodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = np.bincount(wc).astype(np.int64)
+        cnt = group.column("__cnt").to_numpy(zero_copy_only=False)
+        icodes = group.column("__id").combine_chunks().dictionary_encode()
+        ic = icodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ids = int(ic.max()) + 1
+        s = np.zeros(n_ids, np.int64)
+        np.add.at(s, ic, cnt * df[wc])
+        mn = np.full(n_ids, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, ic, df[wc])
+        nw = np.zeros(n_ids, np.int64)
+        np.add.at(nw, ic, cnt)
+        return pa.table({"__id": icodes.dictionary,
+                         "__sum": pa.array(s), "__min": pa.array(mn),
+                         "__nw": pa.array(nw)})
+
+    def add_ipart(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column("__id"), P))
+
+    def merge_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"__id": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "sum_df": pa.array([], pa.int64()),
+                             "min_df": pa.array([], pa.int64())})
+        icodes = group.column("__id").combine_chunks().dictionary_encode()
+        ic = icodes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ids = int(ic.max()) + 1
+        s = np.zeros(n_ids, np.int64)
+        np.add.at(s, ic, group.column("__sum").to_numpy(zero_copy_only=False))
+        mn = np.full(n_ids, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, ic, group.column("__min").to_numpy(zero_copy_only=False))
+        nw = np.zeros(n_ids, np.int64)
+        np.add.at(nw, ic, group.column("__nw").to_numpy(zero_copy_only=False))
+        return pa.table({"__id": icodes.dictionary,
+                         "n_words": pa.array(nw),
+                         "sum_df": pa.array(s),
+                         "min_df": pa.array(mn)})
+
+    agg = ds.map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("__wpart").map_groups(score_part, batch_format="pyarrow") \
+        .map_batches(add_ipart, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("__part").map_groups(merge_doc, batch_format="pyarrow")
+
+    out = ds.join(agg, "left_outer", P, on=(id_col,), right_on=("__id",))
+
+    def fill(batch: pa.Table) -> pa.Table:
+        # wordless docs never exploded: 0 words, 0 sums (= broadcast)
+        for name in ("n_words", "sum_df", "min_df"):
+            col = pc.fill_null(batch.column(name), 0)
+            batch = batch.set_column(
+                batch.column_names.index(name), name, col)
+        return batch
+
+    return out.map_batches(fill, batch_format="pyarrow",
+                           zero_copy_batch=True)

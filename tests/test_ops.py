@@ -1436,3 +1436,29 @@ def test_decontaminate_join_matches_broadcast(ray_session):
                                  ray.data.from_arrow(ref), invert=True) \
         .to_pandas()
     assert {3, 9} <= set(dropped["doc_id"])
+
+
+def test_word_df_stats_join_matches_broadcast(ray_session):
+    """mode='join' (beyond-heap vocabulary regime) must be bit-equal to
+    the broadcast scorer, including repeats, empty and null docs."""
+    import ray
+    from parquet_rs_ray.ops.textstats import word_df_stats
+
+    rng = np.random.default_rng(41)
+    words = [f"v{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(words, int(rng.integers(1, 20))))
+             for _ in range(90)]
+    texts[5] = "  "                      # only empty tokens -> 0 words
+    texts[11] = ""
+    texts[17] = None
+    texts[23] = "v0 v0 v0 v1"            # repeats count in sum_df
+    docs = pa.table({"doc_id": pa.array(range(90), pa.int64()),
+                     "lang": pa.array(["en", "de", "zh"] * 30),
+                     "text": pa.array(texts)})
+    cols = ["doc_id", "lang", "n_words", "sum_df", "min_df"]
+    a = word_df_stats(ray.data.from_arrow(docs)) \
+        .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    b = word_df_stats(ray.data.from_arrow(docs), mode="join") \
+        .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert a.loc[23, "sum_df"] >= 4      # repeats contributed
