@@ -197,6 +197,8 @@ def _split_lines(txt, sep: str = "\n"):
     """Separator split of a text column (default: lines): (flat
     segments, per-doc segment counts, doc index per segment). Null
     docs contribute zero segments."""
+    if not sep:
+        raise ValueError("sep must be a non-empty string")
     if isinstance(txt, pa.ChunkedArray):
         txt = txt.combine_chunks()
     lines = pc.split_pattern(txt, sep)
