@@ -593,12 +593,22 @@ def stats_job(out_dir: str, *, columns=None):
         rows = []
         for cname, st in per.items():
             z = {} if st["unsound"] else merge_stats_zones(st["stats"])
+            # `unsound` ⇔ VALUE-BEARING pages exist whose bounds are
+            # unusable (unparsable stats, or a merge with no sound
+            # min/max, e.g. huge-blob pages skipping stats by design).
+            # A task whose pages for a column are ALL null has empty
+            # stats but is perfectly sound: it constrains nothing and
+            # must not blank the corpus bounds (an all-null shard next
+            # to a valued shard still has an exact MIN/MAX).
+            unsound = st["unsound"] or (bool(st["stats"]) and not z)
             rows.append({"column": cname, "rows": st["rows"],
                          "null_count": st["nulls"],
-                         "zone_json": _json.dumps(z)})
+                         "zone_json": _json.dumps(z),
+                         "unsound": unsound})
         return pa.Table.from_pylist(rows, schema=pa.schema(
             [("column", pa.string()), ("rows", pa.int64()),
-             ("null_count", pa.int64()), ("zone_json", pa.string())]))
+             ("null_count", pa.int64()), ("zone_json", pa.string()),
+             ("unsound", pa.bool_())]))
 
     # partials are one row per (column, read task): the driver folds
     # O(columns x tasks) summaries, never page rows
@@ -606,19 +616,22 @@ def stats_job(out_dir: str, *, columns=None):
     for b in eds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True) \
             .iter_batches(batch_format="pyarrow"):
-        for cname, r, nc, zj in zip(b.column("column").to_pylist(),
-                                    b.column("rows").to_pylist(),
-                                    b.column("null_count").to_pylist(),
-                                    b.column("zone_json").to_pylist()):
+        for cname, r, nc, zj, uns in zip(
+                b.column("column").to_pylist(),
+                b.column("rows").to_pylist(),
+                b.column("null_count").to_pylist(),
+                b.column("zone_json").to_pylist(),
+                b.column("unsound").to_pylist()):
             st = acc.setdefault(cname, {"rows": 0, "nulls": 0,
                                         "zones": [], "unsound": False})
             st["rows"] += r
             st["nulls"] += nc
             z = json.loads(zj)
-            if z:
-                st["zones"].append(z)
-            else:
+            if uns:
                 st["unsound"] = True
+            elif z:
+                st["zones"].append(z)
+            # else: all-null partial — sound, bounds nothing
     out = []
     for cname in sorted(acc):
         st = acc[cname]

@@ -158,6 +158,14 @@ def chunk_words(batch: pa.Table, text_col: str = "text",
     else:
         n_chunks = np.maximum(
             (np.maximum(counts - size, 0) + stride - 1) // stride + 1, 1)
+    # null text ⇒ ZERO chunks (matching SQL `unnest(string_split(NULL))`,
+    # which emits no row) — without this mask the floor above would
+    # fabricate one empty chunk and silently launder null into ''.
+    # An empty NON-null text still yields one ''-chunk (split('', ' ')
+    # is [''] on both sides), keeping the byte-lossless re-join property
+    # for every non-null document.
+    if txt.null_count:
+        n_chunks[txt.is_null().to_numpy(zero_copy_only=False)] = 0
     total = int(n_chunks.sum())
     doc_of_chunk = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
     first = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
@@ -349,10 +357,11 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
     onto the input to restore the other columns (shuffle 3). Docs
     whose text is null never explode and come back null."""
     import ray
-    from .dedup import _join_partitions
+    from .dedup import _id_type, _join_partitions
     from .temporal import _key_part
 
     P = _join_partitions(num_partitions)
+    id_type = _id_type(ds, id_col)
 
     def explode(batch: pa.Table) -> pa.Table:
         txt = batch.column(text_col)
@@ -379,7 +388,7 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
         # partition bundles that a Dataset.join on the frequent side
         # chokes on
         if group.num_rows == 0:
-            return pa.table({"__id": pa.array([], pa.int64()),
+            return pa.table({"__id": pa.array([], id_type),
                              "__ord": pa.array([], pa.int64()),
                              "line": pa.array([], pa.string()),
                              "__n_lines": pa.array([], pa.int64()),
@@ -404,7 +413,7 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
 
     def rebuild(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table({"__id": pa.array([], pa.int64()),
+            return pa.table({"__id": pa.array([], id_type),
                              text_col: pa.array([], pa.string()),
                              "lines_dropped": pa.array([], pa.int64())})
         ids = group.column("__id")

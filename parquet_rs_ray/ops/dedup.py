@@ -161,7 +161,13 @@ def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
     def filter_winners(batch: pa.Table) -> pa.Table:
         keep_arr = ray.get(keep_ref)
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        mask = np.isin(keys, keep_arr, assume_unique=False)
+        # membership via searchsorted against the PRE-sorted broadcast
+        # winners (np.isin would re-sort it every batch); same pattern
+        # as decontam's sorted-blocklist probe
+        pos = np.searchsorted(keep_arr, keys)
+        pos[pos == len(keep_arr)] = 0
+        mask = (keep_arr[pos] == keys) if len(keep_arr) else \
+            np.zeros(len(keys), bool)
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(filter_winners, batch_format="pyarrow",
@@ -597,6 +603,20 @@ def jaccard_for_pairs(pairs, texts_by_key: dict, k: int = 5):
 
     return pairs.map_batches(score, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def _id_type(ds, id_col: str) -> pa.DataType:
+    """Arrow type of ``id_col`` resolved once at the driver. Join-mode
+    ops build typed EMPTY tables for empty hash partitions; hard-coding
+    int64 there schema-mismatches string-keyed corpora (the empty
+    partition's ``__id`` must concat/join against real batches), so the
+    type comes from the dataset's own schema."""
+    sch = ds.schema()
+    try:
+        return dict(zip(sch.names, sch.types))[id_col]
+    except KeyError:
+        raise KeyError(f"id column {id_col!r} not in schema "
+                       f"{list(sch.names)}") from None
 
 
 def _join_partitions(requested: int | None, n_joins: int = 3) -> int:

@@ -368,10 +368,11 @@ def _word_df_stats_join(ds, *, text_col: str, id_col: str,
       LEFT-join back onto the input (wordless docs fill 0, matching
       broadcast mode). All sums ride int64 `np.add.at` — bit-identical
       to the broadcast scorer at any scale."""
-    from .dedup import _join_partitions
+    from .dedup import _id_type, _join_partitions
     from .temporal import _key_part
 
     P = _join_partitions(num_partitions)
+    id_type = _id_type(ds, id_col)
 
     def explode(batch: pa.Table) -> pa.Table:
         flat, _, doc_idx = _split_words(batch.column(text_col))
@@ -403,7 +404,7 @@ def _word_df_stats_join(ds, *, text_col: str, id_col: str,
         # words: df = rows per word; per-doc partials fold here so the
         # id shuffle moves one row per (doc, partition), not per token
         if group.num_rows == 0:
-            return pa.table({"__id": pa.array([], pa.int64()),
+            return pa.table({"__id": pa.array([], id_type),
                              "__sum": pa.array([], pa.int64()),
                              "__min": pa.array([], pa.int64()),
                              "__nw": pa.array([], pa.int64())})
@@ -430,7 +431,7 @@ def _word_df_stats_join(ds, *, text_col: str, id_col: str,
 
     def merge_doc(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
-            return pa.table({"__id": pa.array([], pa.int64()),
+            return pa.table({"__id": pa.array([], id_type),
                              "n_words": pa.array([], pa.int64()),
                              "sum_df": pa.array([], pa.int64()),
                              "min_df": pa.array([], pa.int64())})

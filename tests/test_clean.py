@@ -375,3 +375,45 @@ def test_chunk_words_stride_sliding_windows():
                    "text": pa.array(["", "only three words"])})
     o2 = chunk_words(t2, size=8, stride=3).to_pandas()
     assert list(o2["chunk_text"]) == ["", "only three words"]
+
+
+def test_chunk_words_null_text_emits_no_chunk():
+    """Null text ⇒ ZERO chunk rows (SQL: unnest over string_split(NULL)
+    emits nothing) — no fabricated ''-chunk, no null→'' laundering.
+    Empty NON-null text still emits its single ''-chunk."""
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", None, ""]),
+    })
+    got = clean.chunk_words(tbl, size=2).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert 2 not in set(got["doc_id"])
+    assert list(got[got.doc_id == 3]["chunk_text"]) == [""]
+    exp = _docs_con(tbl).execute(_chunk_sql(2)).fetchdf()
+    g = got[exp.columns].reset_index(drop=True)
+    assert g.equals(exp.astype(g.dtypes.to_dict())), (g, exp)
+    # sliding-window variant honors the same null semantics
+    got = clean.chunk_words(tbl, size=2, stride=1).to_pandas()
+    assert 2 not in set(got["doc_id"])
+
+
+def test_line_dedup_join_mode_string_ids(ray_session):
+    """join mode with a STRING id column: empty hash partitions must
+    emit string-typed __id (not the int64 fallback) so the rebuild
+    concat and the final join see one schema."""
+    import ray
+    from parquet_rs_ray.ops.clean import line_dedup
+
+    texts = [f"unique line {i}\nCOOKIE BANNER" for i in range(12)]
+    texts[3] = None
+    docs = pa.table({"url": pa.array([f"https://s/{i}" for i in range(12)]),
+                     "text": pa.array(texts)})
+    cols = ["url", "text", "lines_dropped"]
+    a = line_dedup(ray.data.from_arrow(docs), mode="broadcast",
+                   id_col="url") \
+        .to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    b = line_dedup(ray.data.from_arrow(docs), mode="join", id_col="url",
+                   num_partitions=8) \
+        .to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert all("COOKIE BANNER" not in (t or "") for t in b["text"])

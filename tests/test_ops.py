@@ -1462,3 +1462,23 @@ def test_word_df_stats_join_matches_broadcast(ray_session):
         .to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert a.loc[23, "sum_df"] >= 4      # repeats contributed
+
+
+def test_word_df_stats_join_string_ids(ray_session):
+    """join mode keyed by a STRING id column: empty word/id hash
+    partitions must emit string-typed __id empties (schema parity with
+    the non-empty partitions), matching broadcast mode bit-exactly."""
+    import ray
+    from parquet_rs_ray.ops.textstats import word_df_stats
+
+    texts = [f"common w{i % 3}" for i in range(10)]
+    texts[4] = None
+    docs = pa.table({"url": pa.array([f"https://x/{i}" for i in range(10)]),
+                     "text": pa.array(texts)})
+    cols = ["url", "n_words", "sum_df", "min_df"]
+    a = word_df_stats(ray.data.from_arrow(docs), id_col="url") \
+        .to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    b = word_df_stats(ray.data.from_arrow(docs), mode="join",
+                      id_col="url", num_partitions=8) \
+        .to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    assert a.equals(b)

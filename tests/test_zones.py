@@ -271,3 +271,27 @@ def test_pruning_stack_soundness_fuzz(ray_session, tmp_path):
             assert len(exp) == 0, pred
         else:
             assert sorted(got["row"]) == sorted(exp["row"]), pred
+
+
+def test_stats_job_all_null_shard_keeps_bounds(ray_session, tmp_path):
+    """A shard whose pages for a column are ENTIRELY null is sound — it
+    constrains nothing — so the corpus min/max must still come from the
+    valued shard (ADVICE r3: the empty partial used to be conflated
+    with 'unsound bounds' and blanked the whole column)."""
+    from parquet_rs_ray.job import encode_job, stats_job
+
+    a = pa.table({"k": pa.array([None] * 400, pa.int64()),
+                  "s": pa.array([None] * 400, pa.string())})
+    b = pa.table({"k": pa.array([5, 9, 7, 6] * 100, pa.int64()),
+                  "s": pa.array(["mm", "aa", "zz", "qq"] * 100)})
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(a, pa_)
+    pq.write_table(b, pb)
+    out_dir = str(tmp_path / "enc")
+    encode_job([pa_, pb], out_dir, concurrency=1)
+    st = {r["column"]: r for r in stats_job(out_dir).to_pylist()}
+    assert st["k"]["min"] == "5" and st["k"]["max"] == "9"
+    assert st["s"]["min"] == "aa" and st["s"]["max"] == "zz"
+    assert st["k"]["rows"] == 800 and st["k"]["null_count"] == 400
+    # a column null across the WHOLE corpus stays honestly unbounded
+    # ... and remains sound: min/max empty, counts exact
