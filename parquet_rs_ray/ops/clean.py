@@ -307,16 +307,12 @@ class _LineFilter:
         return pa.table(dict(zip(out_names, out_cols)))
 
 
-def _line_dedup_broadcast(ds, *, text_col: str, max_count: int,
-                          min_len: int, num_partitions: int | None,
-                          concurrency, sep: str = "\n"):
-    """Broadcast-mode pass 2 of ``line_dedup``: only the
-    threshold-bounded frequent-line set — the boilerplate set — is
-    collected and broadcast once via ``ray.put``; the corpus then
-    streams through a stateful is_in + re-offset rebuild with no
-    second shuffle."""
-    import ray
-
+def _boilerplate_lines(ds, *, text_col: str, max_count: int,
+                       min_len: int, num_partitions: int | None,
+                       sep: str = "\n"):
+    """Dataset of the frequent (boilerplate) lines — the would-be
+    broadcast set of ``line_dedup``, threshold-bounded by
+    ``max_count`` / ``min_len``."""
     freq = line_frequency(ds, text_col=text_col,
                           num_partitions=num_partitions, sep=sep)
 
@@ -327,9 +323,26 @@ def _line_dedup_broadcast(ds, *, text_col: str, max_count: int,
                 pc.utf8_length(batch.column("line")), min_len))
         return batch.filter(m).select(["line"])
 
-    parts = list(freq.map_batches(
-        over, batch_format="pyarrow",
-        zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+    return freq.map_batches(over, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _line_dedup_broadcast(ds, *, text_col: str, max_count: int,
+                          min_len: int, num_partitions: int | None,
+                          concurrency, sep: str = "\n", drop_ds=None):
+    """Broadcast-mode pass 2 of ``line_dedup``: only the
+    threshold-bounded frequent-line set — the boilerplate set — is
+    collected and broadcast once via ``ray.put``; the corpus then
+    streams through a stateful is_in + re-offset rebuild with no
+    second shuffle. ``drop_ds`` reuses a set mode="auto" already
+    materialized for its probe."""
+    import ray
+
+    if drop_ds is None:
+        drop_ds = _boilerplate_lines(ds, text_col=text_col,
+                                     max_count=max_count, min_len=min_len,
+                                     num_partitions=num_partitions, sep=sep)
+    parts = list(drop_ds.iter_batches(batch_format="pyarrow"))
     drop = pa.concat_tables(parts).column("line").combine_chunks() \
         if parts else pa.array([], pa.string())
     drop_ref = ray.put(drop)
@@ -452,7 +465,8 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
 def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
                min_len: int = 0, num_partitions: int | None = None,
                concurrency=2, mode: str = "broadcast",
-               id_col: str = "doc_id", sep: str = "\n"):
+               id_col: str = "doc_id", sep: str = "\n",
+               broadcast_budget_bytes: int | None = None):
     """Cross-document line deduplication (CCNet/RefinedWeb-style
     boilerplate removal): drop every line whose OCCURRENCE count across
     the corpus exceeds ``max_count`` (nav bars, cookie banners, footers
@@ -476,7 +490,25 @@ def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
     partitioned by ``id_col``, reattach to the input on ``id_col``),
     vectorized per partition with no per-doc dispatch. Requires
     ``id_col`` to be a unique row key; output row order follows the
-    joins (a relation, not a sequence)."""
+    joins (a relation, not a sequence).
+
+    ``mode="auto"``: materialize the boilerplate set and pick
+    broadcast iff it fits ``broadcast_budget_bytes`` (ops/regime.py).
+    Free when broadcast wins (the set is reused); when join wins the
+    counting pass is discarded (join fuses its own) — pass
+    ``mode="join"`` directly for sets you know are beyond-heap."""
+    if mode == "auto":
+        from .regime import pick_regime
+        drop_ds = _boilerplate_lines(ds, text_col=text_col,
+                                     max_count=max_count, min_len=min_len,
+                                     num_partitions=num_partitions, sep=sep)
+        picked, drop_ds = pick_regime(drop_ds, broadcast_budget_bytes)
+        if picked == "broadcast":
+            return _line_dedup_broadcast(
+                ds, text_col=text_col, max_count=max_count,
+                min_len=min_len, num_partitions=num_partitions,
+                concurrency=concurrency, sep=sep, drop_ds=drop_ds)
+        mode = "join"
     if mode == "join":
         return _line_dedup_join(ds, text_col=text_col, id_col=id_col,
                                 max_count=max_count, min_len=min_len,

@@ -43,18 +43,61 @@ def contamination_ngrams(ref_ds, *, text_col: str = "text",
 
 
 def decontaminate(ds, ref_ds=None, *, blocklist: np.ndarray | None = None,
-                  text_col: str = "text", k: int = 5, invert: bool = False):
+                  text_col: str = "text", k: int = 5, invert: bool = False,
+                  mode: str = "broadcast", ref_text_col: str | None = None,
+                  id_col: str = "doc_id",
+                  num_partitions: int | None = None,
+                  broadcast_budget_bytes: int | None = None):
     """Remove every document of ``ds`` whose word-k-gram set intersects
     the reference set's. Pass either ``ref_ds`` (a Dataset of reference
     texts, shingled here) or a precomputed sorted ``blocklist`` from
     `contamination_ngrams`. ``invert=True`` returns the CONTAMINATED
-    docs instead (audit mode)."""
+    docs instead (audit mode).
+
+    ``mode="auto"`` (needs ``ref_ds``): shingle the reference
+    DISTRIBUTED (never on the driver), materialize its distinct grams
+    and pick this broadcast regime iff they fit
+    ``broadcast_budget_bytes`` (ops/regime.py) — the materialized
+    grams are reused as the blocklist, so the probe is free; past the
+    budget it dispatches to `decontaminate_join` (which then needs
+    ``id_col`` to be a unique row key of ``ds``)."""
     import ray
+
+    if mode == "auto":
+        if ref_ds is None:
+            raise ValueError("mode='auto' needs ref_ds")
+        from .regime import pick_regime
+        rtc = ref_text_col or text_col
+
+        def ref_grams(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({"gram": pa.array([], pa.int64())})
+            sh, _ = _batch_shingles(batch.column(rtc), k)
+            return pa.table(
+                {"gram": pa.array(np.unique(sh).view(np.int64))})
+
+        grams = ref_ds.map_batches(ref_grams, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        picked, grams = pick_regime(grams, broadcast_budget_bytes)
+        if picked == "join":
+            return decontaminate_join(
+                ds, ref_ds, text_col=text_col, ref_text_col=rtc, k=k,
+                id_col=id_col, invert=invert,
+                num_partitions=num_partitions)
+        # bounded by the budget the probe just verified
+        parts = [b.column("gram").to_numpy(zero_copy_only=False)
+                 for b in grams.iter_batches(batch_format="pyarrow")]
+        blocklist = np.unique(  # unique sorts (uint64 order = hash order)
+            np.concatenate(parts or [np.zeros(0, np.int64)])
+            .view(np.uint64))
+    elif mode != "broadcast":
+        raise ValueError(f"unknown decontaminate mode {mode!r}")
 
     if blocklist is None:
         if ref_ds is None:
             raise ValueError("need ref_ds or blocklist")
-        blocklist = contamination_ngrams(ref_ds, text_col=text_col, k=k)
+        blocklist = contamination_ngrams(
+            ref_ds, text_col=ref_text_col or text_col, k=k)
     bl_ref = ray.put(np.ascontiguousarray(blocklist, dtype=np.uint64))
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -96,9 +139,11 @@ def decontaminate_join(ds, ref_ds, *, text_col: str = "text",
     one id-join of the corpus — text never shuffles. Gram semantics are
     identical to `decontaminate` (same `_batch_shingles`, same padding),
     pinned by the parity test."""
-    from .dedup import _join_partitions
+    from .dedup import _id_type, _join_partitions
+    from .temporal import _key_part
 
     P = _join_partitions(num_partitions)
+    id_type = _id_type(ds, id_col)
 
     def corpus_grams(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -126,8 +171,37 @@ def decontaminate_join(ds, ref_ds, *, text_col: str = "text",
     rg = ref_ds.map_batches(ref_grams, batch_format="pyarrow",
                             zero_copy_batch=True)
     hits = cg.join(rg, "left_semi", P, on=("gram",))
-    contaminated = hits.groupby("__id").count() \
-        .map_batches(lambda b: b.select(["__id"]),
-                     batch_format="pyarrow", zero_copy_batch=True)
+
+    # collapse (id, gram) hits to ONE row per contaminated id with a
+    # schema-stable map_groups (a bare groupby().count() emits
+    # SCHEMA-LESS empty blocks for hash partitions holding zero
+    # contaminated ids — the common case at scale — which crash the
+    # final id join); per-batch distinct first so only distinct
+    # (id, partition) rows shuffle
+    def distinct_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column("__id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        out = pa.table({"__id": ids.unique()})
+        return out.append_column(
+            "__ipart", _key_part(out.column("__id"), P))
+
+    def fold_ids(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"__id": pa.array([], id_type)})
+        ids = group.column("__id").combine_chunks()
+        return pa.table({"__id": ids.unique()})
+
+    contaminated = hits.map_batches(distinct_ids, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+        .groupby("__ipart").map_groups(fold_ids, batch_format="pyarrow")
+    # Ray's sort-based groupby FORWARDS empty upstream blocks (the gram
+    # join emits one per hit-less partition) as SCHEMA-LESS empties
+    # without calling fold_ids, and map_batches skips them too — the
+    # final id join then crashes resolving __id on an empty right
+    # partition. repartition rebuilds blocks from rows, dropping the
+    # poisoned empties; cheap here — one row per contaminated id, the
+    # small side by construction.
+    contaminated = contaminated.repartition(P)
     jt = "inner" if invert else "left_anti"
     return ds.join(contaminated, jt, P, on=(id_col,), right_on=("__id",))

@@ -104,7 +104,8 @@ def _hash_strings(arr: pa.Array) -> np.ndarray:
 
 
 def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
-                num_partitions: int | None = None):
+                num_partitions: int | None = None,
+                broadcast_budget_bytes: int | None = None):
     """Keep the min-`key_col` row per distinct `text_col` value.
 
     Stage 1 (combiner, no shuffle): per-batch dedup → (hash, key) only.
@@ -115,6 +116,10 @@ def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
       * ``mode="join"`` — winner set itself is huge (near-unique corpus
         at 10^12 docs): distributed hash join of the tagged dataset
         against the winner (hash, key) pairs; nothing touches the driver.
+      * ``mode="auto"`` — probe: materialize the winner set (both
+        regimes consume it, so the probe costs nothing extra) and pick
+        broadcast iff it fits ``broadcast_budget_bytes`` (see
+        ops/regime.py for the default and its worker-heap rationale).
     """
     import ray
 
@@ -140,6 +145,10 @@ def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
     winners = pairs.groupby("h").map_groups(min_per_group,
                                             batch_format="pyarrow")
 
+    if mode == "auto":
+        from .regime import pick_regime
+        mode, winners = pick_regime(winners, broadcast_budget_bytes)
+
     if mode == "join":
         num_partitions = _join_partitions(num_partitions, n_joins=1)
 
@@ -155,6 +164,8 @@ def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
         return out.drop_columns(["__h", "__k"]) if "__k" in (
             out.schema().names) else out.drop_columns(["__h"])
 
+    if mode != "broadcast":
+        raise ValueError(f"unknown exact_dedup mode {mode!r}")
     keep = np.sort(winners.select_columns(["k"]).to_pandas()["k"].to_numpy())
     keep_ref = ray.put(keep)  # broadcast once; read per task, not per batch
 

@@ -310,7 +310,8 @@ class _DfScorer:
 
 def word_df_stats(ds, *, text_col: str = "text",
                   num_partitions: int | None = None, concurrency=2,
-                  mode: str = "broadcast", id_col: str = "doc_id"):
+                  mode: str = "broadcast", id_col: str = "doc_id",
+                  broadcast_budget_bytes: int | None = None):
     """Per-document rarity signals from global word document-frequency:
     ``n_words`` (with repeats), ``sum_df`` (Σ df of each word token)
     and ``min_df`` (the rarest word's df — the OOV/garbage detector;
@@ -326,17 +327,31 @@ def word_df_stats(ds, *, text_col: str = "text",
 
     ``mode="join"``: beyond-heap vocabularies — fully distributed
     (`_word_df_stats_join`); requires ``id_col`` to be a unique row
-    key; output row order follows the joins."""
+    key; output row order follows the joins.
+
+    ``mode="auto"``: materialize the (word, df) vocabulary and pick
+    broadcast iff it fits ``broadcast_budget_bytes`` (ops/regime.py).
+    The probe is free when broadcast wins (the vocabulary is reused);
+    when join wins the aggregation pass is discarded (join fuses its
+    own df counting) — pass ``mode="join"`` directly for vocabularies
+    you already know are beyond-heap."""
     import ray
 
     if mode == "join":
         return _word_df_stats_join(ds, text_col=text_col, id_col=id_col,
                                    num_partitions=num_partitions)
-    if mode != "broadcast":
+    if mode not in ("broadcast", "auto"):
         raise ValueError(f"unknown word_df_stats mode {mode!r}")
 
     df_tbl = word_document_frequency(
         ds, text_col=text_col, num_partitions=num_partitions)
+    if mode == "auto":
+        from .regime import pick_regime
+        mode, df_tbl = pick_regime(df_tbl, broadcast_budget_bytes)
+        if mode == "join":
+            return _word_df_stats_join(ds, text_col=text_col,
+                                       id_col=id_col,
+                                       num_partitions=num_partitions)
     parts = []
     for b in df_tbl.iter_batches(batch_format="pyarrow"):
         parts.append(b)

@@ -249,6 +249,85 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
     return True
 
 
+def provably_unmatched_blocks(batch: pa.Table, preds) -> set:
+    """Block ids whose per-page min/max stats PROVE no row can match the
+    AND of ``preds`` — conservative (CRC-guarded, bloom-assisted): any
+    corrupt / unparsable / missing stat keeps the block. Only needs the
+    metadata columns (block_id, column, stats_json[, stats_crc32]), so
+    callers may feed a payload-free projected read of the page rows."""
+    import json as _json
+
+    from .page import stats_crc
+    cols = {name: batch.column(name).to_pylist()
+            for name in ("block_id", "column", "stats_json")}
+    scrc = batch.column("stats_crc32").to_pylist() \
+        if "stats_crc32" in batch.column_names \
+        else [None] * batch.num_rows
+
+    drop_blocks: set = set()
+    for col, op, val in preds:  # AND semantics: any pred can drop
+        can_match: dict = {}
+        for i, (bid, c) in enumerate(zip(cols["block_id"],
+                                         cols["column"])):
+            if c != col:
+                continue
+            sj = cols["stats_json"][i]
+            # stats integrity: a flipped min/max/bloom must disable
+            # pruning (conservative keep + exact post-filter), never
+            # silently drop matching blocks
+            if scrc[i] is not None and stats_crc(sj) != scrc[i]:
+                can_match[bid] = True
+                continue
+            try:
+                st = _json.loads(sj)
+            except ValueError:
+                can_match[bid] = True
+                continue
+            if op == "==" and st.get("bloom") and isinstance(
+                    val, (str, bytes, int)) and not isinstance(val, bool):
+                from .page import bloom_might_contain
+                page_ok = bloom_might_contain(st["bloom"], val) \
+                    and _stats_can_match(st, op, val)
+            else:
+                page_ok = _stats_can_match(st, op, val)
+            can_match[bid] = can_match.get(bid, False) or page_ok
+        drop_blocks |= {bid for bid, ok in can_match.items() if not ok}
+    return drop_blocks
+
+
+def make_page_pruner(columns=None, predicate=None):
+    """Per-batch page-row pruner: projection + block-level stats pruning
+    (see prune_pages). Returns ``None`` when there is nothing to push."""
+    preds = _normalize_predicates(predicate)
+    pred_cols = {p[0] for p in preds}
+    # preserve-mode reorder marker rides along under projection — its
+    # pages are ~log2(n) bits/row and decode needs them to restore order
+    from .reorder import PERM_COL
+    keep_cols = (set(columns) | pred_cols | {PERM_COL}) if columns else None
+    if not preds and keep_cols is None:
+        return None
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        if not preds and keep_cols is not None:
+            # projection-only pushdown: no stats deserialization needed
+            colnames = batch.column("column").to_pylist()
+            return batch.filter(
+                pa.array([c in keep_cols for c in colnames]))
+        drop_blocks = provably_unmatched_blocks(batch, preds)
+        mask = []
+        for bid, c in zip(batch.column("block_id").to_pylist(),
+                          batch.column("column").to_pylist()):
+            ok = bid not in drop_blocks
+            if ok and keep_cols is not None:
+                ok = c in keep_cols
+            mask.append(ok)
+        return batch.filter(pa.array(mask))
+
+    return prune
+
+
 def prune_pages(encoded_ds, *, columns=None, predicate=None):
     """Projection + predicate pushdown over the encoded page dataset
     (the feature the reference leaves unchecked, `README.md:67-81`):
@@ -259,68 +338,38 @@ def prune_pages(encoded_ds, *, columns=None, predicate=None):
       drop whole BLOCKS whose per-page min/max stats prove no row can
       match (conservative — exact filtering still happens after decode).
     """
-    import json as _json
-
-    preds = _normalize_predicates(predicate)
-    pred_cols = {p[0] for p in preds}
-    # preserve-mode reorder marker rides along under projection — its
-    # pages are ~log2(n) bits/row and decode needs them to restore order
-    from .reorder import PERM_COL
-    keep_cols = (set(columns) | pred_cols | {PERM_COL}) if columns else None
-
-    def prune(batch: pa.Table) -> pa.Table:
-        from .page import stats_crc
-        if batch.num_rows == 0:
-            return batch
-        if not preds and keep_cols is not None:
-            # projection-only pushdown: no stats deserialization needed
-            colnames = batch.column("column").to_pylist()
-            return batch.filter(
-                pa.array([c in keep_cols for c in colnames]))
-        cols = {name: batch.column(name).to_pylist()
-                for name in ("block_id", "column", "stats_json")}
-        scrc = batch.column("stats_crc32").to_pylist() \
-            if "stats_crc32" in batch.column_names \
-            else [None] * batch.num_rows
-
-        drop_blocks: set = set()
-        for col, op, val in preds:  # AND semantics: any pred can drop
-            can_match: dict = {}
-            for i, (bid, c) in enumerate(zip(cols["block_id"],
-                                             cols["column"])):
-                if c != col:
-                    continue
-                sj = cols["stats_json"][i]
-                # stats integrity: a flipped min/max/bloom must disable
-                # pruning (conservative keep + exact post-filter), never
-                # silently drop matching blocks
-                if scrc[i] is not None and stats_crc(sj) != scrc[i]:
-                    can_match[bid] = True
-                    continue
-                try:
-                    st = _json.loads(sj)
-                except ValueError:
-                    can_match[bid] = True
-                    continue
-                if op == "==" and st.get("bloom") and isinstance(
-                        val, (str, bytes, int)) and not isinstance(val, bool):
-                    from .page import bloom_might_contain
-                    page_ok = bloom_might_contain(st["bloom"], val) \
-                        and _stats_can_match(st, op, val)
-                else:
-                    page_ok = _stats_can_match(st, op, val)
-                can_match[bid] = can_match.get(bid, False) or page_ok
-            drop_blocks |= {bid for bid, ok in can_match.items() if not ok}
-        mask = []
-        for bid, c in zip(cols["block_id"], cols["column"]):
-            ok = bid not in drop_blocks
-            if ok and keep_cols is not None:
-                ok = c in keep_cols
-            mask.append(ok)
-        return batch.filter(pa.array(mask))
-
+    prune = make_page_pruner(columns, predicate)
+    if prune is None:
+        return encoded_ds
     return encoded_ds.map_batches(prune, batch_format="pyarrow",
                                   zero_copy_batch=True, batch_size=None)
+
+
+def make_exact_filter(columns=None, predicate=None):
+    """Per-batch exact post-decode filter + projection. ``None`` when a
+    plain pass-through would do."""
+    preds = _normalize_predicates(predicate)
+    if not preds and not columns:
+        return None
+    import pyarrow.compute as _pc
+    kernels = {"==": _pc.equal, ">": _pc.greater,
+               ">=": _pc.greater_equal, "<": _pc.less,
+               "<=": _pc.less_equal}
+
+    def exact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 and not batch.column_names:
+            return batch  # schema-less empty: nothing to filter/select
+        for col, op, val in preds:
+            arr = batch.column(col)
+            try:  # typed scalar: plain ints above int64 range (uint64
+                # columns) fail pyarrow's scalar inference
+                sval = pa.scalar(val, type=arr.type)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+                sval = val
+            batch = batch.filter(kernels[op](arr, sval))
+        return batch.select(columns) if columns else batch
+
+    return exact
 
 
 def decode_dataset(encoded_ds, *, columns=None, predicate=None):
@@ -334,29 +383,10 @@ def decode_dataset(encoded_ds, *, columns=None, predicate=None):
     out = encoded_ds.map_batches(
         decode_batch, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None)
-    if predicate:
-        import pyarrow.compute as _pc
-        preds = _normalize_predicates(predicate)
-        kernels = {"==": _pc.equal, ">": _pc.greater,
-                   ">=": _pc.greater_equal, "<": _pc.less,
-                   "<=": _pc.less_equal}
-
-        def exact(batch: pa.Table) -> pa.Table:
-            for col, op, val in preds:
-                arr = batch.column(col)
-                try:  # typed scalar: plain ints above int64 range (uint64
-                    # columns) fail pyarrow's scalar inference
-                    sval = pa.scalar(val, type=arr.type)
-                except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
-                    sval = val
-                batch = batch.filter(kernels[op](arr, sval))
-            return batch.select(columns) if columns else batch
-
+    exact = make_exact_filter(columns, predicate)
+    if exact is not None:
         out = out.map_batches(exact, batch_format="pyarrow",
                               zero_copy_batch=True)
-    elif columns:
-        out = out.map_batches(lambda b: b.select(columns),
-                              batch_format="pyarrow", zero_copy_batch=True)
     return out
 
 

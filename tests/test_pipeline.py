@@ -457,16 +457,20 @@ def test_compact_job_shard_spanning_containers(ray_session, tmp_path):
     e0 = entries[paths[0]]
     files0 = _json.loads(e0["output"])
     assert len(files0) == 2 and len(set(files0)) == 1  # 2 blocks, 1 file
-    # split shard 0's container into two files (names chosen so the
-    # greedy name-sorted binning puts them in different bins)
+    # split shard 0's container into two files, one per BLOCK (names
+    # chosen so the greedy name-sorted binning puts them in different
+    # bins); layout-agnostic: group the page rows by block_id rather
+    # than assuming one row group per block
     src = files0[0]
-    pf = pq.ParquetFile(src)
+    pages = pq.read_table(src)
+    bids = pages.column("block_id").unique().to_pylist()
+    assert len(bids) == 2
     fa = os.path.join(ddir, "00000000aaaaaaaa.parquet")
     fz = os.path.join(ddir, "zzzzzzzzzzzzzzzz.parquet")
-    for f, rg in ((fa, 0), (fz, 1)):
-        blk = pf.read_row_group(rg)
+    import pyarrow.compute as _pc
+    for f, bid in ((fa, bids[0]), (fz, bids[1])):
+        blk = pages.filter(_pc.equal(pages.column("block_id"), bid))
         pq.write_table(blk, f, compression="none")
-    pf.close()
     os.remove(src)
     manifest.record(
         mdir, paths[0], output_path=_json.dumps([fa, fz]),
