@@ -64,32 +64,69 @@ class _BlockContainer:
     hazard; a container per input shard bounds file count at one per
     shard while parquet row-group footers keep per-block random access."""
 
-    def __init__(self, data_dir: str):
+    def __init__(self, data_dir: str, own_rg_min_bytes: int | None = None):
         self.final = os.path.join(data_dir, f"{uuid.uuid4().hex[:16]}.parquet")
         self.tmp = self.final + ".tmp"
         self.writer: pq.ParquetWriter | None = None
+        self.own_rg_min_bytes = (self._OWN_RG_MIN_BYTES
+                                 if own_rg_min_bytes is None
+                                 else own_rg_min_bytes)
+
+    # the reader's footer index needs statistics for exactly two fields
+    # (reader.plan_container); computing min/max + dictionary trials over
+    # the big binary payload columns was measured 4-5x writer wall —
+    # restrict both to the small repeated-string metadata fields
+    _STATS_COLS = ["block_id", "column"]
+    _DICT_COLS = ["path", "block_id", "column", "phys", "codec",
+                  "block_codec"]
+    # encoded bytes a column needs within a block to earn its own row
+    # group under layout="column" (else it shares the block's small-
+    # column group); 256 KiB ⇒ skipping it saves real IO while the
+    # per-row-group overhead stays amortized
+    _OWN_RG_MIN_BYTES = 256 << 10
 
     def append_block(self, block: pa.Table, layout: str = "block") -> str:
         if self.writer is None:
             # page payloads are already compressed — don't recompress
-            self.writer = pq.ParquetWriter(self.tmp, block.schema,
-                                           compression="none")
+            self.writer = pq.ParquetWriter(
+                self.tmp, block.schema, compression="none",
+                write_statistics=self._STATS_COLS,
+                use_dictionary=[c for c in self._DICT_COLS
+                                if c in block.schema.names])
         if layout == "column":
-            # one row group per (block, source column): the footer's
-            # per-row-group block_id/column statistics become a free
-            # column index (see reader.plan_container), so a projected
-            # decode reads only the selected columns' bytes — ≙ the
-            # reference's per-column chunk byte ranges
-            # (`src/file/reader.rs:295-330`). Page rows arrive grouped
-            # by col_idx (encode emits column by column); slice the runs
-            # rather than filtering per column.
+            # one row group per (block, BIG source column), small
+            # columns sharing one: the footer's per-row-group
+            # block_id/column statistics become a free column index
+            # (see reader.plan_container), so a projected decode reads
+            # only the selected columns' bytes — ≙ the reference's
+            # per-column chunk byte ranges (`src/file/reader.rs:295-330`).
+            # The IO win of projection comes entirely from SKIPPING the
+            # big payload columns; giving every tiny column its own row
+            # group just multiplies footer entries and per-group
+            # write/read overhead (measured ~25% encode wall on the web
+            # corpus), so columns under _OWN_RG_MIN_BYTES share one
+            # group — a projected read of one of them drags only its
+            # small co-tenants along, and the range-based planner stays
+            # conservative for the shared group. Page rows arrive
+            # grouped by col_idx (encode emits column by column);
+            # slice the runs rather than filtering per column.
             import numpy as np
             ci = block.column("col_idx").to_numpy(zero_copy_only=False)
+            enc = block.column("encoded_size").to_numpy(
+                zero_copy_only=False)
             cuts = np.flatnonzero(np.diff(ci)) + 1
             starts = [0, *cuts.tolist()]
             ends = [*cuts.tolist(), len(ci)]
+            shared = []
             for s, e in zip(starts, ends):
-                self.writer.write_table(block.slice(s, e - s))
+                if enc[s:e].sum() >= self.own_rg_min_bytes:
+                    self.writer.write_table(block.slice(s, e - s))
+                else:
+                    shared.append(block.slice(s, e - s))
+            if shared:
+                self.writer.write_table(
+                    shared[0] if len(shared) == 1
+                    else pa.concat_tables(shared))
         else:
             self.writer.write_table(block)  # one row group per block
         return self.final
@@ -106,15 +143,17 @@ class EncodeWriteActor(EncodeActor):
     (path, block). Writing happens inside the task so the pipeline stays
     streaming (no driver materialization of encoded data)."""
 
-    def __init__(self, out_dir: str, layout: str = "column", **kwargs):
+    def __init__(self, out_dir: str, layout: str = "column",
+                 own_rg_min_bytes: int | None = None, **kwargs):
         super().__init__(**kwargs)
         self.layout = layout
+        self.own_rg_min_bytes = own_rg_min_bytes
         self.data_dir = os.path.join(out_dir, "data")
         os.makedirs(self.data_dir, exist_ok=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pages = super().__call__(batch)
-        container = _BlockContainer(self.data_dir)
+        container = _BlockContainer(self.data_dir, self.own_rg_min_bytes)
         lineage = self._write_blocks(pages, container)
         container.close()
         return lineage
@@ -186,7 +225,7 @@ class EncodeShardActor(EncodeWriteActor):
             # block is appended to the shard's container file the moment
             # its row group is encoded (one row group per block)
             pf = pq.ParquetFile(path)
-            container = _BlockContainer(self.data_dir)
+            container = _BlockContainer(self.data_dir, self.own_rg_min_bytes)
             rows_out = []
             for rg in range(pf.metadata.num_row_groups):
                 tbl = pf.read_row_group(rg)
@@ -223,7 +262,8 @@ class EncodeShardActor(EncodeWriteActor):
 def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
                block_codec: str | None = None, enable_fsst: bool = True,
                override_num_blocks: int | None = None,
-               reorder="off", layout: str = "column") -> dict:
+               reorder="off", layout: str = "column",
+               own_rg_min_bytes: int | None = None) -> dict:
     """Run (or resume) the encode job. Returns summary stats.
 
     ``layout="column"`` (default) writes one container row group per
@@ -254,7 +294,8 @@ def encode_job(paths: list[str], out_dir: str, *, concurrency=(1, 8),
                                "block_codec": block_codec,
                                "enable_fsst": enable_fsst,
                                "reorder": reorder,
-                               "layout": layout},
+                               "layout": layout,
+                               "own_rg_min_bytes": own_rg_min_bytes},
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
         concurrency=concurrency)
 

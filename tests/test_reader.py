@@ -34,7 +34,10 @@ def web_encoded(ray_session, tmp_path_factory):
     paths = write_web_shards(str(tmp / "web"), rows_per_shard=400,
                              n_shards=2)
     out = str(tmp / "enc")
-    encode_job(paths, out, concurrency=2)
+    # low own-rg threshold: url/html/text earn their own row groups at
+    # this tiny scale too (at production block sizes the 256 KiB
+    # default achieves the same split)
+    encode_job(paths, out, concurrency=2, own_rg_min_bytes=4096)
     return paths, out
 
 
@@ -52,30 +55,34 @@ def test_projected_read_touches_only_selected_columns(web_encoded):
     dominate the corpus and must never leave disk)."""
     _paths, out = web_encoded
     files, _ = committed_blocks(out)
-    want = {"url", "lang"}
     for f in files:
         md = pq.ParquetFile(f).metadata
         plan = plan_container(md)
-        # column layout: every row group's column bounds are exact
-        assert all(cmin == cmax and cmin is not None
-                   for (_i, _b, cmin, cmax) in plan)
+        # big columns sit in exact-identity row groups (min == max);
+        # the small leftovers (warc_ts, lang) share one group
+        own = {cmin for (_i, _b, cmin, cmax) in plan if cmin == cmax}
+        assert {"url", "html", "text"} <= own
         _probe, full_fn = plan_read(md, columns=["url", "lang"])
-        full = full_fn(set())
-        got_cols = {cmin for (i, _b, cmin, _x) in plan if i in set(full)}
-        assert got_cols <= want  # nothing beyond the selected columns
+        full = set(full_fn(set()))
+        # the big unselected columns' bytes are never read ...
+        skipped = {i for (i, _b, cmin, cmax) in plan
+                   if cmin == cmax and cmin in ("html", "text")}
+        assert full.isdisjoint(skipped)
         planned = sum(md.row_group(i).total_byte_size for i in full)
         total = sum(md.row_group(i).total_byte_size
                     for i in range(md.num_row_groups))
-        sel_bytes = _col_bytes(md, plan, want)
-        assert planned == sel_bytes
-        assert planned < 0.5 * total  # html/text/warc_ts payloads skipped
+        # ... which is most of the container
+        assert planned < 0.5 * total
 
         before = _rchar()
         pages = read_container_pages(f, columns=["url", "lang"])
         read_bytes = _rchar() - before
         # real IO ≈ selected row groups + footer, NOT the whole file
         assert read_bytes < 0.5 * os.path.getsize(f)
-        assert set(pages.column("column").to_pylist()) <= want
+        # shared-group co-tenants may ride along; the big payloads never
+        got = set(pages.column("column").to_pylist())
+        assert "url" in got and "lang" in got
+        assert not ({"html", "text"} & got)
 
     # and the decoded projection round-trips exactly
     exp = pa.concat_tables([pq.read_table(p, columns=["url", "lang"])
@@ -92,11 +99,11 @@ def test_predicate_reads_exactly_one_blocks_row_groups(ray_session,
     full read must touch only the matching block's row groups (the
     metadata probe pays tiny stats chunks for both)."""
     a = pa.table({"k": pa.array(range(0, 800), pa.int64()),
-                  "s": pa.array([f"s{i:05d}" for i in range(800)])})
+                  "s": pa.array([f"s{i:05d}" * 300 for i in range(800)])})
     p = str(tmp_path / "shard.parquet")
     pq.write_table(a, p, row_group_size=400)  # → 2 blocks, 1 container
     out = str(tmp_path / "enc")
-    encode_job([p], out, concurrency=1)
+    encode_job([p], out, concurrency=1, own_rg_min_bytes=4096)
     files, n_blocks = committed_blocks(out)
     assert len(files) == 1 and n_blocks == 2
     md = pq.ParquetFile(files[0]).metadata
@@ -119,7 +126,7 @@ def test_predicate_reads_exactly_one_blocks_row_groups(ray_session,
     got = decode_job(out, predicate=("k", ">=", 400)).to_pandas() \
         .sort_values("k").reset_index(drop=True)
     assert list(got["k"]) == list(range(400, 800))
-    assert list(got["s"]) == [f"s{i:05d}" for i in range(400, 800)]
+    assert list(got["s"]) == [f"s{i:05d}" * 300 for i in range(400, 800)]
 
 
 def test_block_partition_slots_cover_exactly_once(web_encoded):
@@ -172,7 +179,7 @@ def test_compaction_preserves_column_prunability(ray_session, tmp_path):
     paths = write_web_shards(str(tmp_path / "web"), rows_per_shard=150,
                              n_shards=4)
     out = str(tmp_path / "enc")
-    encode_job(paths, out, concurrency=2)
+    encode_job(paths, out, concurrency=2, own_rg_min_bytes=2048)
     exp = decode_job(out, columns=["url", "lang"]).to_pandas() \
         .sort_values("url").reset_index(drop=True)
     s = compact_job(out, target_file_bytes=1 << 30)
@@ -181,7 +188,8 @@ def test_compaction_preserves_column_prunability(ray_session, tmp_path):
     assert len(files) == 1
     md = pq.ParquetFile(files[0]).metadata
     plan = plan_container(md)
-    assert all(cmin == cmax for (_i, _b, cmin, cmax) in plan)
+    assert {"html", "text"} <= {cmin for (_i, _b, cmin, cmax) in plan
+                                if cmin == cmax}
     _probe, full_fn = plan_read(md, columns=["url", "lang"])
     planned = sum(md.row_group(i).total_byte_size for i in full_fn(set()))
     total = sum(md.row_group(i).total_byte_size
