@@ -156,16 +156,20 @@ def _resize_nearest(img: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
 
 def decode_image_bytes(payload: bytes,
                        target_hw: tuple[int, int]) -> np.ndarray:
-    """Sniff + decode + resize one image payload. PPM/PGM/BMP decode
+    """Sniff + decode + resize one image payload. PPM/PGM/BMP and
+    baseline JPEG (the dominant web format — see ops/jpeg.py) decode
     for real (pure numpy); anything else is the codec-library seam."""
     if payload[:2] in (b"P6", b"P5"):
         img = _decode_ppm(payload)
     elif payload[:2] == b"BM":
         img = _decode_bmp(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        img = decode_jpeg(payload)
     else:
         raise NotImplementedError(
-            "compressed image formats need a codec library (Pillow/"
-            "OpenCV) that is not in this container; PPM/PGM/BMP decode "
+            "png/webp/etc. need a codec library (Pillow/OpenCV) that is "
+            "not in this container; PPM/PGM/BMP and baseline JPEG decode "
             "natively, or pass fake=True for the deterministic stub")
     return np.ascontiguousarray(_resize_nearest(img, target_hw))
 

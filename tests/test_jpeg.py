@@ -1,0 +1,304 @@
+"""Baseline JPEG decoder (ops/jpeg.py) vs a self-contained test encoder.
+
+The container has no codec library, so the tests carry their OWN
+baseline JPEG encoder (T.81-conformant: FDCT, annex-F Huffman entropy
+coding with canonical tables built from observed symbols, byte
+stuffing, restart markers, 4:4:4 / 4:2:0 interleave). Any conformant
+decoder must reconstruct its output to within quantization error —
+that property (PSNR against the source raster) plus structural cases
+(odd sizes, grayscale, restarts, subsampling, seams, truncation) pins
+the decoder without golden binaries.
+"""
+
+import numpy as np
+import pytest
+
+from parquet_rs_ray.ops.jpeg import _A, _ZIGZAG, JpegError, decode_jpeg
+
+# ------------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)   # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+
+
+def _cat(v: int) -> int:
+    return int(abs(int(v))).bit_length()
+
+
+def _mag(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _build_tables(used: set[int]):
+    """Canonical table with every used symbol at 9 bits (≤ 255 symbols,
+    so the all-ones code is never assigned): (counts16, syms, codemap)."""
+    syms = sorted(used)
+    assert len(syms) <= 255
+    counts = [0] * 16
+    counts[8] = len(syms)               # all length 9
+    codes = {s: (i, 9) for i, s in enumerate(syms)}
+    return bytes(counts), bytes(syms), codes
+
+
+def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
+                restart_interval: int = 0, qval: int = 4) -> bytes:
+    """Baseline JPEG encoder (test oracle). ``img`` is (h, w, 3) uint8
+    RGB or (h, w) grayscale; ``subsample`` uses 4:2:0 luma 2×2."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else \
+            [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qt = np.full(64, qval, np.int32)
+
+    comp_blocks = []
+    for plane, (ch, cv) in zip(planes, samps):
+        ph, pw = mcuy * vmax * 8, mcux * hmax * 8
+        pad = np.empty((ph, pw))
+        pad[:h, :w] = plane
+        pad[h:, :w] = plane[-1:, :]     # edge-replicate padding
+        pad[:, w:] = pad[:, w - 1:w]
+        if (hmax // ch, vmax // cv) != (1, 1):
+            fy, fx = vmax // cv, hmax // ch
+            pad = pad.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+        bh, bw = mcuy * cv, mcux * ch
+        blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8) - 128.0
+        coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A, optimize=True)
+        q = np.rint(coef.reshape(-1, 64) / qt).astype(np.int64)
+        zz = np.zeros_like(q)
+        for k in range(64):
+            zz[:, k] = q[:, _ZIGZAG[k]]
+        comp_blocks.append((zz.reshape(bh, bw, 64), ch, cv, bw))
+
+    def tokens():
+        """(class, tid, symbol, magnitude, magbits) in scan order; DC
+        predictors reset per restart segment like the decoder expects."""
+        n_mcu = mcux * mcuy
+        per = restart_interval or n_mcu
+        pred = [0] * len(comp_blocks)
+        for mcu in range(n_mcu):
+            if mcu % per == 0:
+                pred = [0] * len(comp_blocks)
+                if mcu:
+                    yield ("RST", (mcu // per - 1) & 7, 0, 0, 0)
+            my, mx = divmod(mcu, mcux)
+            for ci, (zz, ch, cv, bw) in enumerate(comp_blocks):
+                tid = 0 if ci == 0 else 1
+                for v in range(cv):
+                    for hh in range(ch):
+                        blk = zz[my * cv + v, mx * ch + hh]
+                        diff = int(blk[0]) - pred[ci]
+                        pred[ci] = int(blk[0])
+                        s = _cat(diff)
+                        yield (0, tid, s, _mag(diff, s), s)
+                        run = 0
+                        nz = np.flatnonzero(blk[1:]) + 1
+                        k = 1
+                        for idx in nz:
+                            run = int(idx) - k
+                            while run >= 16:
+                                yield (1, tid, 0xF0, 0, 0)
+                                run -= 16
+                            val = int(blk[idx])
+                            s = _cat(val)
+                            yield (1, tid, (run << 4) | s,
+                                   _mag(val, s), s)
+                            k = int(idx) + 1
+                        if k <= 63:
+                            yield (1, tid, 0x00, 0, 0)  # EOB
+
+    used: dict[tuple, set] = {}
+    for cls, tid, sym, _m, _s in tokens():
+        if cls == "RST":
+            continue
+        used.setdefault((cls, tid), set()).add(sym)
+    tables = {k: _build_tables(v) for k, v in used.items()}
+
+    bw_ = _BitWriter()
+    body = bytearray()
+    for cls, tid, sym, mag, s in tokens():
+        if cls == "RST":
+            bw_.flush()
+            body += bw_.out
+            bw_.out = bytearray()
+            body += bytes([0xFF, 0xD0 + tid])
+            continue
+        code, length = tables[(cls, tid)][2][sym]
+        bw_.write(code, length)
+        if s:
+            bw_.write(mag, s)
+    bw_.flush()
+    body += bw_.out
+
+    out = bytearray(b"\xff\xd8")
+    dqt_zz = bytes(int(qt[_ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + dqt_zz
+    nc = len(comp_blocks)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci, (_z, ch, cv, _b) in enumerate(comp_blocks):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    for (cls, tid), (counts, syms, _c) in sorted(tables.items()):
+        seg = bytes([(cls << 4) | tid]) + counts + syms
+        out += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") \
+            + restart_interval.to_bytes(2, "big")
+    sos = bytes([nc])
+    for ci in range(nc):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def _smooth(h, w, seed=0):
+    """Low-frequency test image (JPEG-friendly: quantization error
+    stays small, so PSNR cleanly separates correct from broken)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        128 + 90 * np.sin(xx / 17 + c) * np.cos(yy / 23 - c)
+        + rng.normal(0, 2, (h, w))
+        for c in range(3)], axis=2)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+
+# ------------------------------------------------------------------- tests
+
+
+def test_roundtrip_444_color():
+    img = _smooth(64, 48)
+    got = decode_jpeg(encode_jpeg(img))
+    assert got.shape == img.shape
+    assert _psnr(img, got) > 32, _psnr(img, got)
+
+
+def test_roundtrip_odd_dimensions():
+    img = _smooth(17, 13, seed=1)
+    got = decode_jpeg(encode_jpeg(img))
+    assert got.shape == (17, 13, 3)
+    assert _psnr(img, got) > 32
+
+
+def test_roundtrip_grayscale():
+    img = _smooth(40, 40, seed=2)[:, :, 0]
+    got = decode_jpeg(encode_jpeg(img))
+    assert got.shape == (40, 40, 3)
+    assert (got[:, :, 0] == got[:, :, 1]).all()
+    assert _psnr(np.repeat(img[:, :, None], 3, 2), got) > 32
+
+
+def test_roundtrip_420_subsampled():
+    img = _smooth(64, 64, seed=3)
+    got = decode_jpeg(encode_jpeg(img, subsample=True))
+    assert got.shape == img.shape
+    # chroma is 2x2-averaged; luma fidelity still bounds overall error
+    assert _psnr(img, got) > 28
+
+
+def test_restart_markers_reset_predictors():
+    img = _smooth(48, 80, seed=4)
+    enc = encode_jpeg(img, restart_interval=3)
+    assert b"\xff\xd0" in enc or b"\xff\xd1" in enc
+    got = decode_jpeg(enc)
+    base = decode_jpeg(encode_jpeg(img))
+    assert (got == base).all()  # restarts change framing, not pixels
+
+
+def test_decode_is_deterministic_golden():
+    img = _smooth(32, 32, seed=5)
+    import hashlib
+    d1 = decode_jpeg(encode_jpeg(img))
+    d2 = decode_jpeg(encode_jpeg(img))
+    assert hashlib.blake2b(d1.tobytes()).digest() == \
+        hashlib.blake2b(d2.tobytes()).digest()
+
+
+def test_progressive_and_truncation_raise():
+    img = _smooth(16, 16, seed=6)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.index(b"\xff\xc0")
+    enc[i + 1] = 0xC2                   # pretend progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+    enc2 = encode_jpeg(img)
+    with pytest.raises(JpegError):
+        decode_jpeg(enc2[: len(enc2) // 2])
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_bytes_sniffs_jpeg():
+    from parquet_rs_ray.ops.multimodal import decode_image_bytes
+    img = _smooth(40, 56, seed=7)
+    out = decode_image_bytes(encode_jpeg(img), (20, 28))
+    assert out.shape == (20, 28, 3)
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"\x89PNG\r\n\x1a\n....", (8, 8))
+
+
+def test_decode_image_pipeline_with_jpeg(ray_session):
+    """End-to-end actor-pool decode over a jpeg binary column."""
+    import pyarrow as pa
+    import ray
+    from parquet_rs_ray.ops.multimodal import DecodeImage
+    payloads = [encode_jpeg(_smooth(24 + 8 * i, 32, seed=i))
+                for i in range(6)]
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "media": pa.array(payloads, pa.binary())})
+    out = ray.data.from_arrow(tbl).map_batches(
+        DecodeImage, fn_constructor_kwargs={"target_hw": (16, 16)},
+        batch_format="pyarrow", batch_size=3, concurrency=2) \
+        .to_pandas().sort_values("doc_id")
+    assert list(out["height"]) == [16] * 6
+    assert list(out["channels"]) == [3] * 6
+    assert out["pixel_checksum"].nunique() == 6

@@ -174,11 +174,19 @@ def test_attach_media_schema():
 
 
 def test_decode_image_stub_gate():
-    # compressed formats are still the codec-library seam
+    # png/webp remain the codec-library seam (baseline JPEG decodes
+    # natively since r4 — ops/jpeg.py — so a jpeg-magic payload that is
+    # garbage now raises the decoder's typed error, not the seam)
     dec = multimodal.DecodeImage(fake=False)
-    jpeg = pa.table({"media": pa.array([b"\xff\xd8fakejpeg"], pa.binary())})
+    png = pa.table({"media": pa.array([b"\x89PNG\r\n\x1a\nxx"],
+                                      pa.binary())})
     with pytest.raises(NotImplementedError):
-        dec(jpeg)
+        dec(png)
+    from parquet_rs_ray.ops.jpeg import JpegError
+    bad_jpeg = pa.table({"media": pa.array([b"\xff\xd8fakejpeg"],
+                                           pa.binary())})
+    with pytest.raises(JpegError):
+        dec(bad_jpeg)
 
 
 def _ppm_bytes(img: np.ndarray, comment: bool = False) -> bytes:
