@@ -166,11 +166,15 @@ def decode_image_bytes(payload: bytes,
     elif payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         img = decode_jpeg(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png import decode_png
+        img = decode_png(payload)
     else:
         raise NotImplementedError(
-            "png/webp/etc. need a codec library (Pillow/OpenCV) that is "
-            "not in this container; PPM/PGM/BMP and baseline JPEG decode "
-            "natively, or pass fake=True for the deterministic stub")
+            "webp/gif/etc. need a codec library (Pillow/OpenCV) that is "
+            "not in this container; PPM/PGM/BMP, baseline JPEG and "
+            "non-interlaced PNG decode natively, or pass fake=True for "
+            "the deterministic stub")
     return np.ascontiguousarray(_resize_nearest(img, target_hw))
 
 

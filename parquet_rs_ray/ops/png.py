@@ -1,0 +1,159 @@
+"""PNG decode in pure numpy + stdlib zlib — no codec library.
+
+PNG's compression is DEFLATE, which ships in CPython's ``zlib``; the
+rest of the format (chunking, CRC, scanline filters, palette) is plain
+array work, so — unlike JPEG's entropy coding — the whole decode is
+vectorized except the inherently sequential filter pass, which runs
+per SCANLINE (not per pixel) with numpy row kernels and a scalar loop
+only for the horizontally-recursive Sub/Paeth/Average cases (RFC 2083
+§6; the up-filter and the non-recursive parts stay whole-row numpy).
+
+Coverage: 8-bit and 16-bit channels, all five color types (gray,
+RGB, palette, gray+alpha, RGBA), tRNS ignored (alpha is dropped to RGB
+at the end anyway), multiple IDAT chunks, CRC validation. Adam7
+interlacing is the one seam left (`NotImplementedError`); it is rare
+on the web and a codec library would slot in unchanged.
+
+Output is (h, w, 3) uint8 RGB (16-bit samples scale down, gray
+replicates, alpha composited over black is NOT applied — alpha is
+simply dropped, matching the JPEG path's no-alpha contract).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["decode_png", "PngError"]
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> channels
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    """Malformed or truncated PNG payload."""
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters (RFC 2083 §6.2-6.6). ``raw`` is
+    the decompressed stream of h * (1 + stride) bytes; returns (h,
+    stride) recovered bytes."""
+    if len(raw) < h * (stride + 1):
+        raise PngError("truncated PNG pixel data")
+    lines = raw[:h * (stride + 1)].reshape(h, stride + 1)
+    ftypes = lines[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = lines[y, 1:].astype(np.int32)
+        if f == 0:                      # None
+            rec = cur
+        elif f == 2:                    # Up — whole-row vector op
+            rec = (cur + prev) & 0xFF
+        elif f == 1:                    # Sub — recursive in x
+            rec = cur.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:                    # Average
+            rec = cur.copy()
+            rec[:bpp] = (rec[:bpp] + (prev[:bpp] >> 1)) & 0xFF
+            for x in range(bpp, stride):
+                rec[x] = (rec[x]
+                          + ((rec[x - bpp] + prev[x]) >> 1)) & 0xFF
+        elif f == 4:                    # Paeth
+            rec = cur.copy()
+            rec[:bpp] = (rec[:bpp] + prev[:bpp]) & 0xFF  # a=c=0 ⇒ b
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + _paeth(int(rec[x - bpp]),
+                                          int(prev[x]),
+                                          int(prev[x - bpp]))) & 0xFF
+        else:
+            raise PngError(f"unknown PNG filter type {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG to (h, w, 3) uint8 RGB. Raises ``PngError`` on
+    malformed input, ``NotImplementedError`` for Adam7 interlacing."""
+    if payload[:8] != _SIG:
+        raise PngError("not a PNG payload (missing signature)")
+    pos = 8
+    n = len(payload)
+    ihdr = None
+    palette = None
+    idat = []
+    while pos + 8 <= n:
+        length, ctype = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > n:
+            raise PngError("truncated PNG chunk")
+        crc = struct.unpack(">I", payload[pos + 8 + length:
+                                          pos + 12 + length])[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise PngError(f"PNG chunk {ctype!r} CRC mismatch")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if comp != 0 or filt != 0:
+                raise PngError("unknown PNG compression/filter method")
+            if interlace == 1:
+                raise NotImplementedError(
+                    "Adam7-interlaced PNG needs a codec library "
+                    "(non-interlaced decodes natively)")
+            if color not in _CHANNELS:
+                raise PngError(f"unknown PNG color type {color}")
+            if depth not in (8, 16) or (color == 3 and depth != 8):
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} for color type {color} "
+                    "needs a codec library (8/16-bit decode natively)")
+            ihdr = (w, h, depth, color)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise PngError("missing IHDR or IDAT")
+    w, h, depth, color = ihdr
+    ch = _CHANNELS[color]
+    bytes_per_sample = depth // 8
+    bpp = ch * bytes_per_sample
+    stride = w * bpp
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    except zlib.error as e:
+        raise PngError(f"PNG deflate stream corrupt: {e}") from None
+    px = _unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        px = px.reshape(h, w, ch, 2)[:, :, :, 0]  # high byte ≈ /257
+    else:
+        px = px.reshape(h, w, ch)
+    if color == 3:
+        if palette is None:
+            raise PngError("palette PNG without PLTE")
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise PngError("palette index out of range")
+        return np.ascontiguousarray(palette[idx])
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])   # RGB / RGBA→RGB

@@ -282,8 +282,8 @@ def test_decode_image_bytes_sniffs_jpeg():
     img = _smooth(40, 56, seed=7)
     out = decode_image_bytes(encode_jpeg(img), (20, 28))
     assert out.shape == (20, 28, 3)
-    with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"\x89PNG\r\n\x1a\n....", (8, 8))
+    with pytest.raises(NotImplementedError):  # webp stays the seam
+        decode_image_bytes(b"RIFFxxxxWEBPVP8 ", (8, 8))
 
 
 def test_decode_image_pipeline_with_jpeg(ray_session):

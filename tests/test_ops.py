@@ -174,19 +174,25 @@ def test_attach_media_schema():
 
 
 def test_decode_image_stub_gate():
-    # png/webp remain the codec-library seam (baseline JPEG decodes
-    # natively since r4 — ops/jpeg.py — so a jpeg-magic payload that is
-    # garbage now raises the decoder's typed error, not the seam)
+    # webp/gif remain the codec-library seam (baseline JPEG and
+    # non-interlaced PNG decode natively since r4 — ops/jpeg.py,
+    # ops/png.py — so magic-bytes payloads that are garbage now raise
+    # the decoders' typed errors, not the seam)
     dec = multimodal.DecodeImage(fake=False)
-    png = pa.table({"media": pa.array([b"\x89PNG\r\n\x1a\nxx"],
-                                      pa.binary())})
+    webp = pa.table({"media": pa.array([b"RIFFxxxxWEBPVP8 "],
+                                       pa.binary())})
     with pytest.raises(NotImplementedError):
-        dec(png)
+        dec(webp)
     from parquet_rs_ray.ops.jpeg import JpegError
     bad_jpeg = pa.table({"media": pa.array([b"\xff\xd8fakejpeg"],
                                            pa.binary())})
     with pytest.raises(JpegError):
         dec(bad_jpeg)
+    from parquet_rs_ray.ops.png import PngError
+    bad_png = pa.table({"media": pa.array([b"\x89PNG\r\n\x1a\nxx"],
+                                          pa.binary())})
+    with pytest.raises(PngError):
+        dec(bad_png)
 
 
 def _ppm_bytes(img: np.ndarray, comment: bool = False) -> bytes:
