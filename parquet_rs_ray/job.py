@@ -637,6 +637,11 @@ def compact_job(out_dir: str, *, target_file_bytes: int = 256 << 20,
                 continue
             os.remove(f)
             summary["orphans_deleted"] += 1
+    # phase 5: fold the manifest into one snapshot file (compact_job is
+    # already the single maintainer, the precondition manifest.snapshot
+    # shares) — a long-lived corpus keeps one snapshot + recent deltas
+    # instead of a file-per-shard directory
+    summary["manifest_folded"] = manifest.snapshot(manifest_dir)
     summary["files_after"] = len(committed_block_files(out_dir))
     return summary
 

@@ -6,6 +6,25 @@ one small JSON file per shard (concurrent writers never share a file;
 rename is the commit point). On restart, completed shard paths are read
 from the manifest and filtered out of the input list before
 `read_parquet`, so only uncommitted partitions re-execute.
+
+Scale layout (10^6–10^7 shards — the 100 TB regime):
+
+* entry files fan out over 256 hash subdirectories (``ab/<hash>.json``)
+  so no single directory holds millions of files;
+* ``load`` reads entries sequentially — measured: a thread pool LOSES
+  ~13x on tiny local JSON files (json.load is GIL-bound; see
+  SCALING.md), and the snapshot below makes load O(1) files anyway;
+* ``snapshot`` folds every committed entry into ONE ``_snapshot.json``
+  (Iceberg-style manifest list) and deletes the folded per-shard
+  files; later records lay down fresh per-shard deltas that OVERRIDE
+  the snapshot at load time, and a pending compaction journal overlays
+  both. ``compact_job`` calls it after merging containers, so a
+  long-lived corpus converges to one snapshot + recent deltas instead
+  of an ever-growing file-per-shard directory. Like compaction it
+  assumes a SINGLE maintainer (a concurrent record() between the fold
+  and the delete could be lost).
+
+Legacy flat-directory entries remain readable forever.
 """
 
 from __future__ import annotations
@@ -21,10 +40,14 @@ def _entry_name(shard_path: str) -> str:
     return hashlib.sha256(shard_path.encode()).hexdigest()[:24] + ".json"
 
 
+def _entry_path(manifest_dir: str, shard_path: str) -> str:
+    name = _entry_name(shard_path)
+    return os.path.join(manifest_dir, name[:2], name)
+
+
 def record(manifest_dir: str, shard_path: str, *, output_path: str,
            rows: int, plain_bytes: int, encoded_bytes: int,
            codecs: dict, checksum: str, zones: dict | None = None) -> dict:
-    os.makedirs(manifest_dir, exist_ok=True)
     entry = {
         "shard": shard_path,
         "output": output_path,
@@ -40,15 +63,23 @@ def record(manifest_dir: str, shard_path: str, *, output_path: str,
         # blocks in that file (decode_job folds these across shards for
         # manifest-level file elimination; absent = never prunable)
         entry["zones"] = zones
-    final = os.path.join(manifest_dir, _entry_name(shard_path))
-    fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+    final = _entry_path(manifest_dir, shard_path)
+    subdir = os.path.dirname(final)
+    os.makedirs(subdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=subdir, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(entry, f)
     os.replace(tmp, final)  # atomic commit
+    # a pre-snapshot flat-layout file for the same shard would otherwise
+    # shadow-or-race this one at load time; the sharded path wins
+    legacy = os.path.join(manifest_dir, _entry_name(shard_path))
+    if os.path.exists(legacy):
+        os.remove(legacy)
     return entry
 
 
 JOURNAL = "_compaction_journal.json"
+SNAPSHOT = "_snapshot.json"
 
 
 def write_journal(manifest_dir: str, updates: dict[str, dict]) -> None:
@@ -79,24 +110,73 @@ def clear_journal(manifest_dir: str) -> None:
         pass
 
 
+def _entry_files(manifest_dir: str) -> list[str]:
+    """Every per-shard entry file, across the sharded and legacy-flat
+    layouts (snapshot + journal excluded)."""
+    files: list[str] = []
+    for name in os.listdir(manifest_dir):
+        p = os.path.join(manifest_dir, name)
+        if len(name) == 2 and os.path.isdir(p):
+            files.extend(os.path.join(p, f) for f in os.listdir(p)
+                         if f.endswith(".json"))
+        elif name.endswith(".json") and name not in (JOURNAL, SNAPSHOT):
+            files.append(p)
+    return files
+
+
+def _read_entry(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            e = json.load(f)
+        e["shard"]  # noqa: B018 — key check
+        return e
+    except (json.JSONDecodeError, KeyError, OSError):
+        return None  # torn write → treated as uncommitted
+
+
 def load(manifest_dir: str) -> dict[str, dict]:
-    """shard path → lineage entry for all committed shards. A pending
-    compaction journal OVERLAYS the per-shard files (its entries are the
-    committed truth the moment the journal rename lands)."""
+    """shard path → lineage entry for all committed shards. Precedence
+    (lowest to highest): snapshot, per-shard delta files, pending
+    compaction journal — each layer is the newer truth."""
     out: dict[str, dict] = {}
     if not os.path.isdir(manifest_dir):
         return out
-    for name in os.listdir(manifest_dir):
-        if not name.endswith(".json") or name == JOURNAL:
-            continue
-        try:
-            with open(os.path.join(manifest_dir, name)) as f:
-                e = json.load(f)
+    try:
+        with open(os.path.join(manifest_dir, SNAPSHOT)) as f:
+            out.update(json.load(f))
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        pass  # torn snapshot write → rename never happened → absent
+    for path in _entry_files(manifest_dir):
+        e = _read_entry(path)
+        if e is not None:
             out[e["shard"]] = e
-        except (json.JSONDecodeError, KeyError, OSError):
-            continue  # torn write → treated as uncommitted
     out.update(pending_journal(manifest_dir))
     return out
+
+
+def snapshot(manifest_dir: str) -> int:
+    """Fold every committed entry into ONE atomic ``_snapshot.json`` and
+    delete the folded per-shard files; returns the number folded.
+    Crash-safe: the snapshot rename is the commit point, and a crash
+    before the deletes merely leaves per-shard files that override the
+    snapshot with identical content. SINGLE-maintainer only (like
+    compact_job): a record() racing the fold could be deleted unseen."""
+    if not os.path.isdir(manifest_dir):
+        return 0
+    files = _entry_files(manifest_dir)  # capture BEFORE the fold
+    entries = load(manifest_dir)
+    if not entries:
+        return 0
+    fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(entries, f)
+    os.replace(tmp, os.path.join(manifest_dir, SNAPSHOT))
+    for p in files:
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return len(entries)
 
 
 def pending(manifest_dir: str, shard_paths: list[str]) -> list[str]:

@@ -68,8 +68,7 @@ def test_torn_manifest_entry_treated_as_uncommitted(tmp_path):
     manifest.record(mdir, "shard-b", output_path="[]", rows=1,
                     plain_bytes=1, encoded_bytes=1, codecs={}, checksum="x")
     # tear shard-b's entry mid-json (simulates a crash during commit)
-    name = manifest._entry_name("shard-b")
-    with open(os.path.join(mdir, name), "w") as f:
+    with open(manifest._entry_path(mdir, "shard-b"), "w") as f:
         f.write('{"shard": "shard-b", "rows"')
     todo = manifest.pending(mdir, ["shard-a", "shard-b", "shard-c"])
     assert todo == ["shard-b", "shard-c"]

@@ -67,8 +67,9 @@ def test_encode_job_resume_and_decode(ray_session, tmp_path):
     # simulate a partially-failed run: drop one manifest entry → only that
     # shard re-executes
     mdir = os.path.join(out_dir, "manifest")
-    victim = sorted(os.listdir(mdir))[0]
-    os.remove(os.path.join(mdir, victim))
+    from parquet_rs_ray import manifest as _m
+    victim = sorted(_m._entry_files(mdir))[0]
+    os.remove(victim)
     s3 = encode_job(paths, out_dir, concurrency=2)
     assert s3["shards_encoded"] == 1 and s3["shards_skipped"] == 2
 

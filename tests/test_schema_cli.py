@@ -192,12 +192,12 @@ def test_cli_encode_kill_midrun_resumes(tmp_path):
     import time
     mdir = str(tmp_path / "enc" / "manifest")
     for _ in range(600):
-        if glob.glob(mdir + "/*.json"):
+        if glob.glob(mdir + "/*/*.json"):
             break
         time.sleep(0.1)
     proc.kill()
     proc.wait(timeout=60)
-    committed_before = len(glob.glob(mdir + "/*.json"))
+    committed_before = len(glob.glob(mdir + "/*/*.json"))
     assert 0 < committed_before  # something committed before the kill
     out = subprocess.run(
         [sys.executable, "-m", "parquet_rs_ray.cli", "encode",

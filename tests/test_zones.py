@@ -97,12 +97,13 @@ def test_zone_elimination_end_to_end(ray_session, tmp_path):
     assert len(empty) == 0
 
     # pre-zones manifests (older encode runs) are never eliminated
+    from parquet_rs_ray import manifest as _m
     mdir = os.path.join(out_dir, "manifest")
-    name = sorted(os.listdir(mdir))[0]
-    with open(os.path.join(mdir, name)) as f:
+    path = sorted(_m._entry_files(mdir))[0]
+    with open(path) as f:
         e = json.load(f)
     e.pop("zones")
-    with open(os.path.join(mdir, name), "w") as f:
+    with open(path, "w") as f:
         json.dump(e, f)
     zones2 = committed_zones(out_dir)
     legacy_files = [f for f in json.loads(e["output"]) if f]
