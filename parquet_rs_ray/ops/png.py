@@ -10,9 +10,10 @@ only for the horizontally-recursive Sub/Paeth/Average cases (RFC 2083
 
 Coverage: 8-bit and 16-bit channels, all five color types (gray,
 RGB, palette, gray+alpha, RGBA), tRNS ignored (alpha is dropped to RGB
-at the end anyway), multiple IDAT chunks, CRC validation. Adam7
-interlacing is the one seam left (`NotImplementedError`); it is rare
-on the web and a codec library would slot in unchanged.
+at the end anyway), multiple IDAT chunks, CRC validation, and Adam7
+interlacing (each of the 7 reduced passes unfilters independently and
+scatters into the full raster with one strided assignment). Sub-8-bit
+depths remain the only seam.
 
 Output is (h, w, 3) uint8 RGB (16-bit samples scale down, gray
 replicates, alpha composited over black is NOT applied — alpha is
@@ -87,9 +88,34 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (RFC 2083 §2.6)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _deinterlace(raw: np.ndarray, w: int, h: int,
+                 bpp: int) -> np.ndarray:
+    """Adam7: the stream is 7 independently-filtered reduced images;
+    unfilter each and scatter it into the raster with one strided
+    assignment. Returns (h, w*bpp) bytes, the layout `_unfilter`
+    produces for the non-interlaced stream."""
+    img = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue        # pass empty for this image size: zero bytes
+        stride = pw * bpp
+        sub = _unfilter(raw[pos:pos + ph * (stride + 1)], ph, stride, bpp)
+        pos += ph * (stride + 1)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    return img.reshape(h, w * bpp)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG to (h, w, 3) uint8 RGB. Raises ``PngError`` on
-    malformed input, ``NotImplementedError`` for Adam7 interlacing."""
+    malformed input, ``NotImplementedError`` for sub-8-bit depths."""
     if payload[:8] != _SIG:
         raise PngError("not a PNG payload (missing signature)")
     pos = 8
@@ -112,17 +138,15 @@ def decode_png(payload: bytes) -> np.ndarray:
                 struct.unpack(">IIBBBBB", data)
             if comp != 0 or filt != 0:
                 raise PngError("unknown PNG compression/filter method")
-            if interlace == 1:
-                raise NotImplementedError(
-                    "Adam7-interlaced PNG needs a codec library "
-                    "(non-interlaced decodes natively)")
+            if interlace not in (0, 1):
+                raise PngError(f"unknown PNG interlace method {interlace}")
             if color not in _CHANNELS:
                 raise PngError(f"unknown PNG color type {color}")
             if depth not in (8, 16) or (color == 3 and depth != 8):
                 raise NotImplementedError(
                     f"PNG bit depth {depth} for color type {color} "
                     "needs a codec library (8/16-bit decode natively)")
-            ihdr = (w, h, depth, color)
+            ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -131,7 +155,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             break
     if ihdr is None or not idat:
         raise PngError("missing IHDR or IDAT")
-    w, h, depth, color = ihdr
+    w, h, depth, color, interlace = ihdr
     ch = _CHANNELS[color]
     bytes_per_sample = depth // 8
     bpp = ch * bytes_per_sample
@@ -140,7 +164,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     except zlib.error as e:
         raise PngError(f"PNG deflate stream corrupt: {e}") from None
-    px = _unfilter(raw, h, stride, bpp)
+    if interlace:
+        px = _deinterlace(raw, w, h, bpp)
+    else:
+        px = _unfilter(raw, h, stride, bpp)
     if depth == 16:
         px = px.reshape(h, w, ch, 2)[:, :, :, 0]  # high byte ≈ /257
     else:

@@ -50,33 +50,54 @@ def _filter_row(f: int, cur: np.ndarray, prev: np.ndarray,
     return out.astype(np.uint8)
 
 
-def encode_png(img: np.ndarray, *, color: int, depth: int = 8,
-               filters=None, palette: np.ndarray | None = None) -> bytes:
-    """Minimal PNG encoder (test oracle). ``img``: (h, w, ch) uint8 (or
-    uint16 when depth=16); ``filters``: per-row filter type (default
-    cycles 0..4 to exercise every unfilter kernel)."""
+def _byte_rows(img: np.ndarray, depth: int) -> np.ndarray:
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 else img.shape[2]
     samples = img.reshape(h, w * ch)
     if depth == 16:
         raw = samples.astype(">u2").tobytes()
-        rows = np.frombuffer(raw, np.uint8).reshape(h, w * ch * 2)
-    else:
-        rows = samples.astype(np.uint8)
-    bpp = ch * (depth // 8)
-    stride = rows.shape[1]
-    filters = filters if filters is not None else \
-        [y % 5 for y in range(h)]
+        return np.frombuffer(raw, np.uint8).reshape(h, w * ch * 2)
+    return samples.astype(np.uint8)
+
+
+def _filter_body(rows: np.ndarray, bpp: int, filters) -> bytearray:
     body = bytearray()
-    prev = np.zeros(stride, np.uint8)
-    for y in range(h):
-        f = filters[y]
+    prev = np.zeros(rows.shape[1], np.uint8)
+    for y in range(rows.shape[0]):
+        f = filters[y % len(filters)]
         body.append(f)
         body += _filter_row(f, rows[y], prev, bpp).tobytes()
         prev = rows[y]
+    return body
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def encode_png(img: np.ndarray, *, color: int, depth: int = 8,
+               filters=None, palette: np.ndarray | None = None,
+               interlace: bool = False) -> bytes:
+    """Minimal PNG encoder (test oracle). ``img``: (h, w, ch) uint8 (or
+    uint16 when depth=16); ``filters``: per-row filter type (default
+    cycles 0..4 to exercise every unfilter kernel); ``interlace``
+    emits the 7 Adam7 passes, each filtered independently."""
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    bpp = ch * (depth // 8)
+    filters = filters if filters is not None else list(range(5))
+    if interlace:
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += _filter_body(_byte_rows(sub, depth), bpp, filters)
+    else:
+        body = _filter_body(_byte_rows(img, depth), bpp, filters)
     out = bytearray(b"\x89PNG\r\n\x1a\n")
     out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color,
-                                       0, 0, 0))
+                                       0, 0, int(interlace)))
     if palette is not None:
         out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
     comp = zlib.compress(bytes(body), 6)
@@ -152,13 +173,21 @@ def test_corruption_and_seams():
     enc[i] ^= 0xFF
     with pytest.raises(PngError):
         decode_png(bytes(enc))
-    # Adam7 is the named seam (valid CRC, interlace=1)
+    # truncated Adam7 stream (valid CRCs, too few pass bytes) is a
+    # typed error, not garbage pixels
     interlaced = b"\x89PNG\r\n\x1a\n" + _chunk(
         b"IHDR", struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1)) \
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) \
         + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(PngError):
         decode_png(interlaced)
+    # sub-8-bit depth stays the named seam
+    deep = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 9, 9, 4, 0, 0, 0, 0)) \
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) \
+        + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(deep)
     with pytest.raises(PngError):
         decode_png(b"not a png at all")
     with pytest.raises(PngError):
@@ -172,3 +201,36 @@ def test_decode_image_bytes_sniffs_png():
     assert out.shape == (15, 10, 3)
     with pytest.raises(NotImplementedError):
         decode_image_bytes(b"RIFFxxxxWEBPVP8 ", (8, 8))
+
+
+def test_adam7_rgb_roundtrip_bit_exact():
+    # odd dims so every pass has ragged edges; filters cycle 0-4
+    img = _img(21, 13, 3, seed=10)
+    got = decode_png(encode_png(img, color=2, interlace=True))
+    assert (got == img).all()
+
+
+def test_adam7_all_color_types_and_16bit():
+    g = _img(10, 11, 1, seed=11)
+    got = decode_png(encode_png(g, color=0, interlace=True))
+    assert (got[:, :, 0] == g).all()
+    rgba = _img(9, 17, 4, seed=12)
+    got = decode_png(encode_png(rgba, color=6, interlace=True))
+    assert (got == rgba[:, :, :3]).all()
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, (64, 3)).astype(np.uint8)
+    idx = rng.integers(0, 64, (12, 7)).astype(np.uint8)
+    got = decode_png(encode_png(idx, color=3, palette=palette,
+                                interlace=True))
+    assert (got == palette[idx]).all()
+    img16 = _img(14, 6, 3, seed=14, dtype=np.uint16)
+    got = decode_png(encode_png(img16, color=2, depth=16, interlace=True))
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
+
+
+def test_adam7_tiny_images_with_empty_passes():
+    # below 8x8 several Adam7 passes are empty (zero bytes in stream)
+    for h, w in [(1, 1), (1, 5), (5, 1), (3, 3), (7, 2), (2, 7), (8, 8)]:
+        img = _img(h, w, 3, seed=h * 10 + w)
+        got = decode_png(encode_png(img, color=2, interlace=True))
+        assert (got == img).all(), (h, w)
