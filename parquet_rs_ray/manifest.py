@@ -14,15 +14,19 @@ Scale layout (10^6–10^7 shards — the 100 TB regime):
 * ``load`` reads entries sequentially — measured: a thread pool LOSES
   ~13x on tiny local JSON files (json.load is GIL-bound; see
   SCALING.md), and the snapshot below makes load O(1) files anyway;
-* ``snapshot`` folds every committed entry into ONE ``_snapshot.json``
-  (Iceberg-style manifest list) and deletes the folded per-shard
-  files; later records lay down fresh per-shard deltas that OVERRIDE
-  the snapshot at load time, and a pending compaction journal overlays
-  both. ``compact_job`` calls it after merging containers, so a
-  long-lived corpus converges to one snapshot + recent deltas instead
-  of an ever-growing file-per-shard directory. Like compaction it
-  assumes a SINGLE maintainer (a concurrent record() between the fold
-  and the delete could be lost).
+* ``snapshot`` folds each subdirectory's committed entries into that
+  subdirectory's ``_snapshot.json`` (Iceberg-style manifest list,
+  sharded 256 ways) and deletes the folded per-shard files; later
+  records lay down fresh per-shard deltas that OVERRIDE the snapshot
+  at load time, and a pending compaction journal overlays both.
+  Per-subdir snapshots keep the fold's memory and write amplification
+  at 1/256 of the corpus AND make re-folds incremental: a fold after
+  k fresh deltas rewrites only the subdirectories those deltas hash
+  into, not the whole manifest. ``compact_job`` calls it after merging
+  containers, so a long-lived corpus converges to ≤256 snapshot files
+  + recent deltas instead of a file-per-shard directory. Like
+  compaction it assumes a SINGLE maintainer (a concurrent record()
+  between the fold and the delete could be lost).
 
 Legacy flat-directory entries remain readable forever.
 """
@@ -118,7 +122,7 @@ def _entry_files(manifest_dir: str) -> list[str]:
         p = os.path.join(manifest_dir, name)
         if len(name) == 2 and os.path.isdir(p):
             files.extend(os.path.join(p, f) for f in os.listdir(p)
-                         if f.endswith(".json"))
+                         if f.endswith(".json") and f != SNAPSHOT)
         elif name.endswith(".json") and name not in (JOURNAL, SNAPSHOT):
             files.append(p)
     return files
@@ -134,18 +138,35 @@ def _read_entry(path: str) -> dict | None:
         return None  # torn write → treated as uncommitted
 
 
+def _read_snapshot(path: str) -> dict[str, dict]:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        return {}  # torn snapshot write → rename never happened → absent
+
+
+def _snapshot_files(manifest_dir: str) -> list[str]:
+    """Every snapshot file: the per-subdir ones plus the legacy
+    single-file top-level layout."""
+    out = [os.path.join(manifest_dir, SNAPSHOT)]
+    for name in os.listdir(manifest_dir):
+        p = os.path.join(manifest_dir, name, SNAPSHOT)
+        if len(name) == 2 and os.path.isfile(p):
+            out.append(p)
+    return out
+
+
 def load(manifest_dir: str) -> dict[str, dict]:
     """shard path → lineage entry for all committed shards. Precedence
-    (lowest to highest): snapshot, per-shard delta files, pending
-    compaction journal — each layer is the newer truth."""
+    (lowest to highest): snapshots (legacy top-level, then per-subdir),
+    per-shard delta files, pending compaction journal — each layer is
+    the newer truth."""
     out: dict[str, dict] = {}
     if not os.path.isdir(manifest_dir):
         return out
-    try:
-        with open(os.path.join(manifest_dir, SNAPSHOT)) as f:
-            out.update(json.load(f))
-    except (FileNotFoundError, json.JSONDecodeError, OSError):
-        pass  # torn snapshot write → rename never happened → absent
+    for snap in _snapshot_files(manifest_dir):
+        out.update(_read_snapshot(snap))
     for path in _entry_files(manifest_dir):
         e = _read_entry(path)
         if e is not None:
@@ -155,28 +176,66 @@ def load(manifest_dir: str) -> dict[str, dict]:
 
 
 def snapshot(manifest_dir: str) -> int:
-    """Fold every committed entry into ONE atomic ``_snapshot.json`` and
-    delete the folded per-shard files; returns the number folded.
-    Crash-safe: the snapshot rename is the commit point, and a crash
-    before the deletes merely leaves per-shard files that override the
-    snapshot with identical content. SINGLE-maintainer only (like
-    compact_job): a record() racing the fold could be deleted unseen."""
+    """Fold committed entries into per-subdirectory ``_snapshot.json``
+    files and delete the folded per-shard files; returns the number of
+    entries now covered by snapshots. Incremental: a subdirectory with
+    no fresh deltas (and no legacy contributions) is left untouched, so
+    re-folding after k deltas rewrites only the ≤k subdirs they hash
+    into. Crash-safe: each snapshot rename is a commit point, and a
+    crash before the deletes merely leaves per-shard files that
+    override their subdir's snapshot with identical content.
+    SINGLE-maintainer only (like compact_job): a record() racing the
+    fold could be deleted unseen."""
     if not os.path.isdir(manifest_dir):
         return 0
-    files = _entry_files(manifest_dir)  # capture BEFORE the fold
-    entries = load(manifest_dir)
-    if not entries:
-        return 0
-    fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(entries, f)
-    os.replace(tmp, os.path.join(manifest_dir, SNAPSHOT))
-    for p in files:
+    top_snap_path = os.path.join(manifest_dir, SNAPSHOT)
+    legacy = _read_snapshot(top_snap_path)          # pre-sharded layout
+    journal = pending_journal(manifest_dir)
+    # group every override source by its 2-hex subdir
+    by_sub: dict[str, dict[str, dict]] = {}        # sub → shard → entry
+    files_by_sub: dict[str, list[str]] = {}        # sub → files to fold
+    for src in (legacy, journal):
+        for shard, e in src.items():
+            by_sub.setdefault(_entry_name(shard)[:2], {})[shard] = e
+    for path in _entry_files(manifest_dir):
+        e = _read_entry(path)
+        if e is None:
+            continue  # torn write: uncommitted; leave the file in place
+        sub = _entry_name(e["shard"])[:2]
+        # delta files beat the legacy snapshot but not the journal
+        prev = by_sub.setdefault(sub, {})
+        if e["shard"] not in journal:
+            prev[e["shard"]] = e
+        files_by_sub.setdefault(sub, []).append(path)
+    total = 0
+    for sub, merged in by_sub.items():
+        subdir = os.path.join(manifest_dir, sub)
+        os.makedirs(subdir, exist_ok=True)
+        full = dict(_read_snapshot(os.path.join(subdir, SNAPSHOT)))
+        full.update(merged)
+        fd, tmp = tempfile.mkstemp(dir=subdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(full, f)
+        os.replace(tmp, os.path.join(subdir, SNAPSHOT))
+        for p in files_by_sub.get(sub, ()):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+        total += len(full)
+    # untouched subdirs' snapshots still count toward coverage
+    touched = set(by_sub)
+    for snap in _snapshot_files(manifest_dir):
+        sub = os.path.basename(os.path.dirname(snap))
+        if snap != top_snap_path and sub not in touched:
+            total += len(_read_snapshot(snap))
+    # the legacy top-level snapshot is fully redistributed above
+    if legacy:
         try:
-            os.remove(p)
+            os.remove(top_snap_path)
         except FileNotFoundError:
             pass
-    return len(entries)
+    return total
 
 
 def pending(manifest_dir: str, shard_paths: list[str]) -> list[str]:

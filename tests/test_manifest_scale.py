@@ -58,7 +58,10 @@ def test_snapshot_folds_and_deltas_override(tmp_path):
         _rec(mdir, f"/s/{i}.parquet", rows=i)
     n = manifest.snapshot(mdir)
     assert n == 20
-    assert os.path.exists(os.path.join(mdir, manifest.SNAPSHOT))
+    # snapshots are per-subdir (bounded fold memory, incremental refold)
+    subsnaps = [p for p in manifest._snapshot_files(mdir)
+                if os.path.isfile(p)]
+    assert subsnaps and all(os.path.dirname(p) != mdir for p in subsnaps)
     assert not manifest._entry_files(mdir)      # all folded
     loaded = manifest.load(mdir)
     assert len(loaded) == 20 and loaded["/s/7.parquet"]["rows"] == 7
@@ -70,9 +73,18 @@ def test_snapshot_folds_and_deltas_override(tmp_path):
         manifest.load(mdir)["/s/7.parquet"], rows=-1)})
     assert manifest.load(mdir)["/s/7.parquet"]["rows"] == -1
     manifest.clear_journal(mdir)
-    # snapshot again: folds the delta in, idempotent after
+    # snapshot again: folds the delta in (rewriting ONLY its subdir),
+    # idempotent after
+    import time
+    mtimes = {p: os.path.getmtime(p) for p in manifest._snapshot_files(mdir)
+              if os.path.isfile(p)}
+    time.sleep(0.02)
     assert manifest.snapshot(mdir) == 20
     assert manifest.load(mdir)["/s/7.parquet"]["rows"] == 777
+    delta_sub = manifest._entry_name("/s/7.parquet")[:2]
+    for p, m in mtimes.items():
+        touched = os.path.getmtime(p) != m
+        assert touched == (os.path.basename(os.path.dirname(p)) == delta_sub)
 
 
 def test_resume_skips_snapshotted_shards(ray_session, tmp_path):
@@ -106,7 +118,28 @@ def test_compact_job_writes_snapshot(ray_session, tmp_path):
         .reset_index(drop=True)
     s = compact_job(out, target_file_bytes=1 << 30)
     assert s["manifest_folded"] == 3
-    assert os.path.exists(os.path.join(out, "manifest", manifest.SNAPSHOT))
+    mdir = os.path.join(out, "manifest")
+    assert any(os.path.isfile(p) for p in manifest._snapshot_files(mdir))
+    assert not manifest._entry_files(mdir)
     got = decode_job(out).to_pandas().sort_values("url") \
         .reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_legacy_toplevel_snapshot_migrates(tmp_path):
+    mdir = str(tmp_path / "m")
+    os.makedirs(mdir)
+    legacy = {f"/s/{i}.parquet": {
+        "shard": f"/s/{i}.parquet", "output": '["x"]', "rows": i,
+        "plain_bytes": 1, "encoded_bytes": 1, "codecs": {},
+        "checksum": "c", "committed_at": 0} for i in range(10)}
+    with open(os.path.join(mdir, manifest.SNAPSHOT), "w") as f:
+        json.dump(legacy, f)
+    assert len(manifest.load(mdir)) == 10          # readable pre-fold
+    _rec(mdir, "/s/3.parquet", rows=33)            # delta beats it
+    assert manifest.load(mdir)["/s/3.parquet"]["rows"] == 33
+    assert manifest.snapshot(mdir) == 10
+    # redistributed into per-subdir snapshots; top-level file gone
+    assert not os.path.exists(os.path.join(mdir, manifest.SNAPSHOT))
+    loaded = manifest.load(mdir)
+    assert len(loaded) == 10 and loaded["/s/3.parquet"]["rows"] == 33
