@@ -1,26 +1,30 @@
-"""Baseline JPEG decode in pure numpy — no codec library.
+"""JPEG decode in pure numpy — no codec library.
 
-Covers the format that dominates web image payloads: baseline
-sequential DCT (SOF0), 8-bit, Huffman-coded (ITU-T T.81 annex F),
-grayscale or YCbCr with any of the common sampling factors (4:4:4,
-4:2:2, 4:2:0), restart markers, multi-table DQT/DHT segments. The
-entropy decode is a scalar loop with a 16-bit prefix LUT per Huffman
-table (Huffman is inherently sequential); everything after it —
-dequantize, dezigzag, IDCT, upsample, color convert — is vectorized
-numpy over all blocks at once. This is the BASELINE correctness
-kernel behind the multimodal seam (`DecodeImage`): progressive
-(SOF2), arithmetic-coded, 12-bit and CMYK streams still raise the
-named ``NotImplementedError`` seam, and a production deployment would
-swap in a codec library for throughput; the Ray-side plumbing is
-identical either way. Measured: ~35 ms per 4:2:0 224×224 image
-(~30 img/s/core; 68 ms at 4:4:4) — decode-bound per payload, which is
-exactly what the actor-pool stage's small batch_size assumes.
+Covers the formats that dominate web image payloads: baseline
+sequential DCT (SOF0/1) AND progressive DCT (SOF2), 8-bit,
+Huffman-coded (ITU-T T.81 annex F resp. G.2), grayscale or YCbCr with
+any of the common sampling factors (4:4:4, 4:2:2, 4:2:0), interleaved
+and non-interleaved (multi-scan) component layout, spectral selection
++ successive approximation (DC/AC first and refinement scans, EOB-run
+coding), restart markers, multi-table DQT/DHT segments. The entropy
+decode is a scalar loop with a 16-bit prefix LUT per Huffman table
+(Huffman is inherently sequential); everything after it — dequantize,
+dezigzag, IDCT, upsample, color convert — is vectorized numpy over
+all blocks at once. This is the correctness kernel behind the
+multimodal seam (`DecodeImage`): arithmetic-coded, hierarchical,
+12-bit and CMYK streams still raise the named ``NotImplementedError``
+seam, and a production deployment would swap in a codec library for
+throughput; the Ray-side plumbing is identical either way. Measured:
+~35 ms per 4:2:0 224×224 baseline image (~30 img/s/core; 68 ms at
+4:4:4) — decode-bound per payload, which is exactly what the
+actor-pool stage's small batch_size assumes.
 
-Structure mirrors the classic decoder pipeline (T.81 §E/F): marker
-parse → per-scan entropy decode to coefficient blocks → batched
-inverse transforms. Plays the role the reference's decoders module
-plays for parquet pages (`/root/reference/src/encodings/decoding.rs`):
-a from-scratch, spec-anchored decode path with typed errors.
+Structure mirrors the classic decoder pipeline (T.81 §E/F/G): marker
+parse → per-scan entropy decode into persistent coefficient planes →
+batched inverse transforms after the last scan. Plays the role the
+reference's decoders module plays for parquet pages
+(`/root/reference/src/encodings/decoding.rs`): a from-scratch,
+spec-anchored decode path with typed errors.
 """
 
 from __future__ import annotations
@@ -72,8 +76,11 @@ class _HuffTable:
 
 class _BitReader:
     """MSB-first bit reader over the UNSTUFFED entropy bytes of one
-    restart segment (T.81 F.2.2.5); reads past the end yield zero bits
-    (the final EOB's magnitude bits may legally touch the boundary)."""
+    restart segment (T.81 F.2.2.5). A legal stream's final symbol may
+    peek up to 2 bytes past the end (zero bits are supplied), but a
+    TRUNCATED stream would otherwise decode runs of phantom zero bits
+    as valid Huffman symbols silently — so reading more than 8 phantom
+    bytes raises instead."""
 
     __slots__ = ("data", "pos", "acc", "nbits")
 
@@ -85,7 +92,12 @@ class _BitReader:
 
     def _fill(self, need: int) -> None:
         while self.nbits < need:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            if self.pos < len(self.data):
+                b = self.data[self.pos]
+            else:
+                if self.pos - len(self.data) > 8:
+                    raise JpegError("entropy stream exhausted (truncated)")
+                b = 0
             self.pos += 1
             self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
             self.nbits += 8
@@ -148,10 +160,10 @@ def _unstuff(data: bytes) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array (grayscale
-    replicates into 3 channels). Raises ``JpegError`` for malformed
-    streams and ``NotImplementedError`` (the codec seam) for
-    progressive/arithmetic/12-bit/CMYK variants."""
+    """Decode a baseline or progressive JPEG to an (h, w, 3) uint8 RGB
+    array (grayscale replicates into 3 channels). Raises ``JpegError``
+    for malformed streams and ``NotImplementedError`` (the codec seam)
+    for arithmetic/hierarchical/12-bit/CMYK variants."""
     if payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -159,6 +171,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    scans_done = 0
     i = 2
     n = len(payload)
     while i < n:
@@ -198,7 +211,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
                     counts, syms)
                 p += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(
@@ -214,95 +227,241 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            # persistent coefficient planes (zigzag order), MCU-padded
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"] = -(-w // (8 * hmax))
+            frame["mcuy"] = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = frame["mcux"] * c["h"]
+                c["coef"] = np.zeros(
+                    (frame["mcuy"] * c["v"] * c["bw"], 64), np.int32)
+                # non-interleaved block grid (T.81 A.2.2: ceil of the
+                # component's true sample dims, NOT the MCU-padded grid)
+                c["nbx"] = -(-(-(-w * c["h"] // hmax)) // 8)
+                c["nby"] = -(-(-(-h * c["v"] // vmax)) // 8)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended/arithmetic JPEG needs a codec "
-                "library (baseline SOF0 decodes natively)")
+                "lossless/arithmetic/hierarchical JPEG needs a codec "
+                "library (baseline SOF0/1 and progressive SOF2 decode "
+                "natively)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scan_comps = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c:3 + 2 * c]
-                scan[cs] = (tt >> 4, tt & 15)
+                comp = next((x for x in frame["comps"] if x["id"] == cs),
+                            None)
+                if comp is None:
+                    raise JpegError(f"scan names unknown component {cs}")
+                scan_comps.append((comp, tt >> 4, tt & 15))
+            ss, se, a = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = a >> 4, a & 15
             segs, used = _unstuff(payload[i:])
             i += used
-            return _decode_scan(frame, scan, qt, huff_dc, huff_ac,
-                                restart_interval, segs)
+            _entropy_scan(frame, scan_comps, ss, se, ah, al,
+                          huff_dc, huff_ac, restart_interval, segs)
+            scans_done += 1
         # APPn / COM / others: skipped
-    raise JpegError("no scan data (missing SOS)")
+    if frame is None or scans_done == 0:
+        raise JpegError("no scan data (missing SOS)")
+    return _reconstruct(frame, qt)
 
 
-def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval,
-                 segs: list[bytes]) -> np.ndarray:
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
-    for c in comps:
-        c["bw"] = mcux * c["h"]           # block-grid width
-        c["coef"] = np.zeros((mcuy * c["v"] * c["bw"], 64), np.int32)
-        if c["tq"] not in qt:
-            raise JpegError(f"missing quantization table {c['tq']}")
-        dc_id, ac_id = scan.get(c["id"], (None, None))
-        if dc_id is None:
-            raise NotImplementedError(
-                "multi-scan (non-interleaved) JPEG needs a codec library")
-        if dc_id not in huff_dc or ac_id not in huff_ac:
-            raise JpegError("missing Huffman table for scan")
-        c["dct"], c["act"] = huff_dc[dc_id], huff_ac[ac_id]
+def _decode_block_seq(br, blk, dct, act, pred, cid):
+    """Sequential DC+AC block decode (T.81 F.2.2)."""
+    s = _decode_sym(br, dct)
+    if s > 11:
+        raise JpegError("DC magnitude > 11")
+    diff = _extend(br.receive(s), s) if s else 0
+    pred[cid] += diff
+    blk[0] = pred[cid]
+    k = 1
+    while k <= 63:
+        rs = _decode_sym(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break           # EOB
+            k += 16             # ZRL
+            continue
+        k += r
+        if k > 63:
+            raise JpegError("AC run past block end")
+        blk[k] = _extend(br.receive(s), s)
+        k += 1
 
-    # entropy decode (T.81 F.2.2): scalar MCU loop, restart-segmented
-    per_seg = restart_interval or n_mcu
-    mcu = 0
+
+def _decode_block_ac_first(br, blk, act, ss, se, al, eobrun):
+    """Progressive AC first scan (T.81 G.1.2.2, EOB-run coded);
+    returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1       # block is all-zero in this band
+    k = ss
+    while k <= se:
+        rs = _decode_sym(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16         # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break               # EOBn: this block done
+        k += r
+        if k > se:
+            raise JpegError("AC run past spectral band end")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_block_ac_refine(br, blk, act, ss, se, al, eobrun):
+    """Progressive AC refinement scan (T.81 G.1.2.3): one correction
+    bit per already-nonzero coefficient traversed, newly-nonzero
+    coefficients enter as ±1<<al; returns the updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_sym(br, act)
+            r, s = rs >> 4, rs & 15
+            coef = 0
+            if s == 0:
+                if r < 15:      # EOBn — run INCLUDES this block, which
+                    eobrun = 1 << r      # still gets correction bits below
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15 (ZRL): pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("AC refinement size must be 1")
+                coef = p1 if br.receive(1) else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.receive(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if coef and k <= se:
+                blk[k] = coef
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            if blk[k] != 0 and br.receive(1) and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _entropy_scan(frame, scan_comps, ss, se, ah, al, huff_dc, huff_ac,
+                  restart_interval, segs: list[bytes]) -> None:
+    """Decode one scan's entropy data into the frame's persistent
+    coefficient planes. Handles sequential scans (interleaved or
+    single-component) and all four progressive scan kinds."""
+    progressive = frame["progressive"]
+    mcux = frame["mcux"]
+    if progressive:
+        dc_scan = ss == 0
+        if dc_scan and se != 0:
+            raise JpegError("progressive DC scan must have Se=0")
+        if not dc_scan and len(scan_comps) != 1:
+            raise JpegError("progressive AC scan must be single-component")
+        refine = ah != 0
+    else:
+        dc_scan = refine = False
+    # resolve entropy tables (refinement DC scans use none; AC scans no DC)
+    units = []  # (comp, dct, act)
+    for comp, dc_id, ac_id in scan_comps:
+        dct = act = None
+        if not progressive or (dc_scan and not refine):
+            if dc_id not in huff_dc:
+                raise JpegError("missing DC Huffman table for scan")
+            dct = huff_dc[dc_id]
+        if not progressive or not dc_scan:
+            if ac_id not in huff_ac:
+                raise JpegError("missing AC Huffman table for scan")
+            act = huff_ac[ac_id]
+        units.append((comp, dct, act))
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_units = mcux * frame["mcuy"]
+    else:
+        comp = scan_comps[0][0]
+        n_units = comp["nbx"] * comp["nby"]
+    per_seg = restart_interval or n_units
+    unit = 0
     for seg in segs:
-        if mcu >= n_mcu:
+        if unit >= n_units:
             break
         br = _BitReader(seg)
-        pred = {c["id"]: 0 for c in comps}
-        for _ in range(min(per_seg, n_mcu - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for c in comps:
-                for v in range(c["v"]):
-                    for hh in range(c["h"]):
-                        row = (my * c["v"] + v) * c["bw"] \
-                            + mx * c["h"] + hh
-                        blk = c["coef"][row]
-                        s = _decode_sym(br, c["dct"])
-                        if s > 11:
-                            raise JpegError("DC magnitude > 11")
-                        diff = _extend(br.receive(s), s) if s else 0
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k <= 63:
-                            rs = _decode_sym(br, c["act"])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r != 15:
-                                    break       # EOB
-                                k += 16         # ZRL
-                                continue
-                            k += r
-                            if k > 63:
-                                raise JpegError("AC run past block end")
-                            blk[k] = _extend(br.receive(s), s)
-                            k += 1
-            mcu += 1
-    if mcu < n_mcu:
+        pred = {c["id"]: 0 for c, _, _ in scan_comps}
+        eobrun = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                blocks = []
+                for comp, dct, act in units:
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            row = (my * comp["v"] + v) * comp["bw"] \
+                                + mx * comp["h"] + hh
+                            blocks.append((comp, dct, act,
+                                           comp["coef"][row]))
+            else:
+                comp, dct, act = units[0]
+                by, bx = divmod(unit, comp["nbx"])
+                blocks = [(comp, dct, act,
+                           comp["coef"][by * comp["bw"] + bx])]
+            for comp, dct, act, blk in blocks:
+                if not progressive:
+                    _decode_block_seq(br, blk, dct, act, pred, comp["id"])
+                elif dc_scan and not refine:
+                    s = _decode_sym(br, dct)
+                    if s > 11:
+                        raise JpegError("DC magnitude > 11")
+                    diff = _extend(br.receive(s), s) if s else 0
+                    pred[comp["id"]] += diff
+                    blk[0] = pred[comp["id"]] << al
+                elif dc_scan:
+                    blk[0] |= br.receive(1) << al
+                elif not refine:
+                    eobrun = _decode_block_ac_first(
+                        br, blk, act, ss, se, al, eobrun)
+                else:
+                    eobrun = _decode_block_ac_refine(
+                        br, blk, act, ss, se, al, eobrun)
+            unit += 1
+    if unit < n_units:
         raise JpegError(
-            f"truncated entropy stream: {mcu}/{n_mcu} MCUs decoded")
+            f"truncated entropy stream: {unit}/{n_units} units decoded")
 
-    # batched inverse path: dequantize → dezigzag → IDCT → level shift
+
+def _reconstruct(frame, qt) -> np.ndarray:
+    """Batched inverse path over the accumulated coefficient planes:
+    dequantize → dezigzag → IDCT → level shift → upsample → RGB."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, mcuy = frame["hmax"], frame["vmax"], frame["mcuy"]
     planes = []
     for c in comps:
+        if c["tq"] not in qt:
+            raise JpegError(f"missing quantization table {c['tq']}")
         deq = c["coef"] * qt[c["tq"]][np.newaxis, :]
         blocks = np.zeros_like(deq)
         blocks[:, _ZIGZAG] = deq            # zigzag -> raster

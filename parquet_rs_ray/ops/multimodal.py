@@ -157,8 +157,9 @@ def _resize_nearest(img: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
 def decode_image_bytes(payload: bytes,
                        target_hw: tuple[int, int]) -> np.ndarray:
     """Sniff + decode + resize one image payload. PPM/PGM/BMP and
-    baseline JPEG (the dominant web format — see ops/jpeg.py) decode
-    for real (pure numpy); anything else is the codec-library seam."""
+    baseline AND progressive JPEG (the dominant web format — see
+    ops/jpeg.py) decode for real (pure numpy); anything else is the
+    codec-library seam."""
     if payload[:2] in (b"P6", b"P5"):
         img = _decode_ppm(payload)
     elif payload[:2] == b"BM":
@@ -172,7 +173,7 @@ def decode_image_bytes(payload: bytes,
     else:
         raise NotImplementedError(
             "webp/gif/etc. need a codec library (Pillow/OpenCV) that is "
-            "not in this container; PPM/PGM/BMP, baseline JPEG and "
+            "not in this container; PPM/PGM/BMP, JPEG and "
             "non-interlaced PNG decode natively, or pass fake=True for "
             "the deterministic stub")
     return np.ascontiguousarray(_resize_nearest(img, target_hw))

@@ -66,10 +66,9 @@ def _build_tables(used: set[int]):
     return bytes(counts), bytes(syms), codes
 
 
-def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
-                restart_interval: int = 0, qval: int = 4) -> bytes:
-    """Baseline JPEG encoder (test oracle). ``img`` is (h, w, 3) uint8
-    RGB or (h, w) grayscale; ``subsample`` uses 4:2:0 luma 2×2."""
+def _prepare_blocks(img: np.ndarray, subsample: bool, qval: int):
+    """FDCT + quantize + zigzag shared by both test encoders; returns
+    (comp_blocks, h, w, qt, mcux, mcuy, hmax, vmax)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if gray:
@@ -109,6 +108,15 @@ def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
         for k in range(64):
             zz[:, k] = q[:, _ZIGZAG[k]]
         comp_blocks.append((zz.reshape(bh, bw, 64), ch, cv, bw))
+    return comp_blocks, h, w, qt, mcux, mcuy, hmax, vmax
+
+
+def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
+                restart_interval: int = 0, qval: int = 4) -> bytes:
+    """Baseline JPEG encoder (test oracle). ``img`` is (h, w, 3) uint8
+    RGB or (h, w) grayscale; ``subsample`` uses 4:2:0 luma 2×2."""
+    comp_blocks, h, w, qt, mcux, mcuy, hmax, vmax = \
+        _prepare_blocks(img, subsample, qval)
 
     def tokens():
         """(class, tid, symbol, magnitude, magbits) in scan order; DC
@@ -195,6 +203,172 @@ def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
     return bytes(out)
 
 
+def encode_progressive_jpeg(img: np.ndarray, *, subsample: bool = False,
+                            qval: int = 4) -> bytes:
+    """Progressive JPEG encoder (test oracle): SOF2 with a libjpeg-like
+    scan script — interleaved DC first (Al=1) + DC refinement, per-
+    component AC spectral bands at Al=2, then two AC refinement passes
+    (Al=1, Al=0). Exercises EOB runs, ZRL-in-refinement, sign bits and
+    interleaved correction bits (T.81 G.1.2)."""
+    comp_blocks, h, w, qt, mcux, mcuy, hmax, vmax = \
+        _prepare_blocks(img, subsample, qval)
+    nc = len(comp_blocks)
+    grids = []                            # per comp: (nbx, nby)
+    for zz, ch, cv, bw in comp_blocks:
+        nbx = -(-(-(-w * ch // hmax)) // 8)
+        nby = -(-(-(-h * cv // vmax)) // 8)
+        grids.append((nbx, nby))
+
+    def dc_scan_blocks():
+        """Blocks of the (interleaved if nc>1) DC scan, in scan order."""
+        if nc == 1:
+            zz, ch, cv, bw = comp_blocks[0]
+            nbx, nby = grids[0]
+            for by in range(nby):
+                for bx in range(nbx):
+                    yield 0, zz[by, bx]
+        else:
+            for mcu in range(mcux * mcuy):
+                my, mx = divmod(mcu, mcux)
+                for ci, (zz, ch, cv, bw) in enumerate(comp_blocks):
+                    for v in range(cv):
+                        for hh in range(ch):
+                            yield ci, zz[my * cv + v, mx * ch + hh]
+
+    def dc_first_tokens(al):
+        toks = []
+        pred = [0] * nc
+        for ci, blk in dc_scan_blocks():
+            tid = 0 if ci == 0 else 1
+            dc = int(blk[0]) >> al        # arithmetic shift (T.81 G.1.1)
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            sz = _cat(diff)
+            toks.append(("S", 0, tid, sz))
+            if sz:
+                toks.append(("B", _mag(diff, sz), sz))
+        return toks
+
+    def dc_refine_tokens(al):
+        return [("B", (int(blk[0]) >> al) & 1, 1)
+                for _ci, blk in dc_scan_blocks()]
+
+    def ac_first_tokens(ci, ss, se, al):
+        zz, ch, cv, bw = comp_blocks[ci]
+        nbx, nby = grids[ci]
+        tid = 0 if ci == 0 else 1
+        toks = []
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = zz[by, bx]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    a = abs(v) >> al
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r >= 16:
+                        toks.append(("S", 1, tid, 0xF0))
+                        r -= 16
+                    sv = a if v >= 0 else -a
+                    sz = _cat(sv)
+                    toks.append(("S", 1, tid, (r << 4) | sz))
+                    toks.append(("B", _mag(sv, sz), sz))
+                    r = 0
+                if r > 0:
+                    toks.append(("S", 1, tid, 0x00))     # EOB0
+        return toks
+
+    def ac_refine_tokens(ci, ss, se, ah, al):
+        zz, ch, cv, bw = comp_blocks[ci]
+        nbx, nby = grids[ci]
+        tid = 0 if ci == 0 else 1
+        toks = []
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = zz[by, bx]
+                a = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eob = max((i for i, v in enumerate(a) if v == 1),
+                          default=-1)
+                r = 0
+                br_bits = []
+                for i, av in enumerate(a):
+                    if av == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        toks.append(("S", 1, tid, 0xF0))
+                        r -= 16
+                        toks.extend(("B", b, 1) for b in br_bits)
+                        br_bits = []
+                    if av > 1:            # history-nonzero: correction bit
+                        br_bits.append(av & 1)
+                        continue
+                    # newly-nonzero: symbol, sign, then buffered bits
+                    toks.append(("S", 1, tid, (r << 4) | 1))
+                    toks.append(("B", 1 if int(blk[ss + i]) >= 0 else 0, 1))
+                    toks.extend(("B", b, 1) for b in br_bits)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    toks.append(("S", 1, tid, 0x00))     # EOB0
+                    toks.extend(("B", b, 1) for b in br_bits)
+        return toks
+
+    # scan script (header fields, token list)
+    all_comps = list(range(nc))
+    scans = [((all_comps, 0, 0, 0, 1), dc_first_tokens(1))]
+    for ci in all_comps:
+        scans.append((([ci], 1, 5, 0, 2), ac_first_tokens(ci, 1, 5, 2)))
+    for ci in all_comps:
+        scans.append((([ci], 6, 63, 0, 2), ac_first_tokens(ci, 6, 63, 2)))
+    for ci in all_comps:
+        scans.append((([ci], 1, 63, 2, 1),
+                      ac_refine_tokens(ci, 1, 63, 2, 1)))
+    for ci in all_comps:
+        scans.append((([ci], 1, 63, 1, 0),
+                      ac_refine_tokens(ci, 1, 63, 1, 0)))
+    scans.append(((all_comps, 0, 0, 1, 0), dc_refine_tokens(0)))
+
+    used: dict[tuple, set] = {}
+    for _hdr, toks in scans:
+        for t in toks:
+            if t[0] == "S":
+                used.setdefault((t[1], t[2]), set()).add(t[3])
+    tables = {k: _build_tables(v) for k, v in used.items()}
+
+    out = bytearray(b"\xff\xd8")
+    dqt_zz = bytes(int(qt[_ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + dqt_zz
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for ci, (_z, ch, cv, _b) in enumerate(comp_blocks):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    for (cls, tid), (counts, syms, _c) in sorted(tables.items()):
+        seg = bytes([(cls << 4) | tid]) + counts + syms
+        out += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
+    for (comps_in, ss, se, ah, al), toks in scans:
+        sos = bytes([len(comps_in)])
+        for ci in comps_in:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+        bw_ = _BitWriter()
+        for t in toks:
+            if t[0] == "S":
+                code, length = tables[(t[1], t[2])][2][t[3]]
+                bw_.write(code, length)
+            else:
+                bw_.write(t[1], t[2])
+        bw_.flush()
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _smooth(h, w, seed=0):
     """Low-frequency test image (JPEG-friendly: quantization error
     stays small, so PSNR cleanly separates correct from broken)."""
@@ -263,11 +437,11 @@ def test_decode_is_deterministic_golden():
         hashlib.blake2b(d2.tobytes()).digest()
 
 
-def test_progressive_and_truncation_raise():
+def test_seams_and_truncation_raise():
     img = _smooth(16, 16, seed=6)
     enc = bytearray(encode_jpeg(img))
     i = enc.index(b"\xff\xc0")
-    enc[i + 1] = 0xC2                   # pretend progressive
+    enc[i + 1] = 0xC9                   # arithmetic coding: the seam
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(enc))
     enc2 = encode_jpeg(img)
@@ -275,6 +449,62 @@ def test_progressive_and_truncation_raise():
         decode_jpeg(enc2[: len(enc2) // 2])
     with pytest.raises(JpegError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_progressive_roundtrip_444():
+    img = _smooth(64, 48, seed=20)
+    enc = encode_progressive_jpeg(img)
+    got = decode_jpeg(enc)
+    assert got.shape == img.shape
+    assert _psnr(img, got) > 32, _psnr(img, got)
+    # progressive and baseline decode the SAME quantized coefficients,
+    # so the reconstructions must be bit-identical
+    base = decode_jpeg(encode_jpeg(img))
+    assert (got == base).all()
+
+
+def test_progressive_roundtrip_odd_and_gray():
+    img = _smooth(17, 13, seed=21)
+    got = decode_jpeg(encode_progressive_jpeg(img))
+    assert (got == decode_jpeg(encode_jpeg(img))).all()
+    g = _smooth(23, 31, seed=22)[:, :, 0]
+    got = decode_jpeg(encode_progressive_jpeg(g))
+    assert (got == decode_jpeg(encode_jpeg(g))).all()
+
+
+def test_progressive_roundtrip_420_subsampled():
+    # 4:2:0 makes the AC scans run on a chroma block grid narrower than
+    # the MCU-padded plane — exercises the non-interleaved geometry
+    img = _smooth(56, 72, seed=23)
+    got = decode_jpeg(encode_progressive_jpeg(img, subsample=True))
+    assert (got == decode_jpeg(encode_jpeg(img, subsample=True))).all()
+
+
+def test_progressive_sparse_and_extreme_blocks():
+    # near-flat image: almost all AC zero -> EOB-run paths dominate;
+    # plus a few hot pixels to force ZRL inside refinement scans
+    img = np.full((40, 40, 3), 128, np.uint8)
+    img[3, 5] = (255, 0, 255)
+    img[20, 20] = (0, 255, 0)
+    img[39, 39] = (255, 255, 255)
+    got = decode_jpeg(encode_progressive_jpeg(img, qval=2))
+    base = decode_jpeg(encode_jpeg(img, qval=2))
+    assert (got == base).all()
+
+
+def test_progressive_truncated_scan_raises():
+    """A cut INSIDE a scan's entropy data is a typed error (the phantom
+    zero-bit cap fires); a cut BETWEEN scans decodes the prefix — that
+    partial-render property is what progressive JPEG is for."""
+    img = _smooth(32, 32, seed=24)
+    enc = encode_progressive_jpeg(img)
+    first_sos = enc.index(b"\xff\xda")
+    with pytest.raises(JpegError):
+        decode_jpeg(enc[: first_sos + 20])   # mid-DC-scan entropy
+    # prefix ending exactly at the next SOS: DC-only preview decodes
+    second_sos = enc.index(b"\xff\xda", first_sos + 2)
+    out = decode_jpeg(enc[:second_sos])
+    assert out.shape == img.shape
 
 
 def test_decode_image_bytes_sniffs_jpeg():
