@@ -8,12 +8,13 @@ per SCANLINE (not per pixel) with numpy row kernels and a scalar loop
 only for the horizontally-recursive Sub/Paeth/Average cases (RFC 2083
 §6; the up-filter and the non-recursive parts stay whole-row numpy).
 
-Coverage: 8-bit and 16-bit channels, all five color types (gray,
-RGB, palette, gray+alpha, RGBA), tRNS ignored (alpha is dropped to RGB
-at the end anyway), multiple IDAT chunks, CRC validation, and Adam7
-interlacing (each of the 7 reduced passes unfilters independently and
-scatters into the full raster with one strided assignment). Sub-8-bit
-depths remain the only seam.
+Coverage: 1/2/4-bit gray and palette plus 8-bit and 16-bit channels,
+all five color types (gray, RGB, palette, gray+alpha, RGBA), tRNS
+ignored (alpha is dropped to RGB at the end anyway), multiple IDAT
+chunks, CRC validation, and Adam7 interlacing (each of the 7 reduced
+passes unfilters independently and scatters into the full raster with
+one strided assignment). The only seam left is the rare Adam7 +
+sub-8-bit combination.
 
 Output is (h, w, 3) uint8 RGB (16-bit samples scale down, gray
 replicates, alpha composited over black is NOT applied — alpha is
@@ -142,10 +143,17 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise PngError(f"unknown PNG interlace method {interlace}")
             if color not in _CHANNELS:
                 raise PngError(f"unknown PNG color type {color}")
-            if depth not in (8, 16) or (color == 3 and depth != 8):
+            sub_byte_ok = color in (0, 3) and depth in (1, 2, 4)
+            if depth not in (8, 16) and not sub_byte_ok:
                 raise NotImplementedError(
                     f"PNG bit depth {depth} for color type {color} "
-                    "needs a codec library (8/16-bit decode natively)")
+                    "needs a codec library")
+            if color == 3 and depth == 16:
+                raise PngError("palette PNG cannot be 16-bit")
+            if depth < 8 and interlace:
+                raise NotImplementedError(
+                    "Adam7 + sub-8-bit PNG needs a codec library "
+                    "(each decodes natively on its own)")
             ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
@@ -157,21 +165,33 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise PngError("missing IHDR or IDAT")
     w, h, depth, color, interlace = ihdr
     ch = _CHANNELS[color]
-    bytes_per_sample = depth // 8
-    bpp = ch * bytes_per_sample
-    stride = w * bpp
     try:
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     except zlib.error as e:
         raise PngError(f"PNG deflate stream corrupt: {e}") from None
-    if interlace:
-        px = _deinterlace(raw, w, h, bpp)
+    if depth < 8:
+        # 1/2/4-bit gray or palette: filter bpp is 1 byte (RFC 2083
+        # §6.2); unpack bits per scanline, then widen to 8-bit samples
+        stride = (w * depth + 7) // 8
+        rows = _unfilter(raw, h, stride, 1)
+        bits = np.unpackbits(rows, axis=1)[:, :w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        px = (bits.reshape(h, w, depth) * weights).sum(2).astype(np.uint8)
+        if color == 0:      # scale 0..2^d-1 to full 8-bit range
+            px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+                .astype(np.uint8)
+        px = px[:, :, None]
     else:
-        px = _unfilter(raw, h, stride, bpp)
-    if depth == 16:
-        px = px.reshape(h, w, ch, 2)[:, :, :, 0]  # high byte ≈ /257
-    else:
-        px = px.reshape(h, w, ch)
+        bpp = ch * (depth // 8)
+        stride = w * bpp
+        if interlace:
+            px = _deinterlace(raw, w, h, bpp)
+        else:
+            px = _unfilter(raw, h, stride, bpp)
+        if depth == 16:
+            px = px.reshape(h, w, ch, 2)[:, :, :, 0]  # high byte ≈ /257
+        else:
+            px = px.reshape(h, w, ch)
     if color == 3:
         if palette is None:
             raise PngError("palette PNG without PLTE")

@@ -57,6 +57,10 @@ def _byte_rows(img: np.ndarray, depth: int) -> np.ndarray:
     if depth == 16:
         raw = samples.astype(">u2").tobytes()
         return np.frombuffer(raw, np.uint8).reshape(h, w * ch * 2)
+    if depth < 8:
+        bits = ((samples[:, :, None] >> np.arange(depth - 1, -1, -1))
+                & 1).reshape(h, w * ch * depth).astype(np.uint8)
+        return np.packbits(bits, axis=1)
     return samples.astype(np.uint8)
 
 
@@ -84,7 +88,7 @@ def encode_png(img: np.ndarray, *, color: int, depth: int = 8,
     emits the 7 Adam7 passes, each filtered independently."""
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 else img.shape[2]
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * depth // 8)       # filter distance floor (RFC 2083)
     filters = filters if filters is not None else list(range(5))
     if interlace:
         body = bytearray()
@@ -181,9 +185,9 @@ def test_corruption_and_seams():
         + _chunk(b"IEND", b"")
     with pytest.raises(PngError):
         decode_png(interlaced)
-    # sub-8-bit depth stays the named seam
+    # sub-8-bit TRUECOLOR is not a legal PNG combination -> typed error
     deep = b"\x89PNG\r\n\x1a\n" + _chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 9, 9, 4, 0, 0, 0, 0)) \
+        b"IHDR", struct.pack(">IIBBBBB", 9, 9, 4, 2, 0, 0, 0)) \
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) \
         + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
@@ -234,3 +238,22 @@ def test_adam7_tiny_images_with_empty_passes():
         img = _img(h, w, 3, seed=h * 10 + w)
         got = decode_png(encode_png(img, color=2, interlace=True))
         assert (got == img).all(), (h, w)
+
+
+def test_sub8bit_gray_and_palette():
+    rng = np.random.default_rng(30)
+    for depth in (1, 2, 4):
+        hi = (1 << depth) - 1
+        g = rng.integers(0, hi + 1, (11, 13)).astype(np.uint8)
+        got = decode_png(encode_png(g, color=0, depth=depth))
+        exp = (g.astype(np.uint16) * 255 // hi).astype(np.uint8)
+        assert (got[:, :, 0] == exp).all(), depth
+        palette = rng.integers(0, 256, (hi + 1, 3)).astype(np.uint8)
+        idx = rng.integers(0, hi + 1, (9, 17)).astype(np.uint8)
+        got = decode_png(encode_png(idx, color=3, depth=depth,
+                                    palette=palette))
+        assert (got == palette[idx]).all(), depth
+    # Adam7 + sub-8-bit stays the (rare) seam
+    with pytest.raises(NotImplementedError):
+        decode_png(encode_png(np.zeros((4, 4), np.uint8), color=0,
+                              depth=1, interlace=True))
