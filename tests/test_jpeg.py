@@ -532,3 +532,24 @@ def test_decode_image_pipeline_with_jpeg(ray_session):
     assert list(out["height"]) == [16] * 6
     assert list(out["channels"]) == [3] * 6
     assert out["pixel_checksum"].nunique() == 6
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.data(), st.sampled_from([(8, 8), (9, 7), (16, 24), (31, 18)]),
+       st.booleans(), st.integers(1, 6))
+def test_progressive_equals_baseline_property(data, hw, subsample, qval):
+    """Progressive and baseline code the SAME quantized coefficients,
+    so any conformant decode of both must be bit-identical — a strong
+    invariant over random content (incl. hard noise, not just smooth
+    images)."""
+    h, w = hw
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample=subsample, qval=qval))
+    prog = decode_jpeg(
+        encode_progressive_jpeg(img, subsample=subsample, qval=qval))
+    assert (prog == base).all()
