@@ -776,6 +776,37 @@ def _container_stats_documents(sf_dir: str):
                      columns=["doc_id", "lang", "n_chars", "source"])
 
 
+def _dedup_against_corpus_documents(sf_dir: str):
+    """Incremental ingestion dedup (job.hash_index_job +
+    ops.dedup.dedup_against_index): documents with doc_id % 3 != 0 play
+    the COMMITTED corpus — encoded, then hash-indexed reading only the
+    text column's bytes (column-group projection IO) — and the full
+    table plays the new crawl; rows whose text hash is already indexed
+    drop without the corpus text ever being re-read or shuffled.
+    Oracle: SQL anti-join on text equality."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    from parquet_rs_ray.job import encode_job, hash_index_job
+    from parquet_rs_ray.ops.dedup import dedup_against_index
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy()
+    out_dir = tempfile.mkdtemp(prefix="graft_idx_", dir="/tmp")
+    shard = f"{out_dir}/corpus.parquet"
+    pq.write_table(docs.filter(pa.array(ids % 3 != 0)), shard)
+    enc = f"{out_dir}/enc"
+    encode_job([shard], enc, concurrency=4)
+    idx = hash_index_job(enc, "text")
+    return dedup_against_index(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]),
+        idx["index_dir"], mode="auto")
+
+
 def _frame_sample_documents(sf_dir: str):
     """REAL video frame sampling end-to-end: deterministic 5-frame
     6×4 PPM streams (ffmpeg image2pipe/-vcodec ppm raw-video byte
@@ -1200,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hash_sample_orders"] = _hash_sample_orders
     q["decontaminate_join_documents"] = _decontaminate_join_documents
     q["word_rarity_join_documents"] = _word_rarity_join_documents
+    q["dedup_against_corpus_documents"] = _dedup_against_corpus_documents
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -1535,6 +1567,10 @@ def oracle_sql() -> dict[str, str]:
         "COALESCE(sum_df, 0) AS sum_df, COALESCE(min_df, 0) AS min_df "
         "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id")
     sql["word_rarity_join_documents"] = sql["word_rarity_documents"]
+    sql["dedup_against_corpus_documents"] = (
+        "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("
+        "SELECT 1 FROM documents c WHERE c.doc_id % 3 <> 0 "
+        "AND c.text IS NOT DISTINCT FROM d.text)")
     sql["chunk_documents"] = (
         "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w "
         "FROM documents) "

@@ -748,3 +748,35 @@ def stats_job(out_dir: str, *, columns=None):
         [("column", pa.string()), ("rows", pa.int64()),
          ("null_count", pa.int64()), ("min", pa.string()),
          ("max", pa.string())]))
+
+
+def hash_index_job(out_dir: str, column: str, *,
+                   index_dir: str | None = None) -> dict:
+    """Content-hash index of one DECODED column of the committed corpus
+    — the "what do we already have" side of incremental ingestion
+    (``ops.dedup.dedup_against_index`` anti-joins new shards against
+    it, never re-reading the corpus text).
+
+    Reads ONLY the column's payload bytes (the column-group layout's
+    projection IO — at 100 TB the scan is that column, not the corpus),
+    hashes each batch with the same vectorized kernel ``exact_dedup``
+    uses, per-batch distinct + sort, and writes small hash parquets
+    under ``{out_dir}/index/{column}/``. 8 bytes per distinct document
+    text: the index of a 10^10-doc corpus is ~80 GB of parquet —
+    streamed here, never driver-materialized; its consumers pick
+    broadcast vs join per ops/regime.py."""
+    import numpy as np
+    index_dir = index_dir or os.path.join(out_dir, "index", column)
+    from .ops.dedup import _hash_strings
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        h = np.unique(_hash_strings(batch.column(column)))
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    decode_job(out_dir, columns=[column]) \
+        .map_batches(to_hashes, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .write_parquet(index_dir)
+    import pyarrow.dataset as pads
+    rows = pads.dataset(index_dir).count_rows()  # metadata-only
+    return {"index_dir": index_dir, "column": column, "hashes": rows}

@@ -998,3 +998,72 @@ def embedding_near_dup(ds, *, threshold: float = 0.4,
 
     return ds.map_batches(pairs, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def dedup_against_index(ds, index_dir: str, *, text_col: str = "text",
+                        mode: str = "auto",
+                        num_partitions: int | None = None,
+                        broadcast_budget_bytes: int | None = None):
+    """Incremental ingestion dedup: drop rows whose ``text_col`` content
+    hash already exists in a committed corpus's hash index
+    (``job.hash_index_job``). The corpus itself is never re-read or
+    shuffled — only its 8-byte-per-doc index moves.
+
+    * ``mode="broadcast"`` — index fits worker heaps: load + sort once,
+      ``ray.put``, searchsorted membership per batch (same probe as
+      exact_dedup/decontam).
+    * ``mode="join"`` — beyond-heap index (10^10+ docs): the index
+      parquets stream as a Dataset and a distributed ``left_anti``
+      hash join drops seen rows; nothing touches the driver.
+    * ``mode="auto"`` — METADATA-ONLY probe: the summed size of the
+      index parquet files (a stat call per file, no reads) stands in
+      for the broadcast footprint, compared against the ops/regime.py
+      worker-heap budget. Unlike the other auto ops, no aggregate needs
+      materializing, so the probe is free in BOTH regimes.
+    """
+    import os
+
+    import ray
+
+    if mode == "auto":
+        from .regime import DEFAULT_BROADCAST_BUDGET
+        budget = broadcast_budget_bytes or DEFAULT_BROADCAST_BUDGET
+        total = 0
+        for root, _dirs, names in os.walk(index_dir):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in names if f.endswith(".parquet"))
+        # parquet hash files carry ≥8 bytes/row (near-random int64s
+        # barely compress), so file bytes ≈ the in-memory array bound
+        mode = "broadcast" if total <= budget else "join"
+
+    if mode == "join":
+        num_partitions = _join_partitions(num_partitions, n_joins=1)
+
+        def tag(batch: pa.Table) -> pa.Table:
+            h = _hash_strings(batch.column(text_col)).view(np.int64)
+            return batch.append_column("__h", pa.array(h, pa.int64()))
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        idx = ray.data.read_parquet(index_dir) \
+            .rename_columns({"h": "__h"})
+        return tagged.join(idx, "left_anti", num_partitions,
+                           on=("__h",)).drop_columns(["__h"])
+
+    if mode != "broadcast":
+        raise ValueError(f"unknown dedup_against_index mode {mode!r}")
+    import pyarrow.dataset as pads
+    arr = pads.dataset(index_dir).to_table(columns=["h"]) \
+        .column("h").to_numpy(zero_copy_only=False)
+    seen_ref = ray.put(np.unique(arr))      # sorted + deduped once
+
+    def drop_seen(batch: pa.Table) -> pa.Table:
+        seen = ray.get(seen_ref)
+        h = _hash_strings(batch.column(text_col)).view(np.int64)
+        pos = np.searchsorted(seen, h)
+        pos[pos == len(seen)] = 0
+        hit = (seen[pos] == h) if len(seen) else np.zeros(len(h), bool)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(drop_seen, batch_format="pyarrow",
+                          zero_copy_batch=True)
