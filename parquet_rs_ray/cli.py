@@ -176,6 +176,11 @@ def main(argv: list[str] | None = None) -> int:
     p_cmp.add_argument("encoded_dir")
     p_cmp.add_argument("--target-mb", type=int, default=256)
 
+    p_idx = sub.add_parser("index", help="content-hash index of one "
+                           "decoded column (incremental-dedup side)")
+    p_idx.add_argument("encoded_dir")
+    p_idx.add_argument("column")
+
     args = ap.parse_args(argv)
     try:
         if args.cmd == "read":
@@ -195,6 +200,12 @@ def main(argv: list[str] | None = None) -> int:
             cols = args.columns.split(",") if args.columns else None
             print(stats_job(args.encoded_dir, columns=cols)
                   .to_pandas().to_string(index=False))
+            return 0
+        if args.cmd == "index":
+            _ray()
+            from .job import hash_index_job
+            print(json.dumps(hash_index_job(args.encoded_dir,
+                                            args.column)))
             return 0
         if args.cmd == "compact":
             _ray()

@@ -114,3 +114,26 @@ def test_against_index_duckdb_parity(ray_session, tmp_path):
     ).fetchdf()
     assert list(got["doc_id"]) == list(odf["doc_id"])
     assert list(got["text"]) == list(odf["text"])
+
+
+def test_cli_index_smoke(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+    t = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array([f"doc {i}" for i in range(30)])})
+    shard = str(tmp_path / "s.parquet")
+    pq.write_table(t, shard)
+    enc = str(tmp_path / "enc")
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "encode", shard,
+         enc, "--concurrency", "1"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr
+    out = subprocess.run(
+        [sys.executable, "-m", "parquet_rs_ray.cli", "index", enc,
+         "text"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert out.returncode == 0, out.stderr
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert s["hashes"] == 30 and os.path.isdir(s["index_dir"])
