@@ -807,6 +807,22 @@ def _dedup_against_corpus_documents(sf_dir: str):
         idx["index_dir"], mode="auto")
 
 
+def _curate_documents(sf_dir: str):
+    """End-to-end curation RECIPE (ops/curate.py): annotate (lang-ID +
+    quality) -> filter -> PII redact -> cross-doc line dedup ->
+    exact dedup -> MinHash near dedup, composed as one lazy streaming
+    plan with auto broadcast/join regimes per stage. Rows-only (the
+    lang/quality heuristics are model stand-ins SQL cannot reproduce;
+    every stage has its own oracle/parity tests)."""
+    import ray
+    from parquet_rs_ray.ops.curate import curate_web_corpus
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return curate_web_corpus(ds, keep_langs=None, min_quality=0.1,
+                             concurrency=4)
+
+
 def _frame_sample_documents(sf_dir: str):
     """REAL video frame sampling end-to-end: deterministic 5-frame
     6×4 PPM streams (ffmpeg image2pipe/-vcodec ppm raw-video byte
@@ -1255,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["frame_sample_documents"] = _frame_sample_documents
     q["audio_features_documents"] = _audio_features_documents
     q["quantile_sketch_events"] = _quantile_sketch_events
+    q["curate_documents"] = _curate_documents
     return q
 
 

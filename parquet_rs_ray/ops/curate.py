@@ -1,0 +1,124 @@
+"""End-to-end web-corpus curation recipe.
+
+Composes this repo's curation operators — each individually
+oracle/parity-tested — into the pipeline a training-data team actually
+runs over a crawl, in the order the literature converged on
+(CCNet/RefinedWeb/Gopher-style): annotate → filter → redact →
+boilerplate removal → exact dedup → near dedup → decontaminate. Every
+stage is lazy Ray Data, so the streaming executor pipelines them with
+backpressure; nothing here materializes the corpus, and every regime
+choice (broadcast vs join) defers to the per-op ``mode="auto"`` probes
+(ops/regime.py), so the same call scales from a laptop sample to the
+100 TB crawl.
+
+This is a RECIPE, not new machinery: the value is the audited
+composition (stage order, which columns flow where, one fused
+annotate+filter pass instead of three) and a single entry point a
+reference user can swap in.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .clean import redact
+from .dedup import exact_dedup, near_dedup
+from .textstats import LanguageId, QualityScorer
+
+__all__ = ["curate_web_corpus", "AnnotateFilter"]
+
+
+class AnnotateFilter:
+    """Fused actor stage: language-ID + quality score + keep-filter in
+    ONE pass over each batch (the two scorers share the batch; fusing
+    avoids shipping the text column through two extra stages). Keeps
+    the original columns and appends ``lang_pred``/``quality_score``
+    for the surviving rows."""
+
+    def __init__(self, text_col: str, keep_langs: tuple[str, ...],
+                 min_quality: float):
+        self.text_col = text_col
+        self.lid = LanguageId(text_col)
+        self.qs = QualityScorer(text_col)
+        self.keep = pa.array(sorted(keep_langs), pa.string()) \
+            if keep_langs else None
+        self.min_quality = min_quality
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lang = self.lid(batch).column("lang_pred")
+        score = self.qs(batch).column("quality_score")
+        out = batch.append_column("lang_pred", lang) \
+                   .append_column("quality_score", score)
+        mask = pc.greater_equal(score, self.min_quality)
+        if self.keep is not None:
+            mask = pc.and_(mask, pc.is_in(lang, value_set=self.keep))
+        return out.filter(mask)
+
+
+def curate_web_corpus(ds, *, text_col: str = "text",
+                      key_col: str = "doc_id",
+                      keep_langs: tuple[str, ...] | None = ("en",),
+                      min_quality: float = 0.2,
+                      pii: bool = True,
+                      boilerplate_max_count: int | None = 1,
+                      line_sep: str = "\n",
+                      near: bool = True,
+                      jaccard_threshold: float = 0.8,
+                      ref_ds=None,
+                      concurrency=4):
+    """Curate a web corpus end to end; returns the lazy curated Dataset
+    (original columns + ``lang_pred`` + ``quality_score``).
+
+    Stages (each optional via its parameter, each scale-audited in its
+    own module):
+
+    1. ``AnnotateFilter`` actor pool — language-ID + quality score +
+       threshold/language filter, one fused pass.
+    2. ``clean.redact`` — PII scrubbing, vectorized RE2 (``pii``).
+    3. ``clean.line_dedup`` mode="auto" — cross-document boilerplate
+       line removal (``boilerplate_max_count``; None skips).
+    4. ``dedup.exact_dedup`` mode="auto" — one survivor per exact text.
+    5. ``dedup.near_dedup`` — MinHash-LSH → Jaccard verify → anti-join
+       (``near``).
+    6. ``decontam.decontaminate`` mode="auto" — n-gram test-set
+       decontamination when ``ref_ds`` is given.
+
+    Order rationale: filters first (cheapest per surviving byte),
+    redaction before any hashing so PII never enters dedup state, line
+    dedup before document dedup (boilerplate removal changes document
+    equality), decontamination last (the test-set n-grams must be
+    matched against the text that will actually be trained on).
+
+    Actor pools here AUTOSCALE from 1 (``(1, concurrency)``): a
+    composed pipeline stacks several pools plus shuffle aggregator
+    actors in ONE streaming plan, and fixed-size pools can pin every
+    cluster CPU and deadlock the aggregators (reproduced at 4 CPUs —
+    2 annotate + 2 line-filter actors starved the line-frequency
+    shuffle forever). Min-1 pools let the executor rebalance."""
+    pool = (1, concurrency) if isinstance(concurrency, int) else concurrency
+    ds = ds.map_batches(
+        AnnotateFilter, fn_constructor_kwargs={
+            "text_col": text_col,
+            "keep_langs": tuple(keep_langs) if keep_langs else (),
+            "min_quality": min_quality},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=pool)
+    if pii:
+        ds = ds.map_batches(redact, fn_kwargs={"text_col": text_col},
+                            batch_format="pyarrow", zero_copy_batch=True)
+    if boilerplate_max_count is not None:
+        from .clean import line_dedup
+        ds = line_dedup(ds, text_col=text_col, id_col=key_col,
+                        max_count=boilerplate_max_count, sep=line_sep,
+                        mode="auto", concurrency=pool)
+    ds = exact_dedup(ds, text_col, key_col, mode="auto")
+    if near:
+        ds = near_dedup(ds, text_col=text_col, key_col=key_col,
+                        jaccard_threshold=jaccard_threshold,
+                        concurrency=pool)
+    if ref_ds is not None:
+        from .decontam import decontaminate
+        ds = decontaminate(ds, ref_ds, text_col=text_col,
+                           id_col=key_col, mode="auto")
+    return ds

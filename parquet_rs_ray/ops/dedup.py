@@ -686,6 +686,12 @@ def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
         return pa.table({key_col: pa.array(np.unique(drop), pa.int64())})
 
     drops = withtexts.map_batches(score, batch_format="pyarrow")
+    # the text joins above forward hit-less partitions as SCHEMA-LESS
+    # empty blocks (same Ray quirk decontaminate_join heals); the
+    # left_anti below would crash resolving key_col on such an empty
+    # right partition. repartition rebuilds blocks from rows, dropping
+    # the poisoned empties — cheap: one row per verified duplicate.
+    drops = drops.repartition(num_partitions)
     return ds.join(drops, "left_anti", num_partitions, on=(key_col,))
 
 
