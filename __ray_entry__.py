@@ -823,6 +823,24 @@ def _curate_documents(sf_dir: str):
                              concurrency=4)
 
 
+def _token_budget_sample_documents(sf_dir: str):
+    """Token-budget data mixing (ops/sampling.sample_to_token_budget):
+    down-sample lang='en' documents to an expected 3000-token budget —
+    exact per-group word totals (map-side combine), integer-ppm rate,
+    then the deterministic hash filter. Bit-exact SQL twin recomputes
+    totals, rate, and threshold."""
+    import ray
+    from parquet_rs_ray.ops.sampling import sample_to_token_budget
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars",
+                                        "text"])
+    out, _plan = sample_to_token_budget(
+        ds, key_col="doc_id", group_col="lang",
+        budgets_tokens={"en": 3000})
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
 def _frame_sample_documents(sf_dir: str):
     """REAL video frame sampling end-to-end: deterministic 5-frame
     6×4 PPM streams (ffmpeg image2pipe/-vcodec ppm raw-video byte
@@ -1271,6 +1289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["frame_sample_documents"] = _frame_sample_documents
     q["audio_features_documents"] = _audio_features_documents
     q["quantile_sketch_events"] = _quantile_sketch_events
+    q["token_budget_sample_documents"] = _token_budget_sample_documents
     q["curate_documents"] = _curate_documents
     return q
 
@@ -1584,6 +1603,18 @@ def oracle_sql() -> dict[str, str]:
         "COALESCE(sum_df, 0) AS sum_df, COALESCE(min_df, 0) AS min_df "
         "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id")
     sql["word_rarity_join_documents"] = sql["word_rarity_documents"]
+    sql["token_budget_sample_documents"] = (
+        "WITH w AS (SELECT doc_id, lang, len(list_filter("
+        "string_split(text, ' '), x -> x <> '')) AS n FROM documents), "
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM w "
+        "WHERE lang = 'en'), "
+        "rate AS (SELECT LEAST(1000000, (CAST(3000 AS HUGEINT) "
+        "* 1000000) // total) AS ppm FROM tot) "
+        "SELECT d.doc_id, d.lang, d.n_chars FROM documents d, rate "
+        "WHERE d.lang = 'en' AND "
+        "(CAST(d.doc_id % 4294967296 AS HUGEINT) * 2654435761) "
+        "% 4294967296 < (CAST(rate.ppm AS HUGEINT) * 4294967296) "
+        "// 1000000")
     sql["dedup_against_corpus_documents"] = (
         "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("
         "SELECT 1 FROM documents c WHERE c.doc_id % 3 <> 0 "

@@ -149,3 +149,56 @@ def stratified_hash_sample(ds, *, key_col: str, group_col: str,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def sample_to_token_budget(ds, *, key_col: str, group_col: str,
+                           budgets_tokens: dict, text_col: str = "text"):
+    """Down-sample each group to an expected TOKEN budget — the data-
+    mixing staple stated the way mixtures are actually specified
+    ("20 M tokens of en, 5 M of de"), instead of hand-derived rates.
+
+    Pass 1 computes exact per-group word totals with a map-side combine
+    (each batch emits one (group, tokens) row per distinct group; only
+    those tiny partials shuffle). Each budgeted group's rate is then
+    ``min(1, budget/total)`` in exact integer ppm arithmetic, and pass
+    2 is the deterministic `stratified_hash_sample` filter — a pure row
+    property, NO shuffle, reproducible on any cluster shape, and
+    SQL-expressible end to end (the oracle recomputes totals, rates and
+    the hash threshold bit-for-bit). Groups without a budget are
+    DROPPED (rate 0). Sampling stays document-level, so the realized
+    token count CONCENTRATES on the budget rather than hitting it
+    exactly (relative error ~ doc-length spread / sqrt(expected docs));
+    an exact-count cut would need a global sort by hash — one
+    all-to-all this op deliberately avoids.
+
+    Returns ``(sampled_ds, plan)`` where ``plan[group] =
+    {"total_tokens", "rate_ppm"}`` for every budgeted group."""
+    from .textstats import _split_words
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        _flat, counts, _idx = _split_words(batch.column(text_col))
+        enc = g.dictionary_encode()
+        idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        keep = idx >= 0                    # null groups have no budget
+        sums = np.bincount(idx[keep], weights=counts[keep],
+                           minlength=len(enc.dictionary))
+        return pa.table({group_col: enc.dictionary,
+                         "tokens": pa.array(sums.astype(np.int64))})
+
+    totals = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(group_col).sum("tokens").to_pandas()
+    total_by_group = dict(zip(totals[group_col], totals["sum(tokens)"]))
+    rates: dict = {}
+    plan: dict = {}
+    for g, budget in budgets_tokens.items():
+        total = int(total_by_group.get(g, 0))
+        ppm = min(1_000_000, budget * 1_000_000 // total) if total else 0
+        rates[g] = ppm
+        plan[g] = {"total_tokens": total, "rate_ppm": ppm}
+    out = stratified_hash_sample(ds, key_col=key_col, group_col=group_col,
+                                 rates_ppm=rates, default_ppm=0)
+    return out, plan

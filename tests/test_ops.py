@@ -1496,3 +1496,48 @@ def test_word_df_stats_join_string_ids(ray_session):
                       id_col="url", num_partitions=8) \
         .to_pandas()[cols].sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_sample_to_token_budget(ray_session):
+    """Token-budget mixing: exact per-group totals, integer-ppm rates,
+    deterministic membership; realized tokens concentrate on budget."""
+    import duckdb
+    import ray
+    from parquet_rs_ray.ops.sampling import sample_to_token_budget
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    budget = 3000
+    out, plan = sample_to_token_budget(
+        ds, key_col="doc_id", group_col="lang",
+        budgets_tokens={"en": budget})
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert set(got["lang"]) <= {"en"}       # unbudgeted groups dropped
+    assert plan["en"]["total_tokens"] > budget
+    assert 0 < plan["en"]["rate_ppm"] < 1_000_000
+    # bit-exact SQL twin: totals -> rate -> hash threshold
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    odf = con.execute(f"""
+        WITH w AS (SELECT doc_id, lang,
+            len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS n FROM documents),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM w
+                WHERE lang = 'en'),
+        rate AS (SELECT LEAST(1000000,
+            (CAST({budget} AS HUGEINT) * 1000000) // total) AS ppm FROM tot)
+        SELECT d.doc_id FROM documents d, rate
+        WHERE d.lang = 'en'
+          AND (CAST(d.doc_id % 4294967296 AS HUGEINT) * 2654435761)
+              % 4294967296
+              < (CAST(rate.ppm AS HUGEINT) * 4294967296) // 1000000
+        ORDER BY d.doc_id""").fetchdf()
+    assert list(got["doc_id"]) == list(odf["doc_id"])
+    assert plan["en"]["total_tokens"] == int(con.execute(
+        "SELECT CAST(SUM(len(list_filter(string_split(text, ' '), "
+        "x -> x <> ''))) AS BIGINT) FROM documents WHERE lang='en'"
+    ).fetchone()[0])
+    # realized tokens near the budget (document-level sampling)
+    realized = sum(len([w for w in t.split(" ") if w])
+                   for t in got["text"])
+    assert 0.3 * budget < realized < 3 * budget
