@@ -1,12 +1,15 @@
 """Automatic broadcast ↔ join regime selection.
 
-Four ops have two correct execution regimes whose tradeoff depends on
+Five ops have two correct execution regimes whose tradeoff depends on
 the size of a "small side" only known at run time:
 
-  * ``exact_dedup``     — the winner (hash, key) set
-  * ``line_dedup``      — the frequent-line (boilerplate) set
-  * ``word_df_stats``   — the (word, df) vocabulary
-  * ``decontaminate``   — the reference gram blocklist
+  * ``exact_dedup``          — the winner (hash, key) set
+  * ``line_dedup``           — the frequent-line (boilerplate) set
+  * ``word_df_stats``        — the (word, df) vocabulary
+  * ``decontaminate``        — the reference gram blocklist
+  * ``dedup_against_index``  — the committed-corpus hash index (its
+    auto probe is metadata-only: summed index file sizes, no
+    materialization — see that op)
 
 Broadcast is cheaper (no extra shuffles) but copies the set to every
 node's object store and probes it per batch — wrong past worker heaps.
