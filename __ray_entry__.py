@@ -1197,12 +1197,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still exercised by the pytest suite.
     q: dict[str, Callable[[str], Any]] = {}
     # --- oracle-backed (the 50-query window is exactly these) ---
-    # tiny-table roundtrips (region/nation/supplier: 5/25/100 rows,
-    # same codec path as the 7 larger roundtrips) register past the
-    # window to make room for unique round-3 operators
-    _tiny = ("region", "nation", "supplier")
+    # tiny-table roundtrips (region/nation/supplier: 5/25/100 rows) and
+    # the customer/part roundtrips (string+int+float codec paths already
+    # exercised by the remaining five roundtrips and the golden corpus)
+    # register past the window to make room for unique round-3/round-4
+    # operators; all stay pinned by the pytest DuckDB-parity suite
+    _deferred_roundtrips = ("region", "nation", "supplier",
+                            "customer", "part")
     for table, cols in _TABLES.items():
-        if table not in _tiny:
+        if table not in _deferred_roundtrips:
             q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
     q["stats_documents"] = _stats_documents
     q["global_lang_dictionary"] = _global_lang_dictionary
@@ -1250,6 +1253,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # fully-distributed mode end to end every round
     q["line_dedup_join_documents"] = _line_dedup_join_documents
     q["container_stats_documents"] = _container_stats_documents
+    # round-4 rotation: the two new flagship curation ops take the slots
+    # freed by the customer/part roundtrips so each carries a hard
+    # driver-oracle row in its debut round
+    q["token_budget_sample_documents"] = _token_budget_sample_documents
+    q["dedup_against_corpus_documents"] = _dedup_against_corpus_documents
     # --- oracle-backed but past the 50-query window: tiny-table
     # roundtrips (same codec path as the in-window seven), the
     # second-mode twins of in-window queries (same op, alternate
@@ -1258,14 +1266,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sharing hash_split's bucket mechanism; all stay pinned by pytest
     # DuckDB-parity tests ---
     q["lang_counts"] = _lang_counts
-    for table in _tiny:
+    for table in _deferred_roundtrips:
         q[f"roundtrip_{table}"] = _roundtrip_query(table, _TABLES[table])
     q["exact_dedup_join_documents"] = _exact_dedup_join_documents
     q["sessionize_events_salted"] = _sessionize_events_salted
     q["hash_sample_orders"] = _hash_sample_orders
     q["decontaminate_join_documents"] = _decontaminate_join_documents
     q["word_rarity_join_documents"] = _word_rarity_join_documents
-    q["dedup_against_corpus_documents"] = _dedup_against_corpus_documents
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -1289,7 +1296,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["frame_sample_documents"] = _frame_sample_documents
     q["audio_features_documents"] = _audio_features_documents
     q["quantile_sketch_events"] = _quantile_sketch_events
-    q["token_budget_sample_documents"] = _token_budget_sample_documents
     q["curate_documents"] = _curate_documents
     return q
 
