@@ -1169,6 +1169,73 @@ def _host_stats_impl(ds):
     return host_stats(ds, chars_col="n_chars")
 
 
+# html synthesized from documents columns (the testdata tables lack a
+# raw html column; the web-schema bench corpus has the real thing).
+# Shared verbatim — as an Arrow concat here and a `||` chain in SQL —
+# so the extraction oracles compare the same inputs.
+def _synth_html_ds(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+
+    def add_html(batch: pa.Table) -> pa.Table:
+        did = pc.cast(batch.column("doc_id"), pa.string())
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        html = pc.binary_join_element_wise(
+            '<html><head><style>p{color:red}</style></head><body>'
+            '<script>var a=1;</script><p id="', did, '">', txt,
+            '</p><br/><a href="https://', src, '.example.com/d/', did,
+            '">x</a><a href=\'/local/', did,
+            "'>y</a>&amp; <b>tail</b><!--c--></body></html>", "")
+        return batch.append_column("html", html)
+
+    return ds.map_batches(add_html, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_SYNTH_HTML_SQL = (
+    "'<html><head><style>p{color:red}</style></head><body>"
+    "<script>var a=1;</script><p id=\"' || CAST(doc_id AS VARCHAR) || "
+    "'\">' || text || '</p><br/><a href=\"https://' || source || "
+    "'.example.com/d/' || CAST(doc_id AS VARCHAR) || '\">x</a>"
+    "<a href=''/local/' || CAST(doc_id AS VARCHAR) || "
+    "'''>y</a>&amp; <b>tail</b><!--c--></body></html>'")
+
+
+def _extract_text_documents(sf_dir: str):
+    """HTML → text extraction (ops/html.py::extract_text): the engine's
+    north-star html-to-text edge as a fixed RE2 pass chain over each
+    Arrow batch — script/style/comment removal, tag stripping, named
+    entity decode, whitespace normalization. DuckDB replays the
+    identical chain (html_to_text_sql builds it from the same pattern
+    tables), so the driver checks this bit-exactly."""
+    from parquet_rs_ray.ops.html import extract_text
+
+    ds = extract_text(_synth_html_ds(sf_dir))
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "text_extracted"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _extract_links_documents(sf_dir: str):
+    """Outlink extraction (ops/html.py::extract_links): every quoted
+    href per document as exploded (doc_id, link) rows — one vectorized
+    split per batch, no shuffle. Oracle:
+    unnest(regexp_extract_all(...)) over the same synthesized html."""
+    from parquet_rs_ray.ops.html import extract_links
+
+    return extract_links(_synth_html_ds(sf_dir), html_col="html",
+                         id_col="doc_id", out_col="link")
+
+
 _TABLES = {
     "documents": ["doc_id", "text", "lang", "source", "n_chars"],
     "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
@@ -1203,7 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # register past the window to make room for unique round-3/round-4
     # operators; all stay pinned by the pytest DuckDB-parity suite
     _deferred_roundtrips = ("region", "nation", "supplier",
-                            "customer", "part")
+                            "customer", "part", "orders")
     for table, cols in _TABLES.items():
         if table not in _deferred_roundtrips:
             q[f"roundtrip_{table}"] = _roundtrip_query(table, cols)
@@ -1224,7 +1291,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quantiles_nchars_documents"] = _quantiles_nchars_documents
     q["grouped_quantiles_documents"] = _grouped_quantiles_documents
     q["window_agg_events"] = _window_agg_events
-    q["hopping_window_events"] = _hopping_window_events
     q["top2_orders_per_customer"] = _top2_orders_per_customer
     q["customer_nation_join"] = _customer_nation_join
     q["distinct_text_count_documents"] = _distinct_text_count_documents
@@ -1253,11 +1319,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # fully-distributed mode end to end every round
     q["line_dedup_join_documents"] = _line_dedup_join_documents
     q["container_stats_documents"] = _container_stats_documents
-    # round-4 rotation: the two new flagship curation ops take the slots
-    # freed by the customer/part roundtrips so each carries a hard
-    # driver-oracle row in its debut round
+    # round-4 rotation: the four new flagship web-curation ops take the
+    # slots freed by customer/part/orders roundtrips (codec paths all
+    # covered by the five remaining roundtrips + golden corpus) and by
+    # hopping_window_events (the tumbling variant window_agg_events
+    # stays in-window; hopping keeps its pytest oracle pin), so each new
+    # op carries a hard driver-oracle row in its debut round
     q["token_budget_sample_documents"] = _token_budget_sample_documents
     q["dedup_against_corpus_documents"] = _dedup_against_corpus_documents
+    q["extract_text_documents"] = _extract_text_documents
+    q["extract_links_documents"] = _extract_links_documents
     # --- oracle-backed but past the 50-query window: tiny-table
     # roundtrips (same codec path as the in-window seven), the
     # second-mode twins of in-window queries (same op, alternate
@@ -1273,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hash_sample_orders"] = _hash_sample_orders
     q["decontaminate_join_documents"] = _decontaminate_join_documents
     q["word_rarity_join_documents"] = _word_rarity_join_documents
+    q["hopping_window_events"] = _hopping_window_events
     # --- rows-only (compression ratio is asserted per column by
     # tests/test_pipeline.py and reported by bench.py/BASELINE.md) ---
     q["compression_ratio_documents"] = _compression_ratio
@@ -1625,6 +1697,14 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, d.text FROM documents d WHERE NOT EXISTS ("
         "SELECT 1 FROM documents c WHERE c.doc_id % 3 <> 0 "
         "AND c.text IS NOT DISTINCT FROM d.text)")
+    from parquet_rs_ray.ops.html import html_to_text_sql
+    sql["extract_text_documents"] = (
+        f"SELECT doc_id, {html_to_text_sql(f'({_SYNTH_HTML_SQL})')} "
+        "AS text_extracted FROM documents")
+    sql["extract_links_documents"] = (
+        f"SELECT doc_id, unnest(regexp_extract_all({_SYNTH_HTML_SQL}, "
+        "'(?i)\\bhref\\s*=\\s*[\"'']([^\"'']*)', 1)) AS link "
+        "FROM documents")
     sql["chunk_documents"] = (
         "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w "
         "FROM documents) "

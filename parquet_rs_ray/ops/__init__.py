@@ -8,6 +8,6 @@ transform (map_batches-first, shuffles only where semantically required)
 and is exposed through `__ray_entry__.queries()`.
 """
 
-from . import dedup, similarity, textstats, multimodal
+from . import dedup, html, multimodal, similarity, textstats
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal"]
+__all__ = ["dedup", "html", "multimodal", "similarity", "textstats"]
