@@ -807,6 +807,41 @@ def _dedup_against_corpus_documents(sf_dir: str):
         idx["index_dir"], mode="auto")
 
 
+def _warc_ingest_documents(sf_dir: str):
+    """Raw-crawl ingestion edge (parquet_rs_ray/warc.py): documents
+    rows written as a one-gzip-member-per-record WARC crawl file (the
+    Common Crawl convention), then `read_warc` streams it back —
+    response records only, HTTP headers stripped, payload byte-exact
+    per url. Rows-only (SQL cannot parse WARC; byte-identity and spec
+    corners are pinned by tests/test_warc.py)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from parquet_rs_ray.warc import http_response, read_warc, write_warc
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out_dir = tempfile.mkdtemp(prefix="graft_warc_", dir="/tmp")
+    path = f"{out_dir}/crawl.warc.gz"
+    write_warc(path, [{
+        "warc_type": "response",
+        "url": f"https://docs.example.com/d/{d}",
+        "content_type": "application/http; msgtype=response",
+        "payload": http_response(
+            b"" if t is None else t.encode()),
+    } for d, t in zip(docs.column("doc_id").to_pylist(),
+                      docs.column("text").to_pylist())],
+        gzip_per_record=True)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return batch.select(["url", "content_type"]).append_column(
+            "text", batch.column("payload").cast(pa.string()))
+
+    return read_warc(path).map_batches(decode, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+
 def _curate_documents(sf_dir: str):
     """End-to-end curation RECIPE (ops/curate.py): annotate (lang-ID +
     quality) -> filter -> PII redact -> cross-doc line dedup ->
@@ -1368,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["frame_sample_documents"] = _frame_sample_documents
     q["audio_features_documents"] = _audio_features_documents
     q["quantile_sketch_events"] = _quantile_sketch_events
+    q["warc_ingest_documents"] = _warc_ingest_documents
     q["curate_documents"] = _curate_documents
     return q
 

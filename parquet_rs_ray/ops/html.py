@@ -1,4 +1,4 @@
-"""Vectorized HTML operators for the Common-Crawl-style web schema.
+r"""Vectorized HTML operators for the Common-Crawl-style web schema.
 
 The engine's north-star input row is `(url, warc_ts, html, text, lang)`
 (BASELINE.json input_hint): the `text` column IS extracted html, and the

@@ -1,0 +1,312 @@
+"""WARC / WET ingestion: the raw-crawl edge of the web pipeline.
+
+The engine's north-star corpus is "Common-Crawl-style web pages"
+(BASELINE.json). Common Crawl's raw distribution format is WARC
+(ISO 28500: `WARC/1.0` header block, CRLF-separated named headers, a
+blank line, `Content-Length` payload bytes, a blank-line terminator),
+conventionally gzip-compressed with ONE GZIP MEMBER PER RECORD so
+readers can resynchronize; WET text extracts are the same container
+with `conversion` records carrying plain text. This module turns those
+byte streams into the engine's `(url, warc_ts, payload, ...)` Arrow
+rows as a streaming Ray Data source:
+
+- `WarcDatasource` / `read_warc`: a `FileBasedDatasource` whose
+  `_read_stream` incrementally parses one file — bounded buffer, one
+  record resident at a time, batches of rows yielded as Arrow tables.
+  One crawl file is one read task (the CC shard, ~1 GiB gzipped, is the
+  natural parallelism grain; a 100 TB crawl is ~100 k files, far more
+  tasks than any cluster has slots, so no intra-file split is needed).
+- `read_wet`: the WET convenience — `conversion` records only, payload
+  decoded to a `text` column.
+- `write_warc`: a spec-compliant writer used by tests/fixtures (and by
+  anyone round-tripping corpora back into crawl format).
+
+HTTP `response` records carry the full HTTP response; with
+`strip_http=True` (default) the payload column is the HTTP BODY and
+`content_type` is taken from the HTTP headers — i.e. the html bytes a
+downstream `ops/html.extract_text` stage wants. Headers the schema
+doesn't carry are dropped, not buffered.
+
+Reference anchor: parquet-rs starts at already-columnar files
+(`src/file/reader.rs`); this module is the up-stream edge its corpus
+implies but never ships — the crawl-to-columnar ingestion step that
+feeds `job.encode_job`.
+"""
+
+from __future__ import annotations
+
+import io
+import uuid
+import zlib
+from typing import Iterator
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .errors import ParquetRsRayError
+
+_CRLF2 = b"\r\n\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+# records per emitted Arrow batch; html payloads make rows fat, so the
+# byte bound below usually triggers first on real crawls
+_BATCH_ROWS = 256
+_BATCH_BYTES = 16 << 20
+
+
+class WarcError(ParquetRsRayError):
+    """Malformed or truncated WARC input."""
+
+
+def _gzip_chunks(f, chunk_size: int = 1 << 20) -> Iterator[bytes]:
+    """Decompressed chunks of a (possibly multi-member) gzip stream.
+    zlib with wbits=31 stops at each member boundary; `unused_data`
+    carries the next member's bytes — the CC one-member-per-record
+    convention decodes in one pass with no per-member reopen."""
+    d = zlib.decompressobj(wbits=31)
+    while True:
+        raw = f.read(chunk_size)
+        if not raw:
+            break
+        while raw:
+            out = d.decompress(raw)
+            if out:
+                yield out
+            if d.eof:
+                raw = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+            else:
+                raw = b""
+    tail = d.flush()
+    if tail:
+        yield tail
+
+
+def _raw_chunks(f, chunk_size: int = 1 << 20) -> Iterator[bytes]:
+    while True:
+        raw = f.read(chunk_size)
+        if not raw:
+            return
+        yield raw
+
+
+def iter_warc_records(f) -> Iterator[tuple[dict, bytes]]:
+    """Incremental record iterator over a WARC byte stream (gzipped or
+    plain, auto-detected from the magic). Yields `(headers, payload)`
+    with header names lowercased. Buffer holds at most one record plus
+    one read chunk. Truncation raises WarcError (typed, never a silent
+    partial record)."""
+    head = f.read(2)
+    chunks = _gzip_chunks if head[:2] == _GZIP_MAGIC else _raw_chunks
+
+    class _Prefixed:
+        def __init__(self):
+            self._first = head
+
+        def read(self, n):
+            if self._first:
+                out, self._first = self._first, b""
+                return out
+            return f.read(n)
+
+    it = chunks(_Prefixed())
+    buf = bytearray()
+
+    def fill() -> bool:
+        try:
+            buf.extend(next(it))
+            return True
+        except StopIteration:
+            return False
+
+    while True:
+        # skip inter-record padding
+        while len(buf) < 4:
+            if not fill():
+                if buf.strip(b"\r\n"):
+                    raise WarcError("truncated WARC header block")
+                return
+        while buf[:2] == b"\r\n":
+            del buf[:2]
+        if not buf:
+            continue
+        # header block ends at the first CRLFCRLF
+        while (end := buf.find(_CRLF2)) < 0:
+            if not fill():
+                raise WarcError("truncated WARC header block")
+        block = bytes(buf[:end]).decode("utf-8", errors="replace")
+        del buf[:end + 4]
+        lines = block.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise WarcError(f"bad WARC version line: {lines[0]!r}")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise WarcError("record missing valid Content-Length") from None
+        while len(buf) < length:
+            if not fill():
+                raise WarcError(
+                    f"truncated payload: need {length}, have {len(buf)}")
+        payload = bytes(buf[:length])
+        del buf[:length]
+        yield headers, payload
+
+
+def split_http_payload(payload: bytes) -> tuple[str | None, bytes]:
+    """(HTTP Content-Type, body) of an application/http payload; a
+    payload with no header/body split returns (None, payload)."""
+    cut = payload.find(_CRLF2)
+    if cut < 0 or not payload[:5].isupper():
+        return None, payload
+    ctype = None
+    for ln in payload[:cut].split(b"\r\n")[1:]:
+        k, sep, v = ln.partition(b":")
+        if sep and k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("utf-8", errors="replace")
+    return ctype, payload[cut + 4:]
+
+
+def _records_to_table(rows: list[tuple], payload_as_text: bool) -> pa.Table:
+    urls, types, dates, ctypes, payloads = map(list, zip(*rows))
+    # WARC-Date is ISO-8601 UTC; fractional seconds (rare) truncate
+    date_arr = pa.array(dates, pa.string())
+    date_arr = pc.replace_substring_regex(date_arr, pattern=r"\.\d+Z$",
+                                          replacement="Z")
+    ts = pc.strptime(date_arr, format="%Y-%m-%dT%H:%M:%SZ", unit="us",
+                     error_is_null=True)
+    if payload_as_text:
+        pay = pa.array(
+            [None if p is None else p.decode("utf-8", errors="replace")
+             for p in payloads], pa.string())
+        pay_name = "text"
+    else:
+        pay = pa.array(payloads, pa.binary())
+        pay_name = "payload"
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": ts,
+        "warc_type": pa.array(types, pa.string()),
+        "content_type": pa.array(ctypes, pa.string()),
+        pay_name: pay,
+    })
+
+
+def iter_warc_tables(f, *, record_types: tuple[str, ...] | None,
+                     strip_http: bool,
+                     payload_as_text: bool) -> Iterator[pa.Table]:
+    rows: list[tuple] = []
+    nbytes = 0
+    for headers, payload in iter_warc_records(f):
+        rtype = headers.get("warc-type", "")
+        if record_types is not None and rtype not in record_types:
+            continue
+        ctype = headers.get("content-type")
+        if strip_http and ctype and ctype.startswith("application/http"):
+            http_ctype, payload = split_http_payload(payload)
+            if http_ctype is not None:
+                ctype = http_ctype
+        rows.append((headers.get("warc-target-uri"), rtype,
+                     headers.get("warc-date", ""), ctype, payload))
+        nbytes += len(payload)
+        if len(rows) >= _BATCH_ROWS or nbytes >= _BATCH_BYTES:
+            yield _records_to_table(rows, payload_as_text)
+            rows, nbytes = [], 0
+    if rows:
+        yield _records_to_table(rows, payload_as_text)
+
+
+try:  # the datasource needs Ray; the parser above stays importable alone
+    from ray.data.datasource import FileBasedDatasource
+
+    class WarcDatasource(FileBasedDatasource):
+        """Streaming WARC/WET file source. One file = one read task =
+        one gzip stream decoded sequentially (gzip members can't be
+        split); Ray's streaming executor pipelines files across tasks."""
+
+        _FILE_EXTENSIONS = ["warc", "warc.gz", "wet", "wet.gz"]
+
+        def __init__(self, paths, *, record_types=None, strip_http=True,
+                     payload_as_text=False, **kwargs):
+            kwargs.setdefault("file_extensions", None)
+            super().__init__(paths, **kwargs)
+            self._record_types = (tuple(record_types)
+                                  if record_types is not None else None)
+            self._strip_http = strip_http
+            self._payload_as_text = payload_as_text
+
+        def _read_stream(self, f, path: str):
+            yield from iter_warc_tables(
+                f, record_types=self._record_types,
+                strip_http=self._strip_http,
+                payload_as_text=self._payload_as_text)
+
+except ImportError:  # pragma: no cover
+    WarcDatasource = None
+
+
+def read_warc(paths, *, record_types: tuple[str, ...] | None = ("response",),
+              strip_http: bool = True, **read_args):
+    """Crawl WARC files → Dataset of `(url, warc_ts, warc_type,
+    content_type, payload)`. Defaults keep only `response` records with
+    HTTP headers stripped — the html-bytes view `encode_job` and
+    `ops/html.extract_text` consume."""
+    import ray
+
+    return ray.data.read_datasource(
+        WarcDatasource(paths, record_types=record_types,
+                       strip_http=strip_http), **read_args)
+
+
+def read_wet(paths, **read_args):
+    """WET text extracts → Dataset of `(url, warc_ts, warc_type,
+    content_type, text)` from `conversion` records."""
+    import ray
+
+    return ray.data.read_datasource(
+        WarcDatasource(paths, record_types=("conversion",),
+                       strip_http=False, payload_as_text=True),
+        **read_args)
+
+
+def write_warc(path: str, records: list[dict], *,
+               gzip_per_record: bool = False) -> None:
+    """Spec-compliant WARC writer (tests, fixtures, corpus export).
+    Each record dict: `warc_type`, `payload` (bytes), optional `url`,
+    `date` (ISO-8601 Z), `content_type`, `record_id`. With
+    `gzip_per_record=True` every record is its own gzip member (the CC
+    convention this module's reader resynchronizes on)."""
+    out = io.BytesIO()
+    for rec in records:
+        payload = rec["payload"]
+        headers = [("WARC-Type", rec["warc_type"])]
+        if rec.get("url") is not None:
+            headers.append(("WARC-Target-URI", rec["url"]))
+        headers.append(("WARC-Date",
+                        rec.get("date", "2020-01-01T00:00:00Z")))
+        headers.append(("WARC-Record-ID",
+                        rec.get("record_id",
+                                f"<urn:uuid:{uuid.uuid4()}>")))
+        if rec.get("content_type"):
+            headers.append(("Content-Type", rec["content_type"]))
+        headers.append(("Content-Length", str(len(payload))))
+        blob = (b"WARC/1.0\r\n"
+                + b"".join(f"{k}: {v}\r\n".encode() for k, v in headers)
+                + b"\r\n" + payload + _CRLF2)
+        if gzip_per_record:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            blob = co.compress(blob) + co.flush()
+        out.write(blob)
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())
+
+
+def http_response(body: bytes, *, content_type: str = "text/html",
+                  status: str = "200 OK") -> bytes:
+    """Wrap body bytes as the HTTP response payload a crawl `response`
+    record carries (test/fixture helper)."""
+    return (f"HTTP/1.1 {status}\r\nContent-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body

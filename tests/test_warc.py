@@ -1,0 +1,136 @@
+"""WARC/WET ingestion (parquet_rs_ray/warc.py): spec parsing, gzip
+member resync, HTTP stripping, the Ray datasource, and the crawl →
+extract → encode chain on the north-star invariant (byte-identical
+payload per url)."""
+
+import io
+import zlib
+
+import pyarrow as pa
+import pytest
+
+from parquet_rs_ray.warc import (WarcError, http_response,
+                                 iter_warc_records, read_warc, read_wet,
+                                 split_http_payload, write_warc)
+
+
+def _recs(n=5, binary_tail=b""):
+    return [{
+        "warc_type": "response",
+        "url": f"https://ex.com/p/{i}",
+        "date": f"2020-01-02T03:04:{i:02d}Z",
+        "content_type": "application/http; msgtype=response",
+        "payload": http_response(
+            f"<html><body>doc {i}</body></html>".encode() + binary_tail),
+    } for i in range(n)]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_plain_and_gzip(tmp_path, gz):
+    """Writer → record iterator, plain and one-gzip-member-per-record
+    (the CC convention); payload bytes exact, headers parsed."""
+    p = str(tmp_path / ("a.warc.gz" if gz else "a.warc"))
+    recs = _recs(5, binary_tail=b"\r\n\r\nWARC/1.0\r\n")  # spoofy bytes
+    write_warc(p, recs, gzip_per_record=gz)
+    with open(p, "rb") as f:
+        got = list(iter_warc_records(f))
+    assert len(got) == 5
+    for (h, payload), want in zip(got, recs):
+        assert h["warc-target-uri"] == want["url"]
+        assert h["warc-type"] == "response"
+        assert payload == want["payload"]  # Content-Length framing wins
+                                           # over embedded WARC/CRLF bytes
+
+
+def test_multi_member_gzip_stream_boundaries(tmp_path):
+    """Member boundaries land mid-record relative to read chunks; the
+    decompressobj unused_data resync must splice them seamlessly."""
+    p = str(tmp_path / "b.warc.gz")
+    write_warc(p, _recs(50), gzip_per_record=True)
+    raw = open(p, "rb").read()
+
+    class Dribble:
+        def __init__(self, b):
+            self.b, self.i = b, 0
+
+        def read(self, n):
+            n = min(n, 7)  # tiny ragged reads
+            out = self.b[self.i:self.i + n]
+            self.i += n
+            return out
+
+    got = list(iter_warc_records(Dribble(raw)))
+    assert len(got) == 50
+    assert got[49][0]["warc-target-uri"] == "https://ex.com/p/49"
+
+
+def test_truncated_payload_raises(tmp_path):
+    p = str(tmp_path / "t.warc")
+    write_warc(p, _recs(2))
+    raw = open(p, "rb").read()
+    with pytest.raises(WarcError, match="truncated"):
+        list(iter_warc_records(io.BytesIO(raw[:-40])))
+    with pytest.raises(WarcError, match="Content-Length"):
+        list(iter_warc_records(io.BytesIO(
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")))
+
+
+def test_split_http_payload():
+    body = b"<p>x</p>"
+    ctype, got = split_http_payload(http_response(body))
+    assert (ctype, got) == ("text/html", body)
+    # non-HTTP payload passes through untouched
+    ctype, got = split_http_payload(b"plain bytes, no status line")
+    assert ctype is None and got == b"plain bytes, no status line"
+
+
+def test_read_warc_dataset(ray_session, tmp_path):
+    """Datasource end-to-end: response records only, HTTP stripped,
+    timestamps parsed (fractional seconds truncate), body bytes exact."""
+    p = str(tmp_path / "c.warc.gz")
+    recs = _recs(7)
+    recs[3]["date"] = "2020-01-02T03:04:03.123456Z"   # fractional
+    recs.append({"warc_type": "warcinfo", "payload": b"software: x",
+                 "content_type": "application/warc-fields"})
+    write_warc(p, recs, gzip_per_record=True)
+    out = read_warc(p).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(out) == 7                      # warcinfo filtered out
+    assert out.content_type.eq("text/html").all()
+    assert out.payload[0] == b"<html><body>doc 0</body></html>"
+    assert str(out.warc_ts[0]) == "2020-01-02 03:04:00"
+    assert str(out.warc_ts[3]) == "2020-01-02 03:04:03"
+
+
+def test_read_wet_dataset(ray_session, tmp_path):
+    p = str(tmp_path / "d.wet.gz")
+    write_warc(p, [{
+        "warc_type": "conversion", "url": f"https://ex.com/{i}",
+        "date": "2021-06-07T08:09:10Z", "content_type": "text/plain",
+        "payload": f"extracted text {i}".encode(),
+    } for i in range(4)], gzip_per_record=True)
+    out = read_wet(p).to_pandas().sort_values("url").reset_index(drop=True)
+    assert out.text.tolist() == [f"extracted text {i}" for i in range(4)]
+    assert out.warc_type.eq("conversion").all()
+
+
+def test_crawl_to_encode_chain(ray_session, tmp_path):
+    """The full ingestion edge on the north-star invariant: webgen pages
+    → WARC response records → read_warc → payload bytes BYTE-IDENTICAL
+    per url → extract_text runs on the crawl view."""
+    from parquet_rs_ray.ops.html import extract_text
+    from parquet_rs_ray.webgen import make_web_table
+
+    tbl = make_web_table(rows=64, seed=11)
+    rows = [(u, h) for u, h in zip(tbl.column("url").to_pylist(),
+                                   tbl.column("html").to_pylist())
+            if h is not None]
+    p = str(tmp_path / "crawl.warc.gz")
+    write_warc(p, [{"warc_type": "response", "url": u,
+                    "content_type": "application/http; msgtype=response",
+                    "payload": http_response(h)} for u, h in rows],
+               gzip_per_record=True)
+    ds = read_warc(p)
+    got = ds.to_pandas().set_index("url").payload.to_dict()
+    assert got == dict(rows)                  # byte-identical per url
+    ext = extract_text(ds, html_col="payload").to_pandas()
+    assert (~ext.text_extracted.str.contains("<", regex=False)).all()
