@@ -13,8 +13,9 @@ all five color types (gray, RGB, palette, gray+alpha, RGBA), tRNS
 ignored (alpha is dropped to RGB at the end anyway), multiple IDAT
 chunks, CRC validation, and Adam7 interlacing (each of the 7 reduced
 passes unfilters independently and scatters into the full raster with
-one strided assignment). The only seam left is the rare Adam7 +
-sub-8-bit combination.
+one strided assignment) — including interlaced sub-8-bit streams,
+whose passes bit-unpack individually before the scatter. No seams
+remain in the PNG feature grid this decoder claims.
 
 Output is (h, w, 3) uint8 RGB (16-bit samples scale down, gray
 replicates, alpha composited over black is NOT applied — alpha is
@@ -102,6 +103,17 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
+def _unpack_samples(rows: np.ndarray, width: int,
+                    depth: int) -> np.ndarray:
+    """(n_rows, stride) packed sub-8-bit scanline bytes → (n_rows,
+    width) sample values 0..2^depth-1 (big-endian bit order, RFC 2083
+    §2.3); trailing pad bits of each row drop."""
+    bits = np.unpackbits(rows, axis=1)[:, :width * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (bits.reshape(rows.shape[0], width, depth)
+            * weights).sum(2).astype(np.uint8)
+
+
 def _deinterlace(raw: np.ndarray, w: int, h: int,
                  bpp: int) -> np.ndarray:
     """Adam7: the stream is 7 independently-filtered reduced images;
@@ -158,10 +170,6 @@ def decode_png(payload: bytes) -> np.ndarray:
                     "needs a codec library")
             if color == 3 and depth == 16:
                 raise PngError("palette PNG cannot be 16-bit")
-            if depth < 8 and interlace:
-                raise NotImplementedError(
-                    "Adam7 + sub-8-bit PNG needs a codec library "
-                    "(each decodes natively on its own)")
             ihdr = (w, h, depth, color, interlace)
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
@@ -179,12 +187,27 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise PngError(f"PNG deflate stream corrupt: {e}") from None
     if depth < 8:
         # 1/2/4-bit gray or palette: filter bpp is 1 byte (RFC 2083
-        # §6.2); unpack bits per scanline, then widen to 8-bit samples
-        stride = (w * depth + 7) // 8
-        rows = _unfilter(raw, h, stride, 1)
-        bits = np.unpackbits(rows, axis=1)[:, :w * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        px = (bits.reshape(h, w, depth) * weights).sum(2).astype(np.uint8)
+        # §6.2); unpack bits per scanline, then widen to 8-bit samples.
+        # Interlaced: each Adam7 pass is its own reduced image whose
+        # scanlines pack pw samples into ceil(pw*depth/8) bytes, so the
+        # bit-unpack runs PER PASS before the strided scatter.
+        if interlace:
+            px = np.zeros((h, w), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                stride = (pw * depth + 7) // 8
+                sub = _unfilter(raw[pos:pos + ph * (stride + 1)],
+                                ph, stride, 1)
+                pos += ph * (stride + 1)
+                px[y0::dy, x0::dx] = _unpack_samples(sub, pw, depth)
+        else:
+            stride = (w * depth + 7) // 8
+            rows = _unfilter(raw, h, stride, 1)
+            px = _unpack_samples(rows, w, depth)
         if color == 0:      # scale 0..2^d-1 to full 8-bit range
             px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
                 .astype(np.uint8)

@@ -253,7 +253,23 @@ def test_sub8bit_gray_and_palette():
         got = decode_png(encode_png(idx, color=3, depth=depth,
                                     palette=palette))
         assert (got == palette[idx]).all(), depth
-    # Adam7 + sub-8-bit stays the (rare) seam
-    with pytest.raises(NotImplementedError):
-        decode_png(encode_png(np.zeros((4, 4), np.uint8), color=0,
-                              depth=1, interlace=True))
+
+
+def test_adam7_sub8bit_gray_and_palette_bit_exact():
+    """Interlaced sub-8-bit: every depth × color-type × odd-size combo,
+    each Adam7 pass bit-unpacked independently before the scatter;
+    values exact vs the source samples (gray scales to 8-bit)."""
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4):
+        hi = (1 << depth) - 1
+        for h, w in [(1, 1), (3, 9), (11, 13), (8, 8), (17, 5)]:
+            g = rng.integers(0, hi + 1, (h, w)).astype(np.uint8)
+            got = decode_png(encode_png(g, color=0, depth=depth,
+                                        interlace=True))
+            exp = (g.astype(np.uint16) * 255 // hi).astype(np.uint8)
+            assert (got[:, :, 0] == exp).all(), (depth, h, w)
+        palette = rng.integers(0, 256, (hi + 1, 3)).astype(np.uint8)
+        idx = rng.integers(0, hi + 1, (9, 17)).astype(np.uint8)
+        got = decode_png(encode_png(idx, color=3, depth=depth,
+                                    palette=palette, interlace=True))
+        assert (got == palette[idx]).all(), depth
