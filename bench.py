@@ -34,6 +34,37 @@ def _web_paths() -> list[str]:
     return write_web_shards(WEB_CACHE, WEB_ROWS_PER_SHARD, WEB_SHARDS)
 
 
+WARC_CACHE = "/tmp/graft_bench_warc"
+WARC_SHARDS = 32
+
+
+def _warc_paths() -> list[str]:
+    """Deterministic synthetic crawl: the first WARC_SHARDS webgen
+    shards re-expressed as one-gzip-member-per-record WARC response
+    files (the Common Crawl layout). Built once, cached."""
+    from parquet_rs_ray.warc import http_response, write_warc
+    from parquet_rs_ray.webgen import make_web_table
+
+    os.makedirs(WARC_CACHE, exist_ok=True)
+    paths = []
+    for s in range(WARC_SHARDS):
+        p = os.path.join(WARC_CACHE, f"crawl-{s:05d}.warc.gz")
+        paths.append(p)
+        if os.path.exists(p):
+            continue
+        tbl = make_web_table(WEB_ROWS_PER_SHARD, shard=s)
+        write_warc(p + ".tmp", [
+            {"warc_type": "response", "url": u,
+             "date": "2020-01-02T03:04:05Z",
+             "content_type": "application/http; msgtype=response",
+             "payload": http_response(b"" if h is None else h)}
+            for u, h in zip(tbl.column("url").to_pylist(),
+                            tbl.column("html").to_pylist())],
+            gzip_per_record=True)
+        os.rename(p + ".tmp", p)
+    return paths
+
+
 def _headline_encode(num_cpus: int, out_root: str) -> dict:
     """The headline pipeline: encode the synthetic web corpus with the
     codec auto-selector via the resumable job (manifest + per-block
@@ -206,6 +237,20 @@ def run_bench(num_cpus: int) -> dict:
                 f"{SF_DIR}/events.parquet", columns=["user_id", "ts"],
                 filter=(pads.field("event_type") == "click")),
             key_col="user_id", ts_col="ts").count())
+
+    # raw-crawl ingestion edge: WARC (per-record gzip members) ->
+    # streamed record parse -> HTTP strip -> html->text extraction
+    def _warc_ingest():
+        from parquet_rs_ray.ops.html import extract_text
+        from parquet_rs_ray.warc import read_warc
+
+        ds = extract_text(read_warc(_warc_paths()), html_col="payload")
+        return ds.map_batches(
+            lambda b: {"n": [b.num_rows]}, batch_format="pyarrow").sum("n")
+
+    paths = _warc_paths()   # build/cache outside the timed window
+    extras["warc_gzip_bytes"] = sum(os.path.getsize(p) for p in paths)
+    queries["warc_ingest_extract"] = _timed(_warc_ingest)
 
     ray.shutdown()
     total = sum(queries.values())
