@@ -807,6 +807,26 @@ def _dedup_against_corpus_documents(sf_dir: str):
         idx["index_dir"], mode="auto")
 
 
+def _lm_score_documents(sf_dir: str):
+    """CCNet-style LM quality scoring (ops/lm.py): train a byte-trigram
+    add-one LM on the doc_id %% 2 == 0 half of the corpus (one
+    (gram,count) groupby-sum; text never shuffles), broadcast the dense
+    model once, score every document vectorized (flat-buffer window
+    codes + reduceat). Rows-only: numpy and SQL ln() differ by ~1 ulp,
+    so the hard driver hash would flake — tolerance parity vs the
+    identical DuckDB replay is pinned by tests/test_lm.py."""
+    import pyarrow as pa
+    import ray
+    from parquet_rs_ray.ops.lm import score_char_lm, train_char_lm
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    model = train_char_lm(ds, sample_mod=2)
+    return score_char_lm(ds, model).map_batches(
+        lambda b: b.select(["doc_id", "lm_logprob"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _warc_ingest_documents(sf_dir: str):
     """Raw-crawl ingestion edge (parquet_rs_ray/warc.py): documents
     rows written as a one-gzip-member-per-record WARC crawl file (the
@@ -1404,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["audio_features_documents"] = _audio_features_documents
     q["quantile_sketch_events"] = _quantile_sketch_events
     q["warc_ingest_documents"] = _warc_ingest_documents
+    q["lm_score_documents"] = _lm_score_documents
     q["curate_documents"] = _curate_documents
     return q
 

@@ -1,0 +1,192 @@
+"""Character (byte) n-gram language-model quality scoring, CCNet-style.
+
+The classic web-curation quality gate scores each document with a small
+language model trained on a trusted reference corpus and drops the
+high-perplexity tail (CCNet does this with a KenLM 5-gram; the same
+shape appears in most LLM-data pipelines). This module is that stage
+with the model kept honest for this environment: a BYTE-TRIGRAM
+add-one-smoothed unigram-of-trigrams LM — deterministic, trainable
+inside the engine itself, vectorized end to end, and small enough to
+broadcast (vocab ≤ alphabet³; real text keeps it in the low millions of
+codes even at 100 TB because the byte alphabet is fixed).
+
+Scale shape:
+
+- `train_char_lm`: one map_batches pass emits per-batch (gram, count)
+  partials — np.unique over packed uint32 window codes of the batch's
+  FLAT text buffer, boundary-crossing windows masked — then ONE
+  groupby-sum shuffle of those tiny pairs. The corpus text never
+  shuffles; the reference sample is chosen by a deterministic key
+  modulus so the oracle can replay it. The driver folds the bounded
+  model table into a dense logprob array.
+- `score_char_lm`: the model array rides `ray.put` (broadcast once, not
+  per batch); each batch computes every window code of its flat buffer,
+  one fancy-indexed logprob gather, zeroes the two boundary-crossing
+  positions per document, and segment-sums with np.add.reduceat. No
+  Python per row, no shuffle.
+- `filter_by_lm`: threshold gate on the score (bits/byte-trigram).
+
+Byte trigrams (not codepoints) keep the kernel one flat-buffer pass for
+ANY utf-8 input; on ASCII corpora byte- and char-trigrams coincide,
+which is what the DuckDB parity test replays (tolerance compare — ln()
+differs from numpy by ~1 ulp, so this op registers rows-only rather
+than hash-oracle-backed).
+
+Reference anchor: no counterpart in parquet-rs (pure storage); this is
+part of the training-data operator family (SURVEY §2 additions)
+alongside lang-ID/quality in ops/textstats.py, which score with fixed
+heuristics where this learns from a reference corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["train_char_lm", "score_char_lm", "filter_by_lm"]
+
+_N = 3          # trigrams: codes pack into uint32, dense vocab 2^24
+
+
+def _flat_utf8(arr) -> tuple[np.ndarray, np.ndarray]:
+    """String/binary column → (byte offsets int64 [n+1], flat uint8
+    data), null/empty rows zero-length. Tolerates large_* int64
+    offsets (≥2 GiB batches)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary())
+    elif not (pa.types.is_binary(arr.type)
+              or pa.types.is_large_binary(arr.type)):
+        arr = arr.cast(pa.binary())
+    if arr.null_count:          # null slots → zero-length spans (the
+        arr = arr.fill_null(b"")  # spec allows garbage under nulls)
+    large = pa.types.is_large_binary(arr.type)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(
+        bufs[1], dtype=np.int64 if large else np.int32,
+        count=len(arr) + 1,
+        offset=arr.offset * (8 if large else 4)).astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    start = offsets[0]
+    offsets = offsets - start
+    data = data[start:start + int(offsets[-1])]
+    return offsets, data
+
+
+def _window_codes(offsets: np.ndarray,
+                  data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All trigram window codes of the flat buffer + a validity mask
+    that zeroes the windows crossing document boundaries. Code =
+    b0*65536 + b1*256 + b2 (big-endian pack, uint32)."""
+    total = len(data)
+    if total < _N:
+        return np.empty(0, np.uint32), np.empty(0, bool)
+    codes = (data[:-2].astype(np.uint32) << 16) \
+        | (data[1:-1].astype(np.uint32) << 8) | data[2:]
+    valid = np.ones(total - 2, bool)
+    # windows starting in a doc's last N-1 bytes belong to no doc
+    ends = offsets[1:]
+    for k in range(1, _N):
+        pos = ends - k
+        pos = pos[(pos >= 0) & (pos < total - 2)]
+        valid[pos] = False
+    return codes, valid
+
+
+def _gram_partials(batch: pa.Table, text_col: str, key_col: str,
+                   sample_mod: int) -> pa.Table:
+    if sample_mod > 1:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        mask = pa.array(keys.cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                        % sample_mod == 0)
+        batch = batch.filter(mask)
+    offsets, data = _flat_utf8(batch.column(text_col))
+    codes, valid = _window_codes(offsets, data)
+    grams, counts = np.unique(codes[valid], return_counts=True)
+    return pa.table({"gram": pa.array(grams.astype(np.int64)),
+                     "cnt": pa.array(counts.astype(np.int64))})
+
+
+def train_char_lm(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                  sample_mod: int = 1) -> dict:
+    """Train the byte-trigram LM on `ds` (rows with
+    ``key_col % sample_mod == 0`` when sampling). Returns the model as
+    a plain dict: dense float64 ``logp`` (2^24 entries, add-one
+    smoothed log probabilities, OOV included), ``total`` grams and
+    ``vocab`` size — ~128 MB dense, built once on the driver from the
+    bounded (gram, count) table and broadcast by the scorer."""
+    agg = ds.map_batches(
+        lambda b: _gram_partials(b, text_col, key_col, sample_mod),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("gram").sum("cnt")
+    tbl = agg.to_pandas()       # bounded: ≤ distinct byte-trigrams
+    grams = tbl["gram"].to_numpy()
+    counts = tbl["sum(cnt)"].to_numpy()
+    total = int(counts.sum())
+    vocab = 1 << 24
+    logp = np.full(vocab, -np.log(total + vocab), np.float64)
+    logp[grams] = np.log((counts + 1) / (total + vocab))
+    return {"logp": logp, "total": total, "n_grams_distinct": len(grams)}
+
+
+def score_char_lm(ds, model: dict, *, text_col: str = "text",
+                  out_col: str = "lm_logprob"):
+    """Append ``out_col`` = mean log probability of the document's byte
+    trigrams under `model` (≤ 0; higher = more reference-like; docs
+    shorter than 3 bytes or null score null). The ~128 MB logp array
+    ships to the object store ONCE (ray.put) and maps read-only into
+    every worker."""
+    import ray
+
+    ref = ray.put(model["logp"])
+
+    class _Scorer:
+        def __init__(self):
+            self.logp = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            offsets, data = _flat_utf8(batch.column(text_col))
+            codes, valid = _window_codes(offsets, data)
+            vals = np.where(valid, self.logp[codes], 0.0)
+            starts = np.minimum(offsets[:-1], max(len(vals) - 1, 0))
+            if len(vals):
+                sums = np.add.reduceat(vals, starts)
+                # reduceat repeats the value at equal consecutive
+                # starts (zero-length docs): zero them explicitly
+                n_tri = np.maximum(np.diff(offsets) - (_N - 1), 0)
+                sums = np.where(n_tri > 0, sums, 0.0)
+            else:
+                n_tri = np.zeros(len(batch), np.int64)
+                sums = np.zeros(len(batch), np.float64)
+            mean = np.where(n_tri > 0, sums / np.maximum(n_tri, 1),
+                            np.nan)
+            out = pa.array(mean, pa.float64(), from_pandas=True)
+            return batch.append_column(out_col, out)  # NaN → null
+
+    return ds.map_batches(_Scorer, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8))
+
+
+def filter_by_lm(ds, model: dict, *, min_logprob: float,
+                 text_col: str = "text"):
+    """Keep documents whose mean trigram log probability is at least
+    ``min_logprob`` (the CCNet head+middle cut, expressed in
+    log-space). Unscorable (<3 byte) docs drop."""
+    import pyarrow.compute as pc
+
+    scored = score_char_lm(ds, model, text_col=text_col,
+                           out_col="__lm")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_kleene(pc.is_valid(batch.column("__lm")),
+                          pc.greater_equal(batch.column("__lm"),
+                                           min_logprob))
+        return batch.filter(pc.fill_null(m, False)).drop_columns("__lm")
+
+    return scored.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)

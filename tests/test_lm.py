@@ -1,0 +1,148 @@
+"""Byte-trigram LM quality scoring (ops/lm.py): pure-python reference
+parity, DuckDB replay on ASCII corpora (tolerance — ln() differs from
+numpy by ~1 ulp), null/short-doc semantics, and the filter gate."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_rs_ray.ops.lm import (filter_by_lm, score_char_lm,
+                                   train_char_lm)
+
+VOCAB = 1 << 24
+
+
+def _ref_model(texts):
+    counts = {}
+    total = 0
+    for t in texts:
+        if t is None:
+            continue
+        b = t.encode()
+        for i in range(len(b) - 2):
+            g = b[i:i + 3]
+            counts[g] = counts.get(g, 0) + 1
+            total += 1
+    return counts, total
+
+
+def _ref_score(text, counts, total):
+    b = text.encode() if text is not None else b""
+    if len(b) < 3:
+        return None
+    vals = [np.log((counts.get(b[i:i + 3], 0) + 1) / (total + VOCAB))
+            for i in range(len(b) - 2)]
+    return float(np.mean(vals))
+
+
+def _docs_table():
+    texts = ["the quick brown fox", "the quick brown dog",
+             "zzzz qqqq xxxx", None, "", "ab",
+             "the the the the", "completely different content here"]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())}), texts
+
+
+def test_train_and_score_vs_python_reference(ray_session):
+    import ray
+
+    tbl, texts = _docs_table()
+    ds = ray.data.from_arrow(tbl)
+    model = train_char_lm(ds)
+    counts, total = _ref_model(texts)
+    assert model["total"] == total
+    assert model["n_grams_distinct"] == len(counts)
+    # dense logp spot check
+    g = b"the"
+    code = (g[0] << 16) | (g[1] << 8) | g[2]
+    assert model["logp"][code] == pytest.approx(
+        np.log((counts[g] + 1) / (total + VOCAB)), abs=0)
+
+    out = score_char_lm(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        want = _ref_score(t, counts, total)
+        got = out.lm_logprob[i]
+        if want is None:
+            assert np.isnan(got) or got is None
+        else:
+            assert got == pytest.approx(want, rel=1e-12), (i, t)
+    # in-corpus docs score higher than the gibberish one
+    assert out.lm_logprob[0] > out.lm_logprob[2]
+
+
+def test_score_vs_duckdb_ascii(ray_session):
+    """ASCII corpus: byte == char trigrams, so DuckDB replays train +
+    score exactly (tolerance 1e-9 for ln ulp drift). Trains on the
+    doc_id %% 2 == 0 half, scores everything."""
+    import ray
+
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "web", "page", "text"]
+    texts = [" ".join(rng.choice(words, rng.integers(0, 12)))
+             for _ in range(60)]
+    tbl = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    model = train_char_lm(ds, sample_mod=2)
+    got = score_char_lm(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    want = con.execute(f"""
+        WITH ref AS (SELECT text FROM docs WHERE doc_id % 2 = 0),
+        g AS (SELECT substr(text, i, 3) AS g FROM ref,
+              unnest(range(1, length(text)-1)) t(i)
+              WHERE length(text) >= 3),
+        c AS (SELECT g, CAST(count(*) AS DOUBLE) AS c FROM g GROUP BY g),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM g),
+        dg AS (SELECT d.doc_id, substr(d.text, i, 3) AS g FROM docs d,
+               unnest(range(1, length(d.text)-1)) t(i)
+               WHERE length(d.text) >= 3),
+        s AS (SELECT doc_id,
+                     avg(ln((coalesce(c.c, 0) + 1)/(tot.total + {VOCAB})))
+                     AS lm FROM dg LEFT JOIN c USING(g) CROSS JOIN tot
+              GROUP BY doc_id)
+        SELECT d.doc_id, s.lm FROM docs d LEFT JOIN s USING(doc_id)
+        ORDER BY d.doc_id""").fetchdf()
+    gv, wv = got.lm_logprob.to_numpy(), want.lm.to_numpy()
+    assert np.isnan(gv).tolist() == np.isnan(wv).tolist()
+    m = ~np.isnan(gv)
+    assert np.allclose(gv[m], wv[m], rtol=0, atol=1e-9)
+
+
+def test_filter_by_lm(ray_session):
+    import ray
+
+    tbl, texts = _docs_table()
+    ds = ray.data.from_arrow(tbl)
+    model = train_char_lm(ds)
+    scored = score_char_lm(ds, model).to_pandas()
+    thr = float(np.nanmedian(scored.lm_logprob))
+    kept = filter_by_lm(ds, model, min_logprob=thr).to_pandas()
+    want = scored[scored.lm_logprob >= thr].doc_id.tolist()
+    assert sorted(kept.doc_id.tolist()) == sorted(want)
+    # unscorable docs (null/empty/2-byte) are gone
+    assert not set(kept.doc_id) & {3, 4, 5}
+
+
+def test_utf8_multibyte_and_binary_column(ray_session):
+    """Non-ASCII text: byte trigrams are well-defined over the utf-8
+    encoding; scoring must not crash and must match the python
+    reference on the bytes."""
+    import ray
+
+    texts = ["héllo wörld", "héllo wörld", "日本語のテキスト", "ascii only"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    model = train_char_lm(ds)
+    counts, total = _ref_model(texts)
+    assert model["total"] == total
+    out = score_char_lm(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        assert out.lm_logprob[i] == pytest.approx(
+            _ref_score(t, counts, total), rel=1e-12)
