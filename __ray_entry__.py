@@ -807,6 +807,34 @@ def _dedup_against_corpus_documents(sf_dir: str):
         idx["index_dir"], mode="auto")
 
 
+def _dup_span_stats_documents(sf_dir: str):
+    """Content-defined-chunking substring dedup report (ops/cdc.py):
+    Rabin-anchor chunks over every document, one (hash, occ) shuffle,
+    per-doc duplicated-byte fraction. Alignment-robust — a span shared
+    at different offsets still matches. Rows-only (SQL cannot replay
+    the rolling-hash anchor rule; the kernel is pinned against an
+    independent scalar reference in tests/test_cdc.py)."""
+    import ray
+    from parquet_rs_ray.ops.cdc import duplicate_span_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return duplicate_span_stats(ds, mask_bits=6)
+
+
+def _dedup_spans_documents(sf_dir: str):
+    """Duplicate-span REMOVAL (ops/cdc.py::dedup_spans): every chunk
+    content occurring twice corpus-wide survives only as the smallest
+    key's first occurrence; surviving bytes concatenate utf-8-safe.
+    Rows-only (same anchor-rule reason as the stats twin)."""
+    import ray
+    from parquet_rs_ray.ops.cdc import dedup_spans
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dedup_spans(ds, mask_bits=6)
+
+
 def _lm_score_documents(sf_dir: str):
     """CCNet-style LM quality scoring (ops/lm.py): train a byte-trigram
     add-one LM on the doc_id %% 2 == 0 half of the corpus (one
@@ -1425,6 +1453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quantile_sketch_events"] = _quantile_sketch_events
     q["warc_ingest_documents"] = _warc_ingest_documents
     q["lm_score_documents"] = _lm_score_documents
+    q["dup_span_stats_documents"] = _dup_span_stats_documents
+    q["dedup_spans_documents"] = _dedup_spans_documents
     q["curate_documents"] = _curate_documents
     return q
 

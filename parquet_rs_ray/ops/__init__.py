@@ -8,6 +8,7 @@ transform (map_batches-first, shuffles only where semantically required)
 and is exposed through `__ray_entry__.queries()`.
 """
 
-from . import dedup, html, multimodal, similarity, textstats
+from . import cdc, dedup, html, lm, multimodal, similarity, textstats
 
-__all__ = ["dedup", "html", "multimodal", "similarity", "textstats"]
+__all__ = ["cdc", "dedup", "html", "lm", "multimodal", "similarity",
+           "textstats"]

@@ -1,0 +1,341 @@
+"""Content-defined chunking (CDC) substring dedup — alignment-robust
+duplicate-span detection and removal (the Lee-et-al-style "exact
+substring dedup" family, done the way storage dedup systems make it
+distributable: Rabin-style content anchors instead of suffix arrays).
+
+Why not offsets or lines: fixed-stride windows miss duplicates that are
+shifted by one byte, and line granularity (ops/clean.line_dedup) misses
+duplicated spans embedded mid-line. A content-defined breakpoint moves
+WITH the content — two documents sharing a long span produce the same
+interior chunks regardless of where the span sits — so cross-doc
+duplicated spans become equal chunk hashes, detectable with one tiny
+shuffle.
+
+Kernels (all flat-buffer numpy, no per-row Python):
+
+- Rolling hash: h[i] = Σ_{j<w} b[i-j]·P^j mod 2^64 over the batch's
+  flat text buffer — w fixed vector multiply-adds. Anchors where the
+  low ``mask_bits`` bits are all ones (expected chunk ≈ 2^mask_bits
+  bytes); document boundaries always break; chunks longer than
+  ``max_len`` split at fixed offsets (stateless, so it stays
+  vectorized — deliberately NOT the stateful min/max CDC variant).
+- Anchors advance off UTF-8 continuation bytes (≤3 `np.where` rounds),
+  so chunk removal can never split a multibyte character.
+- Chunks tile the flat buffer contiguously → the chunk column is a
+  ZERO-COPY Arrow binary array over the batch's own data buffer;
+  hashing reuses `ops.dedup._hash_strings`.
+
+Distribution shape: only (key, chunk_hash, occ, bytes) rows shuffle
+(≈32 B per ~2^mask_bits input bytes); `duplicate_span_stats` is
+join-only end to end (no broadcast, no driver materialization).
+`dedup_spans` broadcasts the DUPLICATED-chunk table (hash, winner) —
+bounded by duplicated-content volume, the quantity the op exists to
+shrink; the docstring pins the budget and the stats op is the probe
+that sizes it.
+
+No parquet-rs counterpart (storage engine); SURVEY §2 training-data
+family, sibling of line_dedup (line granularity) and near_dedup
+(document granularity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _hash_strings
+from .lm import _flat_utf8
+
+__all__ = ["chunk_batch", "duplicate_span_stats", "dedup_spans"]
+
+_P = np.uint64(0x9E3779B97F4A7C15)      # odd multiplier (splitmix64)
+_WIN = 16
+
+
+def _anchors(data: np.ndarray, mask_bits: int,
+             offsets: np.ndarray) -> np.ndarray:
+    """Positions AFTER which a chunk boundary falls (content-defined):
+    i is an anchor iff the rolling hash of data[i-15..i] has its low
+    ``mask_bits`` bits all ones AND the window lies entirely inside one
+    document — chunking must depend ONLY on the document's own bytes,
+    never on its batch neighbors, or the same content would chunk
+    differently in different batches and dedup would silently miss.
+    Returns sorted break positions. UTF-8 continuation bytes push a
+    break forward (≤3 in valid utf-8) so chunks never split a
+    character; a break pushed past its document's end drops (the doc
+    bound is already a break)."""
+    n = len(data)
+    if n < _WIN:
+        return np.empty(0, np.int64)
+    h = np.zeros(n - _WIN + 1, np.uint64)
+    powers = _P ** np.arange(_WIN, dtype=np.uint64)   # wraps mod 2^64
+    with np.errstate(over="ignore"):
+        for j in range(_WIN):
+            h += data[_WIN - 1 - j:n - j].astype(np.uint64) * powers[j]
+    mask = np.uint64((1 << mask_bits) - 1)
+    pos = np.flatnonzero((h & mask) == mask) + _WIN - 1
+    # doc-local windows only: window start i-(WIN-1) must be >= the
+    # document's first byte
+    doc = np.searchsorted(offsets, pos, side="right") - 1
+    local = pos - (_WIN - 1) >= offsets[doc]
+    pos, doc = pos[local], doc[local]
+    brk = pos + 1                        # byte index the next chunk starts at
+    # push breaks off utf-8 continuation bytes (0b10xxxxxx)
+    for _ in range(3):
+        inside = brk < n
+        cont = np.zeros(len(brk), bool)
+        cont[inside] = (data[brk[inside]] & 0xC0) == 0x80
+        brk = brk + cont
+    keep = (brk < n) & (brk < offsets[doc + 1])  # stay inside the doc
+    return np.unique(brk[keep])
+
+
+def _split_long(bounds: np.ndarray, max_len: int) -> np.ndarray:
+    """Insert extra breaks so no chunk exceeds ``max_len`` (fixed
+    offsets from each chunk start — stateless, vectorized via the
+    repeat/cumsum idiom)."""
+    lens = np.diff(bounds)
+    n_extra = np.maximum((lens - 1) // max_len, 0)
+    if not n_extra.any():
+        return bounds
+    starts = np.repeat(bounds[:-1], n_extra)
+    k = np.arange(int(n_extra.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_extra)[:-1]]), n_extra)
+    extra = starts + (k + 1) * max_len
+    return np.unique(np.concatenate([bounds, extra]))
+
+
+def chunk_batch(batch: pa.Table, *, text_col: str, key_col: str,
+                mask_bits: int = 8, max_len: int = 4096) -> pa.Table:
+    """One batch → per-(doc, chunk_hash) rows: ``occ`` occurrences and
+    ``bytes`` total bytes of that chunk content in that doc, plus
+    ``first_seq`` (index of its first occurrence among the doc's
+    chunks, for winner-side keep-first semantics)."""
+    offsets, data = _flat_utf8(batch.column(text_col))
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    brk = _anchors(data, mask_bits, offsets)
+    bounds = np.unique(np.concatenate([offsets, brk]))
+    bounds = _split_long(bounds, max_len)
+    lens = np.diff(bounds)
+    keep = lens > 0                      # zero-length docs contribute none
+    starts = bounds[:-1][keep]
+    lens = lens[keep]
+    if len(starts) == 0:
+        return pa.table({
+            key_col: keys.slice(0, 0),
+            "chunk_hash": pa.array([], pa.int64()),
+            "occ": pa.array([], pa.int64()),
+            "bytes": pa.array([], pa.int64()),
+            "first_seq": pa.array([], pa.int64())})
+    # zero-copy binary view: chunks tile the flat buffer
+    cb = np.concatenate([starts, [starts[-1] + lens[-1]]]).astype(np.int32) \
+        if starts[-1] + lens[-1] < 2**31 else None
+    if cb is not None:
+        chunks = pa.BinaryArray.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(cb.tobytes()), pa.py_buffer(data.tobytes())])
+    else:   # >2 GiB flat buffer: large offsets
+        cb64 = np.concatenate([starts, [starts[-1] + lens[-1]]])
+        chunks = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), len(starts),
+            [None, pa.py_buffer(cb64.tobytes()),
+             pa.py_buffer(data.tobytes())])
+    hashes = _hash_strings(chunks).view(np.int64)
+    doc_idx = np.searchsorted(offsets, starts, side="right") - 1
+    seq = np.arange(len(starts)) - np.searchsorted(starts, offsets[:-1])[doc_idx]
+    # distinct (doc, hash): occ count, byte sum, first seq
+    order = np.lexsort((seq, hashes, doc_idx))
+    d, hsh, ln, sq = doc_idx[order], hashes[order], lens[order], seq[order]
+    new = np.ones(len(d), bool)
+    new[1:] = (d[1:] != d[:-1]) | (hsh[1:] != hsh[:-1])
+    grp = np.cumsum(new) - 1
+    occ = np.bincount(grp)
+    byt = np.bincount(grp, weights=ln).astype(np.int64)
+    firsts = np.flatnonzero(new)
+    return pa.table({
+        key_col: keys.take(pa.array(d[firsts])),
+        "chunk_hash": pa.array(hsh[firsts]),
+        "occ": pa.array(occ.astype(np.int64)),
+        "bytes": pa.array(byt),
+        "first_seq": pa.array(sq[firsts].astype(np.int64))})
+
+
+def _chunk_rows(ds, text_col, key_col, mask_bits, max_len):
+    return ds.map_batches(
+        lambda b: chunk_batch(b, text_col=text_col, key_col=key_col,
+                              mask_bits=mask_bits, max_len=max_len),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def duplicate_span_stats(ds, *, text_col: str = "text",
+                         key_col: str = "doc_id", mask_bits: int = 8,
+                         max_len: int = 4096, num_partitions: int = 16):
+    """Per-document duplicated-span report: ``total_bytes`` of chunked
+    text, ``dup_bytes`` in chunks whose content occurs ≥2 times
+    corpus-wide (across or within documents), and ``dup_frac``. Fully
+    distributed: chunk summary rows → one groupby-sum on chunk_hash →
+    one hash join back → per-doc groupby. Only ~32 B per expected
+    2^mask_bits input bytes ever shuffles."""
+    import pyarrow.compute as pc
+
+    rows = _chunk_rows(ds, text_col, key_col, mask_bits, max_len)
+    freq = rows.groupby("chunk_hash").sum("occ") \
+        .map_batches(lambda b: b.rename_columns(["chunk_hash", "n_occ"]),
+                     batch_format="pyarrow")
+    joined = rows.join(freq, "inner", num_partitions, on=("chunk_hash",))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        dup = pc.greater_equal(batch.column("n_occ"), 2)
+        dupb = pc.if_else(dup, batch.column("bytes"), 0)
+        return pa.table({
+            key_col: batch.column(key_col),
+            "total_bytes": batch.column("bytes"),
+            "dup_bytes": dupb.cast(pa.int64())})
+
+    agg = joined.map_batches(fold, batch_format="pyarrow") \
+        .groupby(key_col).sum(["total_bytes", "dup_bytes"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns([key_col, "total_bytes", "dup_bytes"])
+        frac = pc.divide(
+            pc.cast(batch.column("dup_bytes"), pa.float64()),
+            pc.cast(batch.column("total_bytes"), pa.float64()))
+        return batch.append_column("dup_frac", frac)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_spans(ds, *, text_col: str = "text", key_col: str = "doc_id",
+                mask_bits: int = 8, max_len: int = 4096,
+                out_col: str | None = None):
+    """Remove duplicated spans, keeping ONE copy corpus-wide: for every
+    chunk content occurring ≥2 times, the document with the smallest
+    key keeps its first occurrence; every other occurrence is cut. The
+    surviving bytes concatenate in document order (UTF-8 safe — anchors
+    never split a character). Returns the dataset with ``text_col``
+    (or ``out_col``) rewritten.
+
+    Broadcast regime: the (dup hash, winner key, winner first_seq)
+    table rides ray.put — its size is bounded by the corpus's
+    duplicated-content volume / 2^mask_bits; run
+    `duplicate_span_stats` first to size it (the 256 MiB worker-heap
+    budget of ops/regime.py applies). A join-regime twin would shuffle
+    full text once; not implemented until a corpus needs it."""
+    import ray
+
+    import ray.data.aggregate as agg_mod
+
+    rows = _chunk_rows(ds, text_col, key_col, mask_bits, max_len)
+    # one shuffle: total occurrences + winner (min key) per chunk hash
+    freq = rows.groupby("chunk_hash").aggregate(
+        agg_mod.Sum("occ", alias_name="n_occ"),
+        agg_mod.Min(key_col, alias_name="winner"))
+    dup_tbl = freq.filter(expr="n_occ >= 2")
+    dup_pd = dup_tbl.to_pandas()        # bounded: duplicated chunks only
+    dh = np.sort(dup_pd["chunk_hash"].to_numpy())
+    dwin = dup_pd.sort_values("chunk_hash")["winner"].to_numpy()
+    ref = ray.put((dh, dwin))
+    out_name = out_col or text_col
+
+    class _Rewrite:
+        def __init__(self):
+            self.dh, self.dwin = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            offsets, data = _flat_utf8(batch.column(text_col))
+            keys = batch.column(key_col)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            knp = keys.to_numpy(zero_copy_only=False)
+            brk = _anchors(data, mask_bits, offsets)
+            bounds = _split_long(
+                np.unique(np.concatenate([offsets, brk])), max_len)
+            lens = np.diff(bounds)
+            keepnz = lens > 0
+            starts = bounds[:-1][keepnz]
+            lens = lens[keepnz]
+            n_docs = len(batch)
+            if len(starts) == 0:        # all texts empty/null
+                out = pc_null_like(batch.column(text_col),
+                                   pa.array([""] * n_docs, pa.string()))
+                if out_col is None:
+                    i = batch.schema.get_field_index(text_col)
+                    return batch.set_column(i, out_name, out)
+                return batch.append_column(out_name, out)
+            cb = np.concatenate([starts,
+                                 [starts[-1] + lens[-1]]])
+            if cb[-1] < 2**31:
+                chunks = pa.BinaryArray.from_buffers(
+                    pa.binary(), len(starts),
+                    [None, pa.py_buffer(cb.astype(np.int32).tobytes()),
+                     pa.py_buffer(data.tobytes())])
+            else:
+                chunks = pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(), len(starts),
+                    [None, pa.py_buffer(cb.tobytes()),
+                     pa.py_buffer(data.tobytes())])
+            hashes = _hash_strings(chunks).view(np.int64)
+            doc_idx = np.searchsorted(offsets, starts, side="right") - 1
+            pos = np.searchsorted(self.dh, hashes)
+            pos = np.minimum(pos, max(len(self.dh) - 1, 0))
+            is_dup = len(self.dh) > 0
+            is_dup = (self.dh[pos] == hashes) if is_dup else \
+                np.zeros(len(hashes), bool)
+            keep = ~is_dup
+            # winner keeps its FIRST occurrence of each dup chunk
+            win_mask = is_dup & (knp[doc_idx] == (
+                self.dwin[pos] if len(self.dh) else 0))
+            if win_mask.any():
+                idx = np.flatnonzero(win_mask)
+                # first occurrence per (doc, hash) among winner rows
+                order = np.lexsort((idx, hashes[idx], doc_idx[idx]))
+                oi = idx[order]
+                first = np.ones(len(oi), bool)
+                first[1:] = (doc_idx[oi][1:] != doc_idx[oi][:-1]) | \
+                    (hashes[oi][1:] != hashes[oi][:-1])
+                keep[oi[first]] = True
+            # rebuild per-doc text from kept ranges
+            kstarts, klens, kdocs = starts[keep], lens[keep], doc_idx[keep]
+            gather = np.repeat(kstarts, klens) + (
+                np.arange(int(klens.sum()))
+                - np.repeat(np.concatenate([[0], np.cumsum(klens)[:-1]]),
+                            klens))
+            new_data = data[gather]
+            new_lens = np.bincount(kdocs, weights=klens,
+                                   minlength=n_docs).astype(np.int64)
+            new_off = np.concatenate([[0], np.cumsum(new_lens)])
+            if new_off[-1] < 2**31:
+                arr = pa.BinaryArray.from_buffers(
+                    pa.binary(), n_docs,
+                    [None,
+                     pa.py_buffer(new_off.astype(np.int32).tobytes()),
+                     pa.py_buffer(new_data.tobytes())])
+            else:
+                arr = pa.LargeBinaryArray.from_buffers(
+                    pa.large_binary(), n_docs,
+                    [None, pa.py_buffer(new_off.tobytes()),
+                     pa.py_buffer(new_data.tobytes())])
+            txt = arr.cast(pa.string())
+            # null text stays null
+            src = batch.column(text_col)
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            import pyarrow.compute as pc
+            txt = pc.if_else(pc.is_valid(src), txt,
+                             pa.scalar(None, pa.string()))
+            if out_col is None:
+                i = batch.schema.get_field_index(text_col)
+                return batch.set_column(i, out_name, txt)
+            return batch.append_column(out_name, txt)
+
+    return ds.map_batches(_Rewrite, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8))
+
+
+def pc_null_like(src, new):
+    import pyarrow.compute as pc
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    return pc.if_else(pc.is_valid(src), new, pa.scalar(None, pa.string()))
