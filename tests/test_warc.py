@@ -134,3 +134,30 @@ def test_crawl_to_encode_chain(ray_session, tmp_path):
     assert got == dict(rows)                  # byte-identical per url
     ext = extract_text(ds, html_col="payload").to_pandas()
     assert (~ext.text_extracted.str.contains("<", regex=False)).all()
+
+
+def test_crawl_extract_encode_decode_north_rule(ray_session, tmp_path):
+    """The north rule end to end: crawl bytes → html→text extraction →
+    codec-selector encode → decode — extracted text BYTE-IDENTICAL per
+    url through the whole engine."""
+    from parquet_rs_ray.ops.html import extract_text, extract_text_array
+    from parquet_rs_ray.pipeline import roundtrip
+    from parquet_rs_ray.webgen import make_web_table
+
+    tbl = make_web_table(rows=96, seed=12)
+    rows = [(u, h) for u, h in zip(tbl.column("url").to_pylist(),
+                                   tbl.column("html").to_pylist())
+            if h is not None]
+    p = str(tmp_path / "crawl.warc.gz")
+    write_warc(p, [{"warc_type": "response", "url": u,
+                    "content_type": "application/http; msgtype=response",
+                    "payload": http_response(h)} for u, h in rows],
+               gzip_per_record=True)
+    crawl = extract_text(read_warc(p), html_col="payload") \
+        .map_batches(lambda b: b.select(["url", "text_extracted"]),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    out = roundtrip(crawl).to_pandas() \
+        .set_index("url").text_extracted.to_dict()
+    want = {u: extract_text_array(pa.array([h.decode()]))[0].as_py()
+            for u, h in rows}
+    assert out == want                        # byte-identical per url
