@@ -215,20 +215,52 @@ class EncodeShardActor(EncodeWriteActor):
     pool owns nearly all CPUs), and moves no row data through the object
     store — only paths in, lineage rows out."""
 
+    _WARC_EXT = (".warc", ".warc.gz", ".wet", ".wet.gz")
+
+    def _iter_tables(self, path: str):
+        """Stream one input shard as bounded Arrow tables (one table =
+        one encoded block). Parquet shards stream row-group-wise; WARC
+        crawl files stream record batches through the ISO-28500 parser
+        with HTTP stripped and html→text extracted in-actor, so raw
+        crawls columnarize in the SAME fused resumable pass — no
+        staging copy of the corpus."""
+        if path.endswith(self._WARC_EXT):
+            from .ops.html import extract_text_array
+            from .warc import iter_warc_tables
+
+            wet = ".wet" in path
+            with open(path, "rb") as f:
+                for tbl in iter_warc_tables(
+                        f, record_types=("conversion",) if wet
+                        else ("response",), strip_http=not wet,
+                        payload_as_text=wet):
+                    if wet:
+                        yield tbl.select(["url", "warc_ts", "text"])
+                    else:
+                        html = tbl.column("payload")
+                        yield pa.table({
+                            "url": tbl.column("url"),
+                            "warc_ts": tbl.column("warc_ts"),
+                            "html": html,
+                            "text": extract_text_array(html)})
+            return
+        pf = pq.ParquetFile(path)
+        for rg in range(pf.metadata.num_row_groups):
+            yield pf.read_row_group(rg)
+
     def __call__(self, batch) -> pa.Table:
         paths = (batch["path"].to_pylist() if isinstance(batch, pa.Table)
                  else list(batch["path"]))
         lineage = []
         for path in paths:
-            # row-group-wise streaming read: a shard is never fully held
-            # in actor memory (giant shards at 100 TB scale), and each
-            # block is appended to the shard's container file the moment
-            # its row group is encoded (one row group per block)
-            pf = pq.ParquetFile(path)
+            # streaming read: a shard is never fully held in actor
+            # memory (giant shards at 100 TB scale), and each block is
+            # appended to the shard's container file the moment it is
+            # encoded (parquet: one row group per block; WARC: one
+            # parser batch per block)
             container = _BlockContainer(self.data_dir, self.own_rg_min_bytes)
             rows_out = []
-            for rg in range(pf.metadata.num_row_groups):
-                tbl = pf.read_row_group(rg)
+            for tbl in self._iter_tables(path):
                 tbl = tbl.append_column(
                     "path", pa.array([path] * tbl.num_rows))
                 pages = EncodeActor.__call__(self, tbl)

@@ -136,6 +136,59 @@ def test_crawl_to_encode_chain(ray_session, tmp_path):
     assert (~ext.text_extracted.str.contains("<", regex=False)).all()
 
 
+def test_encode_job_ingests_warc_natively(ray_session, tmp_path):
+    """encode_job accepts raw crawl files: the fused actor parses WARC,
+    strips HTTP, extracts text and encodes — one resumable pass, no
+    staging parquet copy. Decode returns the web schema with html
+    byte-identical per url."""
+    from parquet_rs_ray.job import decode_job, encode_job
+    from parquet_rs_ray.ops.html import extract_text_array
+    from parquet_rs_ray.webgen import make_web_table
+
+    tbl = make_web_table(rows=80, seed=13)
+    rows = [(u, h) for u, h in zip(tbl.column("url").to_pylist(),
+                                   tbl.column("html").to_pylist())
+            if h is not None]
+    paths = []
+    for s in range(2):
+        p = str(tmp_path / f"crawl-{s}.warc.gz")
+        part = rows[s::2]
+        write_warc(p, [{"warc_type": "response", "url": u,
+                        "content_type": "application/http; "
+                                        "msgtype=response",
+                        "payload": http_response(h)} for u, h in part],
+                   gzip_per_record=True)
+        paths.append(p)
+    out = str(tmp_path / "enc")
+    s = encode_job(paths, out, concurrency=2)
+    assert s["shards_encoded"] == 2 and s["rows"] == len(rows)
+    got = decode_job(out).to_pandas().set_index("url")
+    assert sorted(got.columns) == ["html", "text", "warc_ts"]
+    assert got.html.to_dict() == dict(rows)   # byte-identical per url
+    want_txt = {u: extract_text_array(pa.array([h.decode()]))[0].as_py()
+                for u, h in rows}
+    assert got.text.to_dict() == want_txt
+    # resume: nothing left to do on a second run
+    s2 = encode_job(paths, out, concurrency=2)
+    assert s2["shards_skipped"] == 2 and s2["shards_encoded"] == 0
+
+
+def test_encode_job_ingests_wet(ray_session, tmp_path):
+    from parquet_rs_ray.job import decode_job, encode_job
+
+    p = str(tmp_path / "x.wet.gz")
+    write_warc(p, [{"warc_type": "conversion", "url": f"u{i}",
+                    "date": "2021-06-07T08:09:10Z",
+                    "content_type": "text/plain",
+                    "payload": f"text {i}".encode()} for i in range(5)],
+               gzip_per_record=True)
+    out = str(tmp_path / "enc")
+    encode_job([p], out, concurrency=1)
+    got = decode_job(out).to_pandas().sort_values("url")
+    assert got.text.tolist() == [f"text {i}" for i in range(5)]
+    assert sorted(got.columns) == ["text", "url", "warc_ts"]
+
+
 def test_crawl_extract_encode_decode_north_rule(ray_session, tmp_path):
     """The north rule end to end: crawl bytes → html→text extraction →
     codec-selector encode → decode — extracted text BYTE-IDENTICAL per
