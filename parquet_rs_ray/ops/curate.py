@@ -58,6 +58,7 @@ class AnnotateFilter:
 
 def curate_web_corpus(ds, *, text_col: str = "text",
                       key_col: str = "doc_id",
+                      html_col: str | None = None,
                       keep_langs: tuple[str, ...] | None = ("en",),
                       min_quality: float = 0.2,
                       pii: bool = True,
@@ -73,6 +74,8 @@ def curate_web_corpus(ds, *, text_col: str = "text",
     Stages (each optional via its parameter, each scale-audited in its
     own module):
 
+    0. ``html.extract_text`` when ``html_col`` is given — raw-crawl
+       entry point: html→text extraction writes ``text_col`` first.
     1. ``AnnotateFilter`` actor pool — language-ID + quality score +
        threshold/language filter, one fused pass.
     2. ``clean.redact`` — PII scrubbing, vectorized RE2 (``pii``).
@@ -97,6 +100,12 @@ def curate_web_corpus(ds, *, text_col: str = "text",
     2 annotate + 2 line-filter actors starved the line-frequency
     shuffle forever). Min-1 pools let the executor rebalance."""
     pool = (1, concurrency) if isinstance(concurrency, int) else concurrency
+    if html_col is not None:
+        # raw-crawl entry: html→text extraction (ops/html.py) becomes
+        # stage 0, writing text_col; everything downstream curates the
+        # extracted text
+        from .html import extract_text
+        ds = extract_text(ds, html_col=html_col, out_col=text_col)
     ds = ds.map_batches(
         AnnotateFilter, fn_constructor_kwargs={
             "text_col": text_col,

@@ -112,8 +112,11 @@ def extract_text(ds, *, html_col: str = "html",
     doc for the exact semantics). Pure map_batches — streams, no
     shuffle, scale-free."""
     def run(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            out_col, extract_text_array(batch.column(html_col)))
+        txt = extract_text_array(batch.column(html_col))
+        i = batch.schema.get_field_index(out_col)
+        if i >= 0:                      # replace an existing column
+            return batch.set_column(i, out_col, txt)
+        return batch.append_column(out_col, txt)
 
     return ds.map_batches(run, batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -85,3 +85,27 @@ def test_curate_real_documents_lazy_and_monotone(ray_session):
     curated = curate_web_corpus(ds, keep_langs=None, min_quality=0.1,
                                 near=False, concurrency=2).count()
     assert 0 < curated <= baseline
+
+
+def test_curate_from_raw_html(ray_session):
+    """html_col entry: stage 0 extracts text from the crawl's html
+    column, downstream stages curate the EXTRACTED text."""
+    import ray
+    from parquet_rs_ray.webgen import make_web_table
+
+    tbl = make_web_table(rows=120, seed=17)
+    tbl = tbl.append_column(
+        "doc_id", pa.array(range(120), pa.int64()))
+    out = curate_web_corpus(
+        ray.data.from_arrow(tbl), html_col="html", keep_langs=None,
+        min_quality=0.0, boilerplate_max_count=None, near=False,
+        pii=False, concurrency=2).to_pandas()
+    assert 0 < len(out) <= 120
+    assert "text" in out.columns
+    got = out.set_index("doc_id").text
+    assert (~got.str.contains("<", regex=False)).all()
+    # null-html rows were unscorable and must not survive with text
+    null_ids = [i for i, h in enumerate(tbl.column("html").to_pylist())
+                if h is None]
+    assert not (set(null_ids) & set(out.doc_id)) or \
+        out.set_index("doc_id").text.reindex(null_ids).isna().all()
