@@ -281,6 +281,19 @@ def run_single(num_cpus: int) -> dict:
     return res
 
 
+def _cpu_burn(seconds: float) -> float:
+    import hashlib
+
+    t0 = time.perf_counter()
+    n = 0
+    h = hashlib.blake2b()
+    buf = b"x" * 65536
+    while time.perf_counter() - t0 < seconds:
+        h.update(buf)
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
 def _cpu_control(procs: int, seconds: float = 2.5) -> float:
     """Per-process rate of a pure-CPU loop (blake2b over a hot 64 KiB
     buffer — no memory traffic, no disk) at ``procs`` concurrent
@@ -290,21 +303,10 @@ def _cpu_control(procs: int, seconds: float = 2.5) -> float:
     growing node count (per-node load is unchanged). The ratio
     hi_rate/lo_rate therefore isolates what the box takes away from
     any perfectly-scaling program."""
-    import hashlib
     import multiprocessing as mp
 
-    def work(_):
-        t0 = time.perf_counter()
-        n = 0
-        h = hashlib.blake2b()
-        buf = b"x" * 65536
-        while time.perf_counter() - t0 < seconds:
-            h.update(buf)
-            n += 1
-        return n / (time.perf_counter() - t0)
-
     with mp.Pool(procs) as p:
-        rates = p.map(work, range(procs))
+        rates = p.map(_cpu_burn, [seconds] * procs)
     return sum(rates) / len(rates)
 
 
