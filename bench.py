@@ -238,6 +238,29 @@ def run_bench(num_cpus: int) -> dict:
                 filter=(pads.field("event_type") == "click")),
             key_col="user_id", ts_col="ts").count())
 
+    # CCNet-style LM quality gate: train on half the corpus, score all
+    def _lm():
+        from parquet_rs_ray.ops.lm import score_char_lm, train_char_lm
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        model = train_char_lm(ds, sample_mod=2)
+        return score_char_lm(ds, model).map_batches(
+            lambda b: {"n": [b.num_rows]}, batch_format="pyarrow").sum("n")
+
+    queries["lm_score_documents"] = _timed(_lm)
+
+    # CDC substring-dedup report (rolling-hash chunks, join-only)
+    def _cdc():
+        from parquet_rs_ray.ops.cdc import duplicate_span_stats
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        return duplicate_span_stats(ds, mask_bits=6).map_batches(
+            lambda b: {"n": [b.num_rows]}, batch_format="pyarrow").sum("n")
+
+    queries["dup_span_stats_documents"] = _timed(_cdc)
+
     # raw-crawl ingestion edge: WARC (per-record gzip members) ->
     # streamed record parse -> HTTP strip -> html->text extraction
     def _warc_ingest():
