@@ -105,46 +105,63 @@ def _split_long(bounds: np.ndarray, max_len: int) -> np.ndarray:
     return np.unique(np.concatenate([bounds, extra]))
 
 
+def _chunk_view(starts: np.ndarray, lens: np.ndarray,
+                data: np.ndarray) -> pa.Array:
+    """Zero-copy binary view: chunks tile the flat buffer, so the
+    Arrow array borrows the batch's own data buffer."""
+    end = starts[-1] + lens[-1]
+    if end < 2**31:
+        cb = np.concatenate([starts, [end]]).astype(np.int32)
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(cb.tobytes()), pa.py_buffer(data.tobytes())])
+    cb64 = np.concatenate([starts, [end]])      # >2 GiB flat buffer
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(starts),
+        [None, pa.py_buffer(cb64.tobytes()), pa.py_buffer(data.tobytes())])
+
+
+def _doc_chunk_rows(batch: pa.Table, text_col: str, key_col: str,
+                    mask_bits: int, max_len: int):
+    """Chunk one batch. Returns ``(keys, offsets, data, starts, lens,
+    doc_idx, seq, chunks)`` where ``chunks`` is the zero-copy binary
+    view (None when every text is empty/null — ``starts`` then empty).
+    ``seq`` is each chunk's index among its own document's chunks."""
+    offsets, data = _flat_utf8(batch.column(text_col))
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    brk = _anchors(data, mask_bits, offsets)
+    bounds = _split_long(np.unique(np.concatenate([offsets, brk])), max_len)
+    lens = np.diff(bounds)
+    nz = lens > 0                        # zero-length docs contribute none
+    starts = bounds[:-1][nz]
+    lens = lens[nz]
+    if len(starts) == 0:
+        e = np.empty(0, np.int64)
+        return keys, offsets, data, starts, lens, e, e, None
+    chunks = _chunk_view(starts, lens, data)
+    doc_idx = np.searchsorted(offsets, starts, side="right") - 1
+    seq = np.arange(len(starts)) - np.searchsorted(starts, offsets[:-1])[doc_idx]
+    return keys, offsets, data, starts, lens, doc_idx, seq, chunks
+
+
 def chunk_batch(batch: pa.Table, *, text_col: str, key_col: str,
                 mask_bits: int = 8, max_len: int = 4096) -> pa.Table:
     """One batch → per-(doc, chunk_hash) rows: ``occ`` occurrences and
     ``bytes`` total bytes of that chunk content in that doc, plus
     ``first_seq`` (index of its first occurrence among the doc's
     chunks, for winner-side keep-first semantics)."""
-    offsets, data = _flat_utf8(batch.column(text_col))
-    keys = batch.column(key_col)
-    if isinstance(keys, pa.ChunkedArray):
-        keys = keys.combine_chunks()
-    brk = _anchors(data, mask_bits, offsets)
-    bounds = np.unique(np.concatenate([offsets, brk]))
-    bounds = _split_long(bounds, max_len)
-    lens = np.diff(bounds)
-    keep = lens > 0                      # zero-length docs contribute none
-    starts = bounds[:-1][keep]
-    lens = lens[keep]
-    if len(starts) == 0:
+    keys, offsets, data, starts, lens, doc_idx, seq, chunks = \
+        _doc_chunk_rows(batch, text_col, key_col, mask_bits, max_len)
+    if chunks is None:
         return pa.table({
             key_col: keys.slice(0, 0),
             "chunk_hash": pa.array([], pa.int64()),
             "occ": pa.array([], pa.int64()),
             "bytes": pa.array([], pa.int64()),
             "first_seq": pa.array([], pa.int64())})
-    # zero-copy binary view: chunks tile the flat buffer
-    cb = np.concatenate([starts, [starts[-1] + lens[-1]]]).astype(np.int32) \
-        if starts[-1] + lens[-1] < 2**31 else None
-    if cb is not None:
-        chunks = pa.BinaryArray.from_buffers(
-            pa.binary(), len(starts),
-            [None, pa.py_buffer(cb.tobytes()), pa.py_buffer(data.tobytes())])
-    else:   # >2 GiB flat buffer: large offsets
-        cb64 = np.concatenate([starts, [starts[-1] + lens[-1]]])
-        chunks = pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(), len(starts),
-            [None, pa.py_buffer(cb64.tobytes()),
-             pa.py_buffer(data.tobytes())])
     hashes = _hash_strings(chunks).view(np.int64)
-    doc_idx = np.searchsorted(offsets, starts, side="right") - 1
-    seq = np.arange(len(starts)) - np.searchsorted(starts, offsets[:-1])[doc_idx]
     # distinct (doc, hash): occ count, byte sum, first seq
     order = np.lexsort((seq, hashes, doc_idx))
     d, hsh, ln, sq = doc_idx[order], hashes[order], lens[order], seq[order]
@@ -209,30 +226,79 @@ def duplicate_span_stats(ds, *, text_col: str = "text",
 
 def dedup_spans(ds, *, text_col: str = "text", key_col: str = "doc_id",
                 mask_bits: int = 8, max_len: int = 4096,
-                out_col: str | None = None):
+                out_col: str | None = None, mode: str = "broadcast",
+                num_partitions: int | None = None,
+                broadcast_budget_bytes: int | None = None):
     """Remove duplicated spans, keeping ONE copy corpus-wide: for every
     chunk content occurring ≥2 times, the document with the smallest
     key keeps its first occurrence; every other occurrence is cut. The
     surviving bytes concatenate in document order (UTF-8 safe — anchors
     never split a character). Returns the dataset with ``text_col``
-    (or ``out_col``) rewritten.
+    (or ``out_col``) rewritten. Keys are assumed unique (they're
+    document ids); duplicate keys would keep one copy per tied doc in
+    broadcast mode but one corpus-wide in join mode.
 
-    Broadcast regime: the (dup hash, winner key, winner first_seq)
-    table rides ray.put — its size is bounded by the corpus's
+    ``mode="broadcast"`` (default): the (dup hash, winner key) table
+    rides ray.put — its size is bounded by the corpus's
     duplicated-content volume / 2^mask_bits; run
-    `duplicate_span_stats` first to size it (the 256 MiB worker-heap
-    budget of ops/regime.py applies). A join-regime twin would shuffle
-    full text once; not implemented until a corpus needs it."""
-    import ray
+    `duplicate_span_stats` first to size it.
 
+    ``mode="join"``: fully distributed for duplicated-chunk tables
+    past worker heaps (heavily templated web corpora at 100 TB).
+    Chunk occurrences shuffle by chunk content (keep = first of each
+    content run by (key, seq) — exactly the broadcast winner rule),
+    docs rebuild per key partition with one lexsort + binary_join,
+    and a left join restores the other columns. No broadcast, no
+    driver materialization; the price is shuffling the text bytes.
+
+    ``mode="auto"``: materialize the duplicated-chunk table (the
+    aggregate broadcast needs anyway — free when broadcast wins) and
+    pick against the worker-heap budget of ops/regime.py."""
+    if mode == "auto":
+        from .regime import pick_regime
+        picked, mds = pick_regime(
+            _dup_chunk_table(ds, text_col, key_col, mask_bits, max_len),
+            broadcast_budget_bytes)
+        if picked == "broadcast":
+            return _dedup_spans_broadcast(
+                ds, text_col=text_col, key_col=key_col,
+                mask_bits=mask_bits, max_len=max_len, out_col=out_col,
+                dup_tbl=mds)
+        mode = "join"
+    if mode == "join":
+        return _dedup_spans_join(
+            ds, text_col=text_col, key_col=key_col, mask_bits=mask_bits,
+            max_len=max_len, out_col=out_col,
+            num_partitions=num_partitions)
+    if mode != "broadcast":
+        raise ValueError(f"unknown dedup_spans mode {mode!r}")
+    return _dedup_spans_broadcast(
+        ds, text_col=text_col, key_col=key_col, mask_bits=mask_bits,
+        max_len=max_len, out_col=out_col, dup_tbl=None)
+
+
+def _dup_chunk_table(ds, text_col, key_col, mask_bits, max_len):
+    """Lazy (chunk_hash, n_occ, winner) dataset of duplicated chunks:
+    one groupby shuffle over the ~32 B/2^mask_bits summary rows."""
     import ray.data.aggregate as agg_mod
 
     rows = _chunk_rows(ds, text_col, key_col, mask_bits, max_len)
-    # one shuffle: total occurrences + winner (min key) per chunk hash
     freq = rows.groupby("chunk_hash").aggregate(
         agg_mod.Sum("occ", alias_name="n_occ"),
         agg_mod.Min(key_col, alias_name="winner"))
-    dup_tbl = freq.filter(expr="n_occ >= 2")
+    return freq.filter(expr="n_occ >= 2")
+
+
+def _dedup_spans_broadcast(ds, *, text_col, key_col, mask_bits, max_len,
+                           out_col, dup_tbl):
+    """Broadcast regime of ``dedup_spans`` (see there). ``dup_tbl``:
+    pre-materialized duplicated-chunk dataset from mode="auto", or
+    None to compute it here."""
+    import ray
+
+    if dup_tbl is None:
+        dup_tbl = _dup_chunk_table(ds, text_col, key_col, mask_bits,
+                                   max_len)
     dup_pd = dup_tbl.to_pandas()        # bounded: duplicated chunks only
     dh = np.sort(dup_pd["chunk_hash"].to_numpy())
     dwin = dup_pd.sort_values("chunk_hash")["winner"].to_numpy()
@@ -244,40 +310,19 @@ def dedup_spans(ds, *, text_col: str = "text", key_col: str = "doc_id",
             self.dh, self.dwin = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            offsets, data = _flat_utf8(batch.column(text_col))
-            keys = batch.column(key_col)
-            if isinstance(keys, pa.ChunkedArray):
-                keys = keys.combine_chunks()
+            keys, offsets, data, starts, lens, doc_idx, _seq, chunks = \
+                _doc_chunk_rows(batch, text_col, key_col, mask_bits,
+                                max_len)
             knp = keys.to_numpy(zero_copy_only=False)
-            brk = _anchors(data, mask_bits, offsets)
-            bounds = _split_long(
-                np.unique(np.concatenate([offsets, brk])), max_len)
-            lens = np.diff(bounds)
-            keepnz = lens > 0
-            starts = bounds[:-1][keepnz]
-            lens = lens[keepnz]
             n_docs = len(batch)
-            if len(starts) == 0:        # all texts empty/null
+            if chunks is None:          # all texts empty/null
                 out = pc_null_like(batch.column(text_col),
                                    pa.array([""] * n_docs, pa.string()))
                 if out_col is None:
                     i = batch.schema.get_field_index(text_col)
                     return batch.set_column(i, out_name, out)
                 return batch.append_column(out_name, out)
-            cb = np.concatenate([starts,
-                                 [starts[-1] + lens[-1]]])
-            if cb[-1] < 2**31:
-                chunks = pa.BinaryArray.from_buffers(
-                    pa.binary(), len(starts),
-                    [None, pa.py_buffer(cb.astype(np.int32).tobytes()),
-                     pa.py_buffer(data.tobytes())])
-            else:
-                chunks = pa.LargeBinaryArray.from_buffers(
-                    pa.large_binary(), len(starts),
-                    [None, pa.py_buffer(cb.tobytes()),
-                     pa.py_buffer(data.tobytes())])
             hashes = _hash_strings(chunks).view(np.int64)
-            doc_idx = np.searchsorted(offsets, starts, side="right") - 1
             pos = np.searchsorted(self.dh, hashes)
             pos = np.minimum(pos, max(len(self.dh) - 1, 0))
             is_dup = len(self.dh) > 0
@@ -332,6 +377,135 @@ def dedup_spans(ds, *, text_col: str = "text", key_col: str = "doc_id",
 
     return ds.map_batches(_Rewrite, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 8))
+
+
+def _dedup_spans_join(ds, *, text_col, key_col, mask_bits, max_len,
+                      out_col, num_partitions):
+    """Join regime of ``dedup_spans`` (see there): fully distributed,
+    for duplicated-chunk tables past worker heaps.
+
+    The broadcast keep rule — non-dup chunks keep their occurrence;
+    dup chunks keep the min-key doc's first occurrence — collapses to
+    ONE rule once every occurrence of a chunk content is co-located:
+    keep iff first of the content run sorted by (key, seq). Shape:
+    explode docs to (id, ord, chunk) occurrence rows partitioned by
+    chunk content (shuffle 1); mark keepers with one sort_indices per
+    partition; re-partition by id and rebuild each doc with one
+    lexsort + binary_join (shuffle 2); LEFT-join the rebuilt text back
+    onto the input to restore the other columns (shuffle 3). Null
+    texts never explode and come back null; empty texts come back
+    empty (the coalesce distinguishes the two)."""
+    import pyarrow.compute as pc
+
+    from .dedup import _id_type, _join_partitions
+    from .temporal import _key_part
+
+    P = _join_partitions(num_partitions)
+    id_type = _id_type(ds, key_col)
+    out_name = out_col or text_col
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, _off, _data, _starts, _lens, doc_idx, seq, chunks = \
+            _doc_chunk_rows(batch, text_col, key_col, mask_bits, max_len)
+        if chunks is None:
+            return pa.table({
+                "__id": keys.slice(0, 0),
+                "__ord": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.binary()),
+                "__cpart": pa.array([], pa.int32())})
+        # batches are block-bounded, so int32 offsets always fit; pin
+        # the type so every exploded block agrees on the shuffle schema
+        out = pa.table({
+            "__id": keys.take(pa.array(doc_idx)),
+            "__ord": pa.array(seq.astype(np.int64)),
+            "chunk": chunks.cast(pa.binary())})
+        return out.append_column(
+            "__cpart", _key_part(out.column("chunk"), P))
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def mark(group: pa.Table) -> pa.Table:
+        # one content partition holds EVERY occurrence of its chunks:
+        # keep = first of each content run by (key, seq) — identical
+        # to broadcast's min-key-winner-first-occurrence semantics
+        if group.num_rows == 0:
+            return pa.table({"__id": pa.array([], id_type),
+                             "__ord": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.binary()),
+                             "__keep": pa.array([], pa.bool_())})
+        group = group.drop_columns(["__cpart"]).combine_chunks()
+        order = pc.sort_indices(
+            group, sort_keys=[("chunk", "ascending"),
+                              ("__id", "ascending"),
+                              ("__ord", "ascending")]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = group.column("chunk").combine_chunks().dictionary_encode()
+        c = codes.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+        first = np.ones(len(c), bool)
+        first[1:] = c[1:] != c[:-1]
+        keep = np.zeros(len(c), bool)
+        keep[order] = first
+        return group.append_column("__keep", pa.array(keep))
+
+    tagged = exploded.groupby("__cpart").map_groups(
+        mark, batch_format="pyarrow")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _key_part(batch.column("__id"), P))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"__id": pa.array([], id_type),
+                             "__new_text": pa.array([], pa.string())})
+        ids = group.column("__id").combine_chunks()
+        gid = ids.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ords = group.column("__ord").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ords, gid))
+        gid = gid[order]
+        keep = group.column("__keep") \
+            .to_numpy(zero_copy_only=False)[order]
+        chunks = group.column("chunk").combine_chunks() \
+            .take(pa.array(order))
+        n_groups = int(gid.max()) + 1
+        kept_n = np.bincount(gid[keep], minlength=n_groups)
+        kept = chunks.filter(pa.array(keep)).cast(pa.string())
+        off = np.concatenate(([0], np.cumsum(kept_n))).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), kept)
+        txt = pc.binary_join(la, "")
+        firsts = np.concatenate(([True], gid[1:] != gid[:-1]))
+        return pa.table({"__id": ids.take(pa.array(order[firsts])),
+                         "__new_text": txt.cast(pa.string())})
+
+    rebuilt = tagged.map_batches(add_part, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("__part").map_groups(rebuild, batch_format="pyarrow")
+
+    out = ds.join(rebuilt, "left_outer", P,
+                  on=(key_col,), right_on=("__id",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        new = batch.column("__new_text")
+        if isinstance(new, pa.ChunkedArray):
+            new = new.combine_chunks()
+        src = batch.column(text_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        # empty/whitespace-free docs produced no chunk rows: non-null
+        # source text coalesces to "", null stays null
+        base = pc.if_else(pc.is_valid(src), pa.scalar("", pa.string()),
+                          pa.scalar(None, pa.string()))
+        txt = pc.if_else(pc.is_valid(new), new.cast(pa.string()), base)
+        batch = batch.drop_columns(["__new_text"])
+        if out_col is None:
+            i = batch.schema.get_field_index(text_col)
+            return batch.set_column(i, out_name, txt)
+        return batch.append_column(out_name, txt)
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def pc_null_like(src, new):

@@ -1,6 +1,6 @@
 """Automatic broadcast ↔ join regime selection.
 
-Five ops have two correct execution regimes whose tradeoff depends on
+Six ops have two correct execution regimes whose tradeoff depends on
 the size of a "small side" only known at run time:
 
   * ``exact_dedup``          — the winner (hash, key) set
@@ -10,6 +10,7 @@ the size of a "small side" only known at run time:
   * ``dedup_against_index``  — the committed-corpus hash index (its
     auto probe is metadata-only: summed index file sizes, no
     materialization — see that op)
+  * ``dedup_spans``          — the (dup chunk hash, winner) table
 
 Broadcast is cheaper (no extra shuffles) but copies the set to every
 node's object store and probes it per batch — wrong past worker heaps.

@@ -160,3 +160,70 @@ def test_dedup_spans_out_col_and_corpus_volume(ray_session):
     assert after < before - 2.0 * len(span)    # ≥2 of 3 copies removed
     kept_span = [c for c in out.clean if span[100:400] in c]
     assert len(kept_span) == 1                 # exactly one full copy
+
+
+def _span_corpus(rng, n_docs=12, *, string_keys=False):
+    """Corpus with planted cross-doc spans, a null and an empty doc."""
+    span_a, span_b = _mk_words(rng, 500), _mk_words(rng, 350)
+    docs = []
+    for i in range(n_docs):
+        parts = [_mk_words(rng, 20 + i)]
+        if i % 3 == 0:
+            parts.append(span_a)
+        if i % 4 == 0:
+            parts.append(span_b)
+        parts.append(_mk_words(rng, 5 + i))
+        docs.append(" ".join(parts))
+    docs[n_docs - 2] = None
+    docs[n_docs - 1] = ""
+    keys = ([f"doc-{i:04d}" for i in range(n_docs)] if string_keys
+            else list(range(n_docs)))
+    kt = pa.string() if string_keys else pa.int64()
+    return pa.table({"doc_id": pa.array(keys, kt),
+                     "text": pa.array(docs, pa.string())})
+
+
+def _spans_pd(ds_out):
+    return ds_out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_dedup_spans_join_matches_broadcast(ray_session):
+    """Join regime ≡ broadcast regime on planted spans, including null
+    and empty docs, int and string keys, and out_col."""
+    import ray
+
+    for string_keys in (False, True):
+        tbl = _span_corpus(np.random.default_rng(7),
+                           string_keys=string_keys)
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        b = _spans_pd(dedup_spans(ds, mask_bits=6, mode="broadcast"))
+        j = _spans_pd(dedup_spans(ds, mask_bits=6, mode="join",
+                                  num_partitions=4))
+        assert b.text.tolist() == j.text.tolist()
+        assert list(b.columns) == list(j.columns)
+    # out_col parity
+    tbl = _span_corpus(np.random.default_rng(8))
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    b = _spans_pd(dedup_spans(ds, mask_bits=6, out_col="clean"))
+    j = _spans_pd(dedup_spans(ds, mask_bits=6, out_col="clean",
+                              mode="join"))
+    assert b.clean.tolist() == j.clean.tolist()
+    assert b.text.tolist() == j.text.tolist()
+
+
+def test_dedup_spans_auto_regimes(ray_session):
+    """auto ≡ broadcast under the default budget; a 1-byte budget
+    forces the join plan; unknown mode raises."""
+    import ray
+
+    tbl = _span_corpus(np.random.default_rng(9))
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    want = _spans_pd(dedup_spans(ds, mask_bits=6))
+    got = _spans_pd(dedup_spans(ds, mask_bits=6, mode="auto"))
+    assert want.text.tolist() == got.text.tolist()
+    forced = _spans_pd(dedup_spans(ds, mask_bits=6, mode="auto",
+                                   broadcast_budget_bytes=1,
+                                   num_partitions=4))
+    assert want.text.tolist() == forced.text.tolist()
+    with pytest.raises(ValueError, match="mode"):
+        dedup_spans(ds, mode="bogus")
