@@ -64,6 +64,8 @@ def curate_web_corpus(ds, *, text_col: str = "text",
                       pii: bool = True,
                       boilerplate_max_count: int | None = 1,
                       line_sep: str = "\n",
+                      span_dedup: bool = False,
+                      span_mask_bits: int = 8,
                       near: bool = True,
                       jaccard_threshold: float = 0.8,
                       ref_ds=None,
@@ -81,17 +83,22 @@ def curate_web_corpus(ds, *, text_col: str = "text",
     2. ``clean.redact`` — PII scrubbing, vectorized RE2 (``pii``).
     3. ``clean.line_dedup`` mode="auto" — cross-document boilerplate
        line removal (``boilerplate_max_count``; None skips).
-    4. ``dedup.exact_dedup`` mode="auto" — one survivor per exact text.
-    5. ``dedup.near_dedup`` — MinHash-LSH → Jaccard verify → anti-join
+    4. ``cdc.dedup_spans`` mode="auto" — alignment-robust duplicated-
+       SPAN removal, Lee-et-al-style exact substring dedup
+       (``span_dedup``; off by default — it rewrites text at chunk
+       granularity, a policy decision).
+    5. ``dedup.exact_dedup`` mode="auto" — one survivor per exact text.
+    6. ``dedup.near_dedup`` — MinHash-LSH → Jaccard verify → anti-join
        (``near``).
-    6. ``decontam.decontaminate`` mode="auto" — n-gram test-set
+    7. ``decontam.decontaminate`` mode="auto" — n-gram test-set
        decontamination when ``ref_ds`` is given.
 
     Order rationale: filters first (cheapest per surviving byte),
     redaction before any hashing so PII never enters dedup state, line
-    dedup before document dedup (boilerplate removal changes document
-    equality), decontamination last (the test-set n-grams must be
-    matched against the text that will actually be trained on).
+    and span dedup before document dedup (rewriting text changes
+    document equality), decontamination last (the test-set n-grams
+    must be matched against the text that will actually be trained
+    on).
 
     Actor pools here AUTOSCALE from 1 (``(1, concurrency)``): a
     composed pipeline stacks several pools plus shuffle aggregator
@@ -121,6 +128,10 @@ def curate_web_corpus(ds, *, text_col: str = "text",
         ds = line_dedup(ds, text_col=text_col, id_col=key_col,
                         max_count=boilerplate_max_count, sep=line_sep,
                         mode="auto", concurrency=pool)
+    if span_dedup:
+        from .cdc import dedup_spans
+        ds = dedup_spans(ds, text_col=text_col, key_col=key_col,
+                         mask_bits=span_mask_bits, mode="auto")
     ds = exact_dedup(ds, text_col, key_col, mode="auto")
     if near:
         ds = near_dedup(ds, text_col=text_col, key_col=key_col,

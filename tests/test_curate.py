@@ -109,3 +109,32 @@ def test_curate_from_raw_html(ray_session):
                 if h is None]
     assert not (set(null_ids) & set(out.doc_id)) or \
         out.set_index("doc_id").text.reindex(null_ids).isna().all()
+
+
+def test_curate_span_dedup_stage(ray_session):
+    """span_dedup=True removes a long span duplicated across two
+    otherwise-distinct surviving docs; the winner keeps it intact."""
+    import ray
+
+    # collision-free token streams: no chunk content repeats except the
+    # planted span itself (a tiny vocabulary would create accidental
+    # WITHIN-doc duplicate chunks, which the op also removes)
+    span = " ".join(f"span{i:04d}" for i in range(400))
+    uniq1 = " ".join(f"one{i:03d}" for i in range(60))
+    uniq2 = " ".join(f"two{i:03d}" for i in range(70))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([uniq1 + " " + span, uniq2 + " " + span]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    kw = dict(keep_langs=None, min_quality=0.0, pii=False,
+              boilerplate_max_count=None, near=False, concurrency=2)
+    off = curate_web_corpus(ds, **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert span in off.text[0] and span in off.text[1]
+    on = curate_web_corpus(ds, span_dedup=True, span_mask_bits=6,
+                           **kw).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert span in on.text[0]                    # winner keeps it
+    assert len(on.text[1]) < len(off.text[1]) - 0.6 * len(span)
+    assert on.text[1].startswith(uniq2[:30])     # unique prefix survives
