@@ -9,11 +9,11 @@ plus the north-star additions (FSST, FOR).
 from .base import (PhysicalType, ByteArrayVals, physical_of_arrow,
                    values_from_arrow, values_to_arrow)
 from . import (plain, levels, delta, dictionary, delta_bytes, forpack,
-               fsst, rlebool, bss)
+               fsst, rlebool, bss, alp)
 
 __all__ = [
     "PhysicalType", "ByteArrayVals", "physical_of_arrow",
     "values_from_arrow", "values_to_arrow",
     "plain", "levels", "delta", "dictionary", "delta_bytes",
-    "forpack", "fsst", "rlebool", "bss",
+    "forpack", "fsst", "rlebool", "bss", "alp",
 ]

@@ -19,9 +19,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .errors import DecodeError, FormatError
-from .codecs import (ByteArrayVals, PhysicalType, bss, dictionary, delta,
-                     delta_bytes, forpack, fsst, levels, plain, rlebool,
-                     physical_of_arrow, values_from_arrow, values_to_arrow)
+from .codecs import (ByteArrayVals, PhysicalType, alp, bss, dictionary,
+                     delta, delta_bytes, forpack, fsst, levels, plain,
+                     rlebool, physical_of_arrow, values_from_arrow,
+                     values_to_arrow)
 
 # Defaults mirroring the reference writer properties
 # (`/root/reference/src/file/properties.rs:56-64`).
@@ -163,6 +164,8 @@ def encode_with(codec: str, phys: PhysicalType, values, type_length: int = 0,
         return fsst.encode(values, fsst_table), b"", 0
     if codec == "BYTE_STREAM_SPLIT":
         return bss.encode(values, phys), b"", 0
+    if codec == "ALP":
+        return alp.encode(values, phys), b"", 0
     raise FormatError(f"unknown codec {codec}")
 
 
@@ -191,6 +194,8 @@ def decode_with(codec: str, phys: PhysicalType, data: bytes, dict_page: bytes,
         return fsst.decode(data)
     if codec == "BYTE_STREAM_SPLIT":
         return bss.decode(data, num_values, phys)
+    if codec == "ALP":
+        return alp.decode(data, num_values, phys)
     raise FormatError(f"unknown codec {codec}")
 
 

@@ -31,6 +31,7 @@ from .codecs import ByteArrayVals, PhysicalType, dictionary, fsst
 from . import page as page_mod
 from .codecs import delta as delta_codec
 from .codecs import delta_bytes, forpack, plain, rlebool
+from .codecs import alp as alp_codec
 from .codecs import bss as bss_codec
 
 SAMPLE_VALUES = 2048
@@ -127,6 +128,12 @@ class CodecSelector:
             distinct = self._try_dict(phys, values, candidates)
         elif phys in (PhysicalType.FLOAT, PhysicalType.DOUBLE):
             distinct = self._try_dict(phys, values, candidates)
+            # ALP: decimal floats (prices, scores) as FoR-packed
+            # integers — a RAW-size win, so offered unconditionally;
+            # the sample probe returns None on true mantissa noise
+            a = alp_codec.encode_or_none(values, phys)
+            if a is not None:
+                candidates.append((len(a), "ALP", (a, b"", 0)))
             if self.block_codec == "auto":
                 # BYTE_STREAM_SPLIT is a pure permutation (raw size ==
                 # PLAIN); it only pays off through the outer block codec,

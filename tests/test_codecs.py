@@ -316,6 +316,8 @@ def test_fsst_table_roundtrip():
      [100.0 + i * 0.125 for i in range(300)]),
     ("BYTE_STREAM_SPLIT", pa.float32(),
      [float(i) / 7 for i in range(300)]),
+    ("ALP", pa.float64(), [round(19.99 + i * 0.01, 2) for i in range(300)]),
+    ("ALP", pa.float32(), [float(i) for i in range(300)]),
 ])
 def test_force_codec_roundtrip(codec, typ, vals):
     """Every codec is reachable via force_codec (≙ explicitly-chosen
@@ -359,3 +361,65 @@ def test_byte_stream_split_wins_under_auto_block_codec():
     rows2 = encode_column_chunk("c", 0, col, selector=sel2, path="",
                                 block_id="b", block_rows=len(vals), n_cols=1)
     assert all(r["codec"] != "BYTE_STREAM_SPLIT" for r in rows2)
+
+
+def test_alp_bitwise_roundtrip_adversarial():
+    """ALP must roundtrip BIT-identically on every float, including the
+    values the decimal model can't represent — those become verbatim
+    exceptions (NaN, ±inf, -0.0, subnormals, mantissa noise)."""
+    import numpy as np
+    from parquet_rs_ray.codecs import alp
+    from parquet_rs_ray.codecs.base import PhysicalType
+
+    rng = np.random.default_rng(13)
+    v = np.concatenate([
+        np.round(rng.uniform(-1e6, 1e6, 2000), 2),       # 2-decimal bulk
+        [np.nan, np.inf, -np.inf, -0.0, 0.0, 5e-324,     # specials
+         1.7976931348623157e308, np.pi, np.e],
+        rng.standard_normal(200),                        # mantissa noise
+        rng.integers(-2**62, 2**62, 50).astype(np.float64),  # huge digits
+    ])
+    enc = alp.encode(v, PhysicalType.DOUBLE)
+    got = alp.decode(enc, len(v), PhysicalType.DOUBLE)
+    assert got.view(np.uint64).tolist() == v.view(np.uint64).tolist()
+
+    v32 = np.concatenate([
+        np.round(rng.uniform(-1e4, 1e4, 1500), 1),
+        [np.nan, np.inf, -np.inf, -0.0, 1e-45],
+        rng.standard_normal(100),
+    ]).astype(np.float32)
+    enc32 = alp.encode(v32, PhysicalType.FLOAT)
+    got32 = alp.decode(enc32, len(v32), PhysicalType.FLOAT)
+    assert got32.view(np.uint32).tolist() == v32.view(np.uint32).tolist()
+    # empty chunk frames/parses
+    e0 = alp.encode(np.empty(0, np.float64), PhysicalType.DOUBLE)
+    assert len(alp.decode(e0, 0, PhysicalType.DOUBLE)) == 0
+
+
+def test_alp_wins_on_decimal_floats_and_skips_noise():
+    """2-decimal prices: ALP beats PLAIN in RAW bytes (no block codec
+    needed, unlike BSS); iid mantissa noise: the probe bails and the
+    selector never offers ALP."""
+    import numpy as np
+    from parquet_rs_ray.page import decode_page_row, encode_column_chunk
+    from parquet_rs_ray.selector import CodecSelector
+
+    rng = np.random.default_rng(17)
+    prices = np.round(rng.uniform(1.0, 90000.0, 6000), 2)
+    col = pa.chunked_array([pa.array(prices, pa.float64())])
+    rows = encode_column_chunk("c", 0, col, selector=CodecSelector(),
+                               path="", block_id="b",
+                               block_rows=len(prices), n_cols=1)
+    assert any(r["codec"] == "ALP" for r in rows), \
+        [r["codec"] for r in rows]
+    assert sum(r["encoded_size"] for r in rows) < \
+        0.5 * sum(r["plain_size"] for r in rows)
+    got = pa.concat_arrays([decode_page_row(r) for r in rows])
+    assert got.to_pylist() == col.combine_chunks().to_pylist()
+
+    noise = rng.standard_normal(6000)
+    ncol = pa.chunked_array([pa.array(noise, pa.float64())])
+    nrows = encode_column_chunk("c", 0, ncol, selector=CodecSelector(),
+                                path="", block_id="b",
+                                block_rows=len(noise), n_cols=1)
+    assert all(r["codec"] != "ALP" for r in nrows)
