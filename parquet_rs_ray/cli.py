@@ -149,11 +149,12 @@ def main(argv: list[str] | None = None) -> int:
     p_inspect.add_argument("encoded_dir")
 
     p_enc = sub.add_parser("encode", help="resumable encode job "
-                           "(parquet shards OR raw .warc/.wet crawls "
-                           "— crawl files parse, HTTP-strip and "
-                           "html->text extract in the same fused pass)")
+                           "(parquet shards, raw .warc/.wet crawls — "
+                           "parsed, HTTP-stripped and html->text "
+                           "extracted in the same fused pass — or "
+                           ".jsonl/.ndjson[.gz] corpus shards)")
     p_enc.add_argument("inputs", nargs="+",
-                       help="parquet/WARC/WET paths or globs")
+                       help="parquet/WARC/WET/JSONL paths or globs")
     p_enc.add_argument("out_dir")
     p_enc.add_argument("--block-codec", default="auto")
     p_enc.add_argument("--concurrency", type=int, default=8)

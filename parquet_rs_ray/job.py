@@ -207,6 +207,46 @@ class EncodeWriteActor(EncodeActor):
         return pa.Table.from_pylist(out_rows, schema=LINEAGE_SCHEMA)
 
 
+def iter_jsonl_tables(path: str, target_bytes: int = 64 << 20):
+    """Stream a JSONL/NDJSON shard (optionally gzipped) as bounded
+    Arrow tables: the file is read in ~``target_bytes`` slices cut at
+    the last newline (a line longer than the slice just accumulates),
+    each slice parsed with pyarrow.json. The FIRST parsed block fixes
+    the schema; later blocks are aligned and safe-cast to it, so a
+    mid-file type drift fails with a typed ArrowInvalid instead of
+    producing blocks that cannot concatenate at decode."""
+    import gzip
+    import io
+
+    import pyarrow.json as pj
+
+    opener = gzip.open if path.endswith(".gz") else open
+    schema = None
+
+    def parse(raw: bytes) -> pa.Table:
+        nonlocal schema
+        tbl = pj.read_json(io.BytesIO(raw))
+        if schema is None:
+            schema = tbl.schema
+            return tbl
+        return tbl.select(schema.names).cast(schema)
+
+    with opener(path, "rb") as f:
+        buf = b""
+        while True:
+            chunk = f.read(target_bytes)
+            if not chunk:
+                break
+            buf += chunk
+            cut = buf.rfind(b"\n")
+            if cut < 0:
+                continue                 # giant line: keep accumulating
+            part, buf = buf[:cut + 1], buf[cut + 1:]
+            yield parse(part)
+        if buf.strip():                  # unterminated last line
+            yield parse(buf)
+
+
 class EncodeShardActor(EncodeWriteActor):
     """Fused read→encode→write stage: the actor receives shard *paths*
     and reads the parquet itself. This keeps every pool CPU doing
@@ -216,14 +256,19 @@ class EncodeShardActor(EncodeWriteActor):
     store — only paths in, lineage rows out."""
 
     _WARC_EXT = (".warc", ".warc.gz", ".wet", ".wet.gz")
+    _JSONL_EXT = (".jsonl", ".jsonl.gz", ".ndjson", ".ndjson.gz")
 
     def _iter_tables(self, path: str):
         """Stream one input shard as bounded Arrow tables (one table =
         one encoded block). Parquet shards stream row-group-wise; WARC
         crawl files stream record batches through the ISO-28500 parser
-        with HTTP stripped and html→text extracted in-actor, so raw
-        crawls columnarize in the SAME fused resumable pass — no
-        staging copy of the corpus."""
+        with HTTP stripped and html→text extracted in-actor; JSONL
+        shards (the other common corpus interchange format) stream
+        newline-aligned slices through pyarrow.json — all in the SAME
+        fused resumable pass, no staging copy of the corpus."""
+        if path.endswith(self._JSONL_EXT):
+            yield from iter_jsonl_tables(path)
+            return
         if path.endswith(self._WARC_EXT):
             from .ops.html import extract_text_array
             from .warc import iter_warc_tables

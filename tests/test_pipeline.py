@@ -623,3 +623,65 @@ def test_compact_then_pruned_decode(ray_session, tmp_path):
                      predicate=("lang", "==", "en")).to_pandas() \
         .sort_values("url").reset_index(drop=True)
     assert got.equals(exp) and len(got) > 0
+
+
+def test_iter_jsonl_tables_chunk_boundaries(tmp_path):
+    """Slice cuts land mid-line at tiny target_bytes; the parse must
+    still see whole lines, handle a giant line spanning slices, an
+    unterminated last line, and the gzip variant."""
+    import gzip
+    import json
+
+    import pyarrow.json as pj
+    from parquet_rs_ray.job import iter_jsonl_tables
+
+    rows = [{"url": f"https://ex.com/{i}", "n": i,
+             "text": ("x" * 300 if i == 7 else f"doc {i} äö")}
+            for i in range(40)]
+    raw = "\n".join(json.dumps(r, ensure_ascii=False) for r in rows)
+    p = tmp_path / "shard.jsonl"
+    p.write_text(raw, encoding="utf-8")        # no trailing newline
+    got = pa.concat_tables(list(iter_jsonl_tables(str(p),
+                                                  target_bytes=64)))
+    import io
+    want = pj.read_json(io.BytesIO(raw.encode()))
+    assert got.equals(want)
+    assert len(list(iter_jsonl_tables(str(p), target_bytes=64))) > 1
+
+    pgz = tmp_path / "shard.jsonl.gz"
+    with gzip.open(pgz, "wb") as f:
+        f.write((raw + "\n").encode())
+    got2 = pa.concat_tables(list(iter_jsonl_tables(str(pgz),
+                                                   target_bytes=64)))
+    assert got2.equals(want)
+
+
+def test_encode_job_ingests_jsonl(ray_session, tmp_path):
+    """A .jsonl.gz corpus shard encodes through the same fused
+    resumable pass as parquet/WARC and decodes value-identical."""
+    import gzip
+    import json
+
+    from parquet_rs_ray.job import decode_job, encode_job
+    from parquet_rs_ray.webgen import make_web_table
+
+    tbl = make_web_table(300, seed=5).select(["url", "text", "lang"])
+    lines = [json.dumps({k: tbl.column(k)[i].as_py() for k in
+                         tbl.column_names}, ensure_ascii=False)
+             for i in range(len(tbl))]
+    p = tmp_path / "corpus.jsonl.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(("\n".join(lines) + "\n").encode())
+
+    out_dir = str(tmp_path / "enc")
+    s = encode_job([str(p)], out_dir, concurrency=2)
+    assert s["shards_encoded"] == 1 and s["rows"] == 300
+    got = decode_job(out_dir).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    exp = tbl.to_pandas().sort_values("url").reset_index(drop=True)
+    assert (got["url"] == exp["url"]).all()
+    assert got["text"].equals(exp["text"])     # byte-identical per url
+    assert (got["lang"] == exp["lang"]).all()
+    # resume: nothing re-encodes
+    s2 = encode_job([str(p)], out_dir, concurrency=2)
+    assert s2["shards_encoded"] == 0 and s2["shards_skipped"] == 1
