@@ -80,6 +80,8 @@ def _pick_e(v, E, udt, idt, max_e, lim):
         cnt = int(_exact_mask(s, e, E, udt, idt, lim)[0].sum())
         if cnt > best_cnt:
             best_e, best_cnt = e, cnt
+        if best_cnt == len(s):          # perfect at the smallest e:
+            break                       # larger e can only tie bigger
     return best_e, best_cnt / max(1, len(s))
 
 
