@@ -170,12 +170,15 @@ def decode_image_bytes(payload: bytes,
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .png import decode_png
         img = decode_png(payload)
+    elif payload[:4] == b"GIF8":
+        from .gif import decode_gif
+        img = decode_gif(payload)
     else:
         raise NotImplementedError(
-            "webp/gif/etc. need a codec library (Pillow/OpenCV) that is "
-            "not in this container; PPM/PGM/BMP, JPEG and "
-            "non-interlaced PNG decode natively, or pass fake=True for "
-            "the deterministic stub")
+            "webp/avif/etc. need a codec library (Pillow/OpenCV) that "
+            "is not in this container; PPM/PGM/BMP, JPEG, PNG and GIF "
+            "decode natively, or pass fake=True for the deterministic "
+            "stub")
     return np.ascontiguousarray(_resize_nearest(img, target_hw))
 
 
@@ -273,6 +276,25 @@ class SampleFrames:
                 for k in picks:
                     s, e = bounds[int(k)]
                     frames.append(p[s:e])
+                fidx.extend(int(k) for k in picks)
+                doc_of.extend([row] * take)
+                nf_col.extend([nf] * take)
+            elif p[:4] == b"GIF8":
+                # animated GIF: structural count first (no LZW work),
+                # then one sequential composition pass keeping only the
+                # picked frames, each serialized as standalone P6 bytes
+                # decodable downstream by DecodeImage(fake=False)
+                from .gif import count_frames, gif_frames
+                nf = max(1, count_frames(p))
+                take = min(F, nf)
+                picks = (np.arange(take, dtype=np.int64) * nf) // take
+                want = set(int(k) for k in picks)
+                for i, fr in enumerate(gif_frames(p)):
+                    if i in want:
+                        hh, ww = fr.shape[:2]
+                        frames.append(
+                            b"P6\n%d %d\n255\n" % (ww, hh)
+                            + fr.tobytes())
                 fidx.extend(int(k) for k in picks)
                 doc_of.extend([row] * take)
                 nf_col.extend([nf] * take)
