@@ -357,11 +357,54 @@ def _pcm_samples(col: pa.Array):
     return i2.astype(np.float64) / 32768.0, lens
 
 
+def parse_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE (the raw-audio container of the web) → (mono float64
+    samples in [-1, 1), sample rate). PCM16 only — multi-channel
+    downmixes by channel mean; compressed WAVE format tags (and
+    mp3/ogg/flac, which aren't RIFF at all) are the named codec-library
+    seam. Word-aligned chunk walk per RIFF; a truncated chunk raises a
+    typed ValueError."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    off, fmt, raw = 12, None, None
+    while off + 8 <= len(data):
+        cid, size = data[off:off + 4], struct.unpack_from("<I", data,
+                                                          off + 4)[0]
+        body = data[off + 8:off + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAVE chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        off += 8 + size + (size & 1)       # chunks are word-aligned
+    if fmt is None or raw is None or len(fmt) < 16:
+        raise ValueError("WAVE missing fmt /data chunk")
+    tag, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if tag != 1 or bits != 16 or ch < 1:
+        raise NotImplementedError(
+            f"WAVE fmt tag={tag} bits={bits}: only uncompressed PCM16 "
+            "parses natively; compressed audio needs a codec library "
+            "that is not in this container")
+    frame = 2 * ch
+    raw = raw[:len(raw) // frame * frame]
+    s = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    if ch > 1:
+        s = s.reshape(-1, ch).mean(axis=1)
+    return s, int(rate)
+
+
 class AudioPcmFeatures:
     """Actor-pool stage: REAL (not stubbed) per-clip audio features over
     raw PCM s16le ``binary`` payloads — raw PCM needs no codec library,
     so unlike image decode this kernel is the production one:
-    duration_s, rms, peak, zero-crossing rate.
+    duration_s, sample_rate, rms, peak, zero-crossing rate. RIFF/WAVE
+    containers parse natively too (`parse_wav`: PCM16, multi-channel
+    mean-downmixed, per-clip fmt sample rate overriding the constructor
+    default); compressed audio stays the named codec seam.
 
     Vectorized across the batch: samples are read straight from the
     Arrow binary column's flat value buffer (zero-copy when every clip
@@ -378,11 +421,33 @@ class AudioPcmFeatures:
         self.rate = float(sample_rate)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         col = batch.column(self.payload_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = len(col)
-        flat, lens = _pcm_samples(col)
+        rates = np.full(n, self.rate)
+        heads = pc.binary_slice(
+            col.fill_null(b"") if col.null_count else col,
+            0, 4).to_pylist()
+        if any(h == b"RIFF" for h in heads):
+            # WAV containers in the batch: per-clip parse (header walk
+            # is per-item by nature, like image decode); raw-PCM clips
+            # in the same batch keep the s16le convention
+            parts, lens = [], np.zeros(n, np.int64)
+            for i, p in enumerate(col.to_pylist()):
+                p = p or b""
+                if p[:4] == b"RIFF":
+                    s, r = parse_wav(p)
+                    rates[i] = float(r)
+                else:
+                    s = np.frombuffer(p[:len(p) & ~1], "<i2") \
+                        .astype(np.float64) / 32768.0
+                parts.append(s)
+                lens[i] = len(s)
+            flat = np.concatenate(parts) if n else np.zeros(0)
+        else:
+            flat, lens = _pcm_samples(col)
         starts = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=starts[1:])
         rms = np.zeros(n)
@@ -408,7 +473,8 @@ class AudioPcmFeatures:
                 ends = segc + lens[multi] - 1
                 zcr[multi] = (csum[ends] - csum[segc]) / (lens[multi] - 1)
         out = batch.drop_columns([self.payload_col])
-        out = out.append_column("duration_s", pa.array(lens / self.rate))
+        out = out.append_column("duration_s", pa.array(lens / rates))
+        out = out.append_column("sample_rate", pa.array(rates))
         out = out.append_column("rms", pa.array(rms))
         out = out.append_column("peak", pa.array(peak))
         return out.append_column("zero_crossing_rate", pa.array(zcr))

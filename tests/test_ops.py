@@ -906,8 +906,49 @@ def test_audio_features_dataset(ray_session):
     out = audio_features(ray.data.from_arrow(tbl), batch_size=6,
                          concurrency=2).to_pandas()
     assert len(out) == 20 and (out.rms > 0).all()
-    assert set(out.columns) == {"clip_id", "duration_s", "rms", "peak",
-                                "zero_crossing_rate"}
+    assert set(out.columns) == {"clip_id", "duration_s", "sample_rate",
+                                "rms", "peak", "zero_crossing_rate"}
+
+
+def test_audio_wav_container():
+    """RIFF/WAVE parses natively: fmt rate overrides the default,
+    stereo downmixes by channel mean, raw-PCM clips mix in the same
+    batch, compressed tags raise the named seam, truncation is typed."""
+    import struct
+
+    from parquet_rs_ray.ops.multimodal import AudioPcmFeatures, parse_wav
+
+    def wav(samples: np.ndarray, rate: int, ch: int, tag: int = 1,
+            bits: int = 16) -> bytes:
+        raw = samples.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * 2 * ch,
+                          2 * ch, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(raw)) + raw)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    sq = np.tile(np.array([16384, -16384], np.int16), 100)
+    s, r = parse_wav(wav(sq, 8000, 1))
+    assert r == 8000 and np.allclose(s, sq / 32768.0)
+    # stereo: L = sq, R = 0 -> mean halves the amplitude
+    inter = np.zeros(2 * len(sq), np.int16)
+    inter[0::2] = sq
+    s2, r2 = parse_wav(wav(inter, 44100, 2))
+    assert r2 == 44100 and np.allclose(s2, sq / 65536.0)
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "media": pa.array([wav(sq, 8000, 1), sq.tobytes()],
+                                    pa.binary())})
+    out = AudioPcmFeatures(sample_rate=16000)(t).to_pandas()
+    assert out.sample_rate.tolist() == [8000.0, 16000.0]
+    assert out.duration_s[0] == pytest.approx(len(sq) / 8000)
+    assert out.duration_s[1] == pytest.approx(len(sq) / 16000)
+    assert out.rms.tolist() == pytest.approx([0.5, 0.5])
+
+    with pytest.raises(NotImplementedError, match="PCM16"):
+        parse_wav(wav(sq, 8000, 1, tag=85))        # mp3-in-wav
+    with pytest.raises(ValueError, match="truncated"):
+        parse_wav(wav(sq, 8000, 1)[:30])
 
 
 def test_grouped_quantiles_oracle_and_nulls(ray_session):
