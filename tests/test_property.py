@@ -207,3 +207,22 @@ def test_byte_stream_split_roundtrip(data, n, is_double):
     out = bss.decode(bss.encode(v, phys), n, phys)
     assert out.dtype == v.dtype
     assert np.array_equal(out.view(np.uint8), v.view(np.uint8))
+
+
+@given(st.lists(st.one_of(
+    st.floats(width=64, allow_nan=True, allow_infinity=True),
+    st.decimals(min_value=-10**9, max_value=10**9, places=2)
+    .map(float)), min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_alp_roundtrip_property(vals):
+    """ALP is bitwise-lossless on arbitrary doubles: decimals take the
+    digit path, everything else (nan/inf/-0.0/noise) must survive as
+    verbatim exceptions."""
+    import numpy as np
+    from parquet_rs_ray.codecs import alp
+    from parquet_rs_ray.codecs.base import PhysicalType
+
+    v = np.asarray(vals, np.float64)
+    enc = alp.encode(v, PhysicalType.DOUBLE)
+    got = alp.decode(enc, len(v), PhysicalType.DOUBLE)
+    assert got.view(np.uint64).tolist() == v.view(np.uint64).tolist()
