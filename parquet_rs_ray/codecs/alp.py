@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..bitio import decode_vlq, encode_vlq
+from ..bitio import decode_vlq, encode_vlq, pack_bits
 from . import forpack
 from .base import PhysicalType
 
@@ -111,8 +111,14 @@ def encode(values: np.ndarray, phys) -> bytes:
 
 def encode_or_none(values: np.ndarray, phys) -> bytes | None:
     """Selector probe: None when the sample says ALP can't cover
-    enough values to beat the 8-or-4-byte PLAIN floor (each exception
-    costs position + verbatim value, ~1.5× PLAIN)."""
+    enough values to beat the 8-or-4-byte PLAIN floor — too many
+    exceptions (each costs position + verbatim value), or a degenerate
+    large-e "success" whose digits FoR-pack as wide as PLAIN itself
+    (noise floats DO roundtrip x·10^18/10^18 most of the time, but
+    with ~62-bit digits there is nothing to win — that regime belongs
+    to ALP-RD)."""
+    from ..bitio import num_required_bits
+
     E, udt, fdt, idt, max_e, lim = _tables(phys)
     v = np.ascontiguousarray(values, dtype=fdt)
     if len(v) == 0:
@@ -120,6 +126,12 @@ def encode_or_none(values: np.ndarray, phys) -> bytes | None:
     e, frac = _pick_e(v, E, udt, idt, max_e, lim)
     if frac < 0.75:
         return None
+    exact, di = _exact_mask(v[:_SAMPLE], e, E, udt, idt, lim)
+    if exact.any():
+        d = di[exact]
+        span = int(d.max()) - int(d.min())
+        if num_required_bits(span) >= v.dtype.itemsize * 8 - 4:
+            return None
     return encode(v, phys)
 
 
@@ -148,3 +160,119 @@ def decode(data: bytes, num_values: int, phys) -> np.ndarray:
         raise ValueError(f"ALP header says {n} values, digits decode "
                          f"to {len(out)}")
     return out
+
+
+# ----------------------------------------------------------------- ALP-RD
+# The paper's second scheme, for "real doubles" the decimal model can't
+# cover (scientific values, embeddings): split every float's BIT pattern
+# at position r into a left part (sign/exponent/top mantissa, ≤16 bits —
+# highly repetitive across a chunk) and a right part (low mantissa,
+# noise). Right bits store verbatim bit-packed; left parts
+# dictionary-code against the ≤8 most frequent values, the rest as
+# positioned u16 exceptions. UNCONDITIONALLY lossless — no per-value
+# verification needed, every bit is either stored or dictionary-mapped.
+#
+# Layout: vlq(n) u8(r) u8(k) k×u16 dict
+#         vlq(len) left codes bit-packed at ceil(log2 k)
+#         vlq(len) right parts bit-packed at r
+#         vlq(n_exc) vlq(len) pos:FOR(int64) n_exc×u16 exc left values
+
+RD_CODEC_ID = "ALP_RD"
+_RD_MAX_DICT = 8
+
+
+def _rd_plan(bits_u: np.ndarray, width: int):
+    """Pick (r, dict) minimizing estimated bits/value on a sample."""
+    s = bits_u[:_SAMPLE]
+    best = None
+    for r in range(width - 16, width):
+        left = (s >> np.uint64(r)).astype(np.uint64)
+        vals, cnt = np.unique(left, return_counts=True)
+        order = np.argsort(cnt)[::-1][:_RD_MAX_DICT]
+        dic = vals[order]
+        covered = int(cnt[order].sum())
+        k = len(dic)
+        lb = max(1, int(np.ceil(np.log2(max(k, 2)))))
+        est = len(s) * (lb + r) + (len(s) - covered) * (16 + 24)
+        if best is None or est < best[0]:
+            best = (est, r, dic)
+    _est, r, dic = best
+    return r, np.sort(dic).astype(np.uint64), _est / max(1, len(s))
+
+
+def encode_rd(values: np.ndarray, phys) -> bytes:
+    _E, udt, fdt, _idt, _max_e, _lim = _tables(phys)
+    v = np.ascontiguousarray(values, dtype=fdt)
+    width = v.dtype.itemsize * 8
+    n = len(v)
+    if n == 0:
+        return (encode_vlq(0) + bytes([width - 1, 0]) + encode_vlq(0)
+                + encode_vlq(0) + encode_vlq(0) + encode_vlq(0))
+    bits_u = v.view(udt).astype(np.uint64)
+    r, dic, _bpv = _rd_plan(bits_u, width)
+    left = bits_u >> np.uint64(r)
+    right = bits_u & np.uint64((1 << r) - 1)
+    pos_in_dict = np.searchsorted(dic, left)
+    pos_in_dict = np.minimum(pos_in_dict, len(dic) - 1)
+    hit = dic[pos_in_dict] == left
+    codes = np.where(hit, pos_in_dict, 0).astype(np.uint64)
+    lb = max(1, int(np.ceil(np.log2(max(len(dic), 2)))))
+    exc_pos = np.flatnonzero(~hit).astype(np.int64)
+    lp = pack_bits(codes, lb)
+    rp = pack_bits(right, r)
+    pb = forpack.encode(exc_pos, False) if len(exc_pos) else b""
+    out = (encode_vlq(n) + bytes([r, len(dic)])
+           + dic.astype("<u2").tobytes()
+           + encode_vlq(len(lp)) + lp + encode_vlq(len(rp)) + rp
+           + encode_vlq(len(exc_pos)) + encode_vlq(len(pb)) + pb
+           + left[exc_pos].astype("<u2").tobytes())
+    return out
+
+
+def encode_rd_or_none(values: np.ndarray, phys) -> bytes | None:
+    """Selector probe: None unless the sample-estimated bits/value
+    beats PLAIN (the estimate is pessimistic — it books exceptions at
+    40 bits while positions FoR-pack tighter — and the selector's
+    PLAIN floor re-checks the real encoded size anyway)."""
+    _E, udt, fdt, _idt, _max_e, _lim = _tables(phys)
+    v = np.ascontiguousarray(values, dtype=fdt)
+    if len(v) == 0:
+        return None
+    width = v.dtype.itemsize * 8
+    _r, _dic, bpv = _rd_plan(v.view(udt).astype(np.uint64), width)
+    if bpv >= width:
+        return None
+    return encode_rd(v, phys)
+
+
+def decode_rd(data: bytes, num_values: int, phys) -> np.ndarray:
+    from ..bitio import unpack_bits
+
+    _E, udt, fdt, _idt, _max_e, _lim = _tables(phys)
+    buf = memoryview(data)
+    n, off = decode_vlq(buf, 0)
+    r, k = buf[off], buf[off + 1]
+    off += 2
+    dic = np.frombuffer(buf, "<u2", count=k, offset=off).astype(np.uint64)
+    off += 2 * k
+    lplen, off = decode_vlq(buf, off)
+    lb = max(1, int(np.ceil(np.log2(max(k, 2))))) if k else 0
+    codes = unpack_bits(bytes(buf[off:off + lplen]), lb, n)
+    off += lplen
+    rplen, off = decode_vlq(buf, off)
+    right = unpack_bits(bytes(buf[off:off + rplen]), r, n)
+    off += rplen
+    n_exc, off = decode_vlq(buf, off)
+    pblen, off = decode_vlq(buf, off)
+    left = dic[np.minimum(codes, max(k - 1, 0))] if k else \
+        np.zeros(n, np.uint64)
+    if n_exc:
+        pos = forpack.decode(bytes(buf[off:off + pblen]), False)
+        off += pblen
+        exc = np.frombuffer(buf, "<u2", count=n_exc,
+                            offset=off).astype(np.uint64)
+        left[pos] = exc
+    bits = (left << np.uint64(r)) | right
+    if phys == PhysicalType.FLOAT:
+        return bits.astype(np.uint32).view(np.float32)
+    return bits.view(np.float64)

@@ -166,6 +166,8 @@ def encode_with(codec: str, phys: PhysicalType, values, type_length: int = 0,
         return bss.encode(values, phys), b"", 0
     if codec == "ALP":
         return alp.encode(values, phys), b"", 0
+    if codec == "ALP_RD":
+        return alp.encode_rd(values, phys), b"", 0
     raise FormatError(f"unknown codec {codec}")
 
 
@@ -196,6 +198,8 @@ def decode_with(codec: str, phys: PhysicalType, data: bytes, dict_page: bytes,
         return bss.decode(data, num_values, phys)
     if codec == "ALP":
         return alp.decode(data, num_values, phys)
+    if codec == "ALP_RD":
+        return alp.decode_rd(data, num_values, phys)
     raise FormatError(f"unknown codec {codec}")
 
 

@@ -134,6 +134,16 @@ class CodecSelector:
             a = alp_codec.encode_or_none(values, phys)
             if a is not None:
                 candidates.append((len(a), "ALP", (a, b"", 0)))
+            if a is None or len(a) > 0.7 * plain_size:
+                # decimal model absent or weak → try the real-doubles
+                # split (left-bits dictionary + verbatim right
+                # mantissa): raw-size win on noise floats (embeddings),
+                # where under "auto" it competes with BSS
+                # post-compression
+                ard = alp_codec.encode_rd_or_none(values, phys)
+                if ard is not None:
+                    candidates.append((len(ard), "ALP_RD",
+                                       (ard, b"", 0)))
             if self.block_codec == "auto":
                 # BYTE_STREAM_SPLIT is a pure permutation (raw size ==
                 # PLAIN); it only pays off through the outer block codec,
