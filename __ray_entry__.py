@@ -855,6 +855,26 @@ def _lm_score_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _lm_bucket_documents(sf_dir: str):
+    """CCNet head/middle/tail bucketing (ops/lm.py::bucket_by_lm):
+    exact per-language logprob quantile thresholds via the distributed
+    grouped-quantile aggregate (only histogram partials shuffle), the
+    tiny threshold table broadcast back, one vectorized searchsorted
+    labels every doc. Rows-only for the same ln()-ulp reason as
+    lm_score_documents; threshold/label parity vs a pandas
+    reimplementation is pinned by tests/test_lm.py."""
+    import pyarrow as pa
+    import ray
+    from parquet_rs_ray.ops.lm import bucket_by_lm, train_char_lm
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    model = train_char_lm(ds, sample_mod=2)
+    return bucket_by_lm(ds, model, lang_col="lang").map_batches(
+        lambda b: b.select(["doc_id", "lm_bucket"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _warc_ingest_documents(sf_dir: str):
     """Raw-crawl ingestion edge (parquet_rs_ray/warc.py): documents
     rows written as a one-gzip-member-per-record WARC crawl file (the
@@ -1453,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quantile_sketch_events"] = _quantile_sketch_events
     q["warc_ingest_documents"] = _warc_ingest_documents
     q["lm_score_documents"] = _lm_score_documents
+    q["lm_bucket_documents"] = _lm_bucket_documents
     q["dup_span_stats_documents"] = _dup_span_stats_documents
     q["dedup_spans_documents"] = _dedup_spans_documents
     q["curate_documents"] = _curate_documents

@@ -43,7 +43,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["train_char_lm", "score_char_lm", "filter_by_lm"]
+__all__ = ["train_char_lm", "score_char_lm", "filter_by_lm",
+           "bucket_by_lm"]
 
 _N = 3          # trigrams: codes pack into uint32, dense vocab 2^24
 
@@ -190,3 +191,71 @@ def filter_by_lm(ds, model: dict, *, min_logprob: float,
 
     return scored.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def bucket_by_lm(ds, model: dict, *, text_col: str = "text",
+                 lang_col: str | None = None,
+                 out_col: str = "lm_bucket", qs=(1 / 3, 2 / 3),
+                 score_col: str = "lm_logprob"):
+    """CCNet's head/middle/tail split: score every document under
+    `model`, compute EXACT score quantile thresholds per language (or
+    globally when ``lang_col`` is None), and label each doc — "tail"
+    below qs[0], "head" at/above qs[-1], "middle" between (ascending
+    score = ascending quality; CCNet orders by perplexity, which is
+    −logprob, so its head = our top-score bucket). Unscorable docs
+    (null / <3 bytes) get a null bucket.
+
+    Distribution shape: one scoring pass (model broadcast once), the
+    fully distributed grouped-quantile aggregate (only (group, value,
+    cnt) histogram partials shuffle — ops/relational.py), then the
+    tiny (n_langs × len(qs)) threshold table broadcasts back into a
+    final vectorized searchsorted pass. The corpus itself never
+    shuffles."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .relational import grouped_quantiles
+
+    scored = score_char_lm(ds, model, text_col=text_col,
+                           out_col=score_col)
+    gcol = lang_col or "__all"
+    q_in = scored if lang_col else scored.map_batches(
+        lambda b: b.append_column("__all", pa.array(
+            np.zeros(len(b), np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    th = grouped_quantiles(q_in, group_col=gcol, col=score_col,
+                           qs=tuple(qs)).to_pandas()  # n_langs×len(qs)
+    cuts = {g: np.sort(sub["value"].to_numpy())
+            for g, sub in th.groupby(gcol)}
+    labels = ["tail"] + ["middle"] * (len(tuple(qs)) - 1) + ["head"]
+    ref = ray.put(cuts)
+
+    class _Bucket:
+        def __init__(self):
+            self.cuts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = batch.column(score_col)
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            sv = s.to_numpy(zero_copy_only=False)
+            idx = np.zeros(len(batch), np.int64)
+            if lang_col is None:
+                cut = self.cuts.get(0, np.zeros(0))
+                idx = np.searchsorted(cut, np.nan_to_num(sv, nan=0.0),
+                                      side="right")
+            else:
+                langs = batch.column(lang_col).to_pylist()
+                for g in set(langs):
+                    cut = self.cuts.get(g, np.zeros(0))
+                    m = np.array([x == g for x in langs])
+                    idx[m] = np.searchsorted(
+                        cut, np.nan_to_num(sv[m], nan=0.0),
+                        side="right")
+            lab = pa.array([labels[i] for i in idx], pa.string())
+            lab = pc.if_else(pc.is_valid(s), lab,
+                             pa.scalar(None, pa.string()))
+            return batch.append_column(out_col, lab)
+
+    return scored.map_batches(_Bucket, batch_format="pyarrow",
+                              zero_copy_batch=True, concurrency=(1, 8))

@@ -146,3 +146,51 @@ def test_utf8_multibyte_and_binary_column(ray_session):
     for i, t in enumerate(texts):
         assert out.lm_logprob[i] == pytest.approx(
             _ref_score(t, counts, total), rel=1e-12)
+
+
+def test_bucket_by_lm_thirds_and_langs(ray_session):
+    """head/middle/tail assignment matches a pandas reimplementation
+    of the same exact thresholds, globally and per language; null and
+    <3-byte docs get a null bucket."""
+    import ray
+
+    from parquet_rs_ray.ops.lm import bucket_by_lm, score_char_lm
+
+    rng = np.random.default_rng(31)
+    vocab_en = ["the", "quick", "brown", "fox", "jumps", "over"]
+    vocab_zz = ["zq", "xv", "wk", "jj", "qq", "zz"]
+    rows = []
+    for i in range(60):
+        v = vocab_en if i % 2 == 0 else vocab_zz
+        rows.append((" ".join(rng.choice(v, 12).tolist()),
+                     "en" if i % 2 == 0 else "zz"))
+    rows += [(None, "en"), ("ab", "zz")]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    model = train_char_lm(ds)
+
+    for lang_col in (None, "lang"):
+        out = bucket_by_lm(ds, model, lang_col=lang_col).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        scored = score_char_lm(ds, model).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # reimplement: per-group discrete quantile thresholds
+        df = scored.dropna(subset=["lm_logprob"]).copy()
+        df["g"] = df["lang"] if lang_col else 0
+        for g, sub in df.groupby("g"):
+            v = np.sort(sub.lm_logprob.to_numpy())
+            cuts = [v[max(0, int(np.ceil(q * len(v))) - 1)]
+                    for q in (1 / 3, 2 / 3)]
+            for _, r in sub.iterrows():
+                want = ("tail" if r.lm_logprob < cuts[0] else
+                        "middle" if r.lm_logprob < cuts[1] else "head")
+                got = out.loc[out.doc_id == r.doc_id, "lm_bucket"].iloc[0]
+                assert got == want, (lang_col, r.doc_id, got, want)
+        # unscorable docs: null bucket
+        nulls = out[out.doc_id >= 60].lm_bucket
+        assert nulls.isna().all()
+        # every real bucket present
+        assert set(out.lm_bucket.dropna()) == {"head", "middle", "tail"}
