@@ -245,14 +245,21 @@ def bucket_by_lm(ds, model: dict, *, text_col: str = "text",
                 idx = np.searchsorted(cut, np.nan_to_num(sv, nan=0.0),
                                       side="right")
             else:
-                langs = batch.column(lang_col).to_pylist()
-                for g in set(langs):
+                # per DISTINCT lang, not per row: one vectorized
+                # equal + searchsorted per group in the batch
+                la = batch.column(lang_col)
+                if isinstance(la, pa.ChunkedArray):
+                    la = la.combine_chunks()
+                codes = la.dictionary_encode()
+                cv = codes.indices.to_numpy(zero_copy_only=False)
+                for ci, g in enumerate(codes.dictionary.to_pylist()):
                     cut = self.cuts.get(g, np.zeros(0))
-                    m = np.array([x == g for x in langs])
+                    m = cv == ci
                     idx[m] = np.searchsorted(
                         cut, np.nan_to_num(sv[m], nan=0.0),
                         side="right")
-            lab = pa.array([labels[i] for i in idx], pa.string())
+            lab = pa.array(labels, pa.string()).take(
+                pa.array(idx.astype(np.int32)))
             lab = pc.if_else(pc.is_valid(s), lab,
                              pa.scalar(None, pa.string()))
             return batch.append_column(out_col, lab)
