@@ -855,6 +855,21 @@ def _lm_score_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _corpus_report_documents(sf_dir: str):
+    """Per-language corpus profile (ops/textstats.py::corpus_report):
+    three fully distributed aggregates (vectorized per-batch combine →
+    tiny groupby-sum; map-side-distinct pair groupby → per-lang source
+    count; exact byte-length quantile via grouped_quantiles); only the
+    bounded n_langs-row report reaches the driver. Oracle-backed —
+    plain SQL GROUP BY with COUNT DISTINCT and quantile_disc."""
+    import ray
+    from parquet_rs_ray.ops.textstats import corpus_report
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "lang", "source"])
+    return corpus_report(ds)
+
+
 def _lm_bucket_documents(sf_dir: str):
     """CCNet head/middle/tail bucketing (ops/lm.py::bucket_by_lm):
     exact per-language logprob quantile thresholds via the distributed
@@ -1474,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["warc_ingest_documents"] = _warc_ingest_documents
     q["lm_score_documents"] = _lm_score_documents
     q["lm_bucket_documents"] = _lm_bucket_documents
+    q["corpus_report_documents"] = _corpus_report_documents
     q["dup_span_stats_documents"] = _dup_span_stats_documents
     q["dedup_spans_documents"] = _dedup_spans_documents
     q["curate_documents"] = _curate_documents
@@ -1523,6 +1539,14 @@ def oracle_sql() -> dict[str, str]:
         "MAX(n_chars) AS max_n_chars FROM documents")
     sql["lang_counts"] = (
         "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang")
+    sql["corpus_report_documents"] = (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_null_text, "
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+        "CAST(quantile_disc(octet_length(ENCODE(text)), 0.5) AS BIGINT) "
+        "AS p50_bytes, "
+        "CAST(SUM(COALESCE(octet_length(ENCODE(text)), 0)) AS BIGINT) "
+        "AS total_bytes FROM documents GROUP BY lang")
     sql["global_lang_dictionary"] = (
         "SELECT DISTINCT lang FROM documents ORDER BY lang")
     sql["exact_dedup_documents"] = (

@@ -483,3 +483,88 @@ def _word_df_stats_join(ds, *, text_col: str, id_col: str,
 
     return out.map_batches(fill, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def corpus_report(ds, *, text_col: str = "text", lang_col: str = "lang",
+                  source_col: str = "source", q: float = 0.5):
+    """Per-language corpus profile — the numbers a data team checks
+    before curating: document count, null-text count, distinct source
+    count, the exact ``q``-quantile of document UTF-8 byte length, and
+    total text bytes. SQL-expressible end to end; pytest pins DuckDB
+    parity and the registry carries the same oracle.
+
+    Distribution shape: three fully distributed aggregates over
+    projected columns — (1) per-batch vectorized combine
+    (dictionary_encode + bincount) → one tiny (lang, docs, nulls,
+    bytes) groupby-sum; (2) map-side distinct (lang, source) pairs →
+    one pair groupby → per-lang count; (3) exact byte-length quantile
+    via `grouped_quantiles` (only histogram partials shuffle). The
+    merged report is n_langs rows — bounded — so the final join runs
+    driver-side."""
+    import pandas as pd
+
+    from .relational import grouped_quantiles
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column(lang_col)
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        txt = batch.column(text_col)
+        blen = pc.binary_length(txt).cast(pa.int64())
+        codes = langs.dictionary_encode()
+        c = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(codes.dictionary)
+        nulls = pc.is_null(txt).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        byts = blen.fill_null(0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            lang_col: codes.dictionary,
+            "n_docs": np.bincount(c, minlength=k).astype(np.int64),
+            "n_null_text": np.bincount(c, weights=nulls,
+                                       minlength=k).astype(np.int64),
+            "total_bytes": np.bincount(c, weights=byts,
+                                       minlength=k).astype(np.int64)})
+
+    counts = ds.map_batches(counts_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(lang_col).sum(["n_docs", "n_null_text", "total_bytes"]) \
+        .map_batches(lambda b: b.rename_columns(
+            [lang_col, "n_docs", "n_null_text", "total_bytes"]),
+            batch_format="pyarrow").to_pandas()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({lang_col: batch.column(lang_col),
+                      source_col: batch.column(source_col)})
+        return t.group_by([lang_col, source_col]).aggregate([])
+
+    sources = ds.map_batches(pair_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(source_col).map_groups(
+            lambda g: g.group_by([lang_col, source_col]).aggregate([]),
+            batch_format="pyarrow") \
+        .map_batches(lambda b: pa.table(
+            {lang_col: b.column(lang_col),
+             "n_sources": np.ones(len(b), np.int64)}),
+            batch_format="pyarrow") \
+        .groupby(lang_col).sum("n_sources") \
+        .map_batches(lambda b: b.rename_columns([lang_col, "n_sources"]),
+                     batch_format="pyarrow").to_pandas()
+
+    def blen_col(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            lang_col: batch.column(lang_col),
+            "__blen": pc.binary_length(
+                batch.column(text_col)).cast(pa.int64())})
+
+    quant = grouped_quantiles(
+        ds.map_batches(blen_col, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        group_col=lang_col, col="__blen", qs=(q,)).to_pandas() \
+        .rename(columns={"value": f"p{int(q * 100)}_bytes"}) \
+        .drop(columns=["q"])
+
+    rep = counts.merge(sources, on=lang_col, how="left") \
+        .merge(quant, on=lang_col, how="left") \
+        .sort_values(lang_col).reset_index(drop=True)
+    rep["n_sources"] = rep["n_sources"].fillna(0).astype(np.int64)
+    return pa.Table.from_pandas(rep, preserve_index=False)

@@ -1582,3 +1582,41 @@ def test_sample_to_token_budget(ray_session):
     realized = sum(len([w for w in t.split(" ") if w])
                    for t in got["text"])
     assert 0.3 * budget < realized < 3 * budget
+
+
+def test_corpus_report_duckdb_parity(ray_session):
+    """corpus_report bit-matches the plain SQL profile (COUNT, COUNT
+    DISTINCT, quantile_disc, byte sums) per language, including a
+    planted null text."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from parquet_rs_ray.ops.textstats import corpus_report
+
+    base = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"])
+    # plant a null text so n_null_text is exercised
+    txt = base.column("text").to_pylist()
+    txt[3] = None
+    tbl = base.set_column(base.schema.get_field_index("text"), "text",
+                          pa.array(txt, pa.string()))
+    got = corpus_report(ray.data.from_arrow(tbl).repartition(4)) \
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_null_text, "
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+        "CAST(quantile_disc(octet_length(ENCODE(text)), 0.5) AS BIGINT) "
+        "AS p50_bytes, "
+        "CAST(SUM(COALESCE(octet_length(ENCODE(text)), 0)) AS BIGINT) "
+        "AS total_bytes FROM documents GROUP BY lang ORDER BY lang") \
+        .fetchdf()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)],
+        check_dtype=False)
