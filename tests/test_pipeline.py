@@ -685,3 +685,18 @@ def test_encode_job_ingests_jsonl(ray_session, tmp_path):
     # resume: nothing re-encodes
     s2 = encode_job([str(p)], out_dir, concurrency=2)
     assert s2["shards_encoded"] == 0 and s2["shards_skipped"] == 1
+
+
+def test_iter_jsonl_schema_drift_fails_typed(tmp_path):
+    """Mid-file type drift (string id after int ids) must fail with a
+    typed Arrow error at parse time, not produce blocks that cannot
+    concatenate at decode."""
+    import pyarrow.lib
+    from parquet_rs_ray.job import iter_jsonl_tables
+
+    lines = [f'{{"id": {i}, "text": "doc {i}"}}' for i in range(30)]
+    lines += ['{"id": "not-a-number", "text": "drifted"}'] * 30
+    p = tmp_path / "drift.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    with pytest.raises((pa.lib.ArrowInvalid, pa.lib.ArrowTypeError)):
+        list(iter_jsonl_tables(str(p), target_bytes=256))
