@@ -61,6 +61,8 @@ def curate_web_corpus(ds, *, text_col: str = "text",
                       html_col: str | None = None,
                       keep_langs: tuple[str, ...] | None = ("en",),
                       min_quality: float = 0.2,
+                      lm_model: dict | None = None,
+                      lm_min_logprob: float | None = None,
                       pii: bool = True,
                       boilerplate_max_count: int | None = 1,
                       line_sep: str = "\n",
@@ -80,6 +82,11 @@ def curate_web_corpus(ds, *, text_col: str = "text",
        entry point: html→text extraction writes ``text_col`` first.
     1. ``AnnotateFilter`` actor pool — language-ID + quality score +
        threshold/language filter, one fused pass.
+    1b. ``lm.score_char_lm`` — CCNet LM perplexity gate when
+       ``lm_model`` is given: annotates ``lm_logprob`` and, if
+       ``lm_min_logprob`` is set, drops docs below it (the
+       head+middle cut; train the model once with
+       `lm.train_char_lm` and reuse it across runs).
     2. ``clean.redact`` — PII scrubbing, vectorized RE2 (``pii``).
     3. ``clean.line_dedup`` mode="auto" — cross-document boilerplate
        line removal (``boilerplate_max_count``; None skips).
@@ -120,6 +127,11 @@ def curate_web_corpus(ds, *, text_col: str = "text",
             "min_quality": min_quality},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=pool)
+    if lm_model is not None:
+        from .lm import score_char_lm
+        ds = score_char_lm(ds, lm_model, text_col=text_col)
+        if lm_min_logprob is not None:
+            ds = ds.filter(expr=f"lm_logprob >= {float(lm_min_logprob)!r}")
     if pii:
         ds = ds.map_batches(redact, fn_kwargs={"text_col": text_col},
                             batch_format="pyarrow", zero_copy_batch=True)

@@ -138,3 +138,37 @@ def test_curate_span_dedup_stage(ray_session):
     assert span in on.text[0]                    # winner keeps it
     assert len(on.text[1]) < len(off.text[1]) - 0.6 * len(span)
     assert on.text[1].startswith(uniq2[:30])     # unique prefix survives
+
+
+def test_curate_lm_gate(ray_session):
+    """With lm_model set the recipe annotates lm_logprob; with
+    lm_min_logprob it drops exactly the docs scoring below the cut
+    (the CCNet head+middle gate)."""
+    import numpy as np
+    import ray
+
+    from parquet_rs_ray.ops.lm import score_char_lm, train_char_lm
+
+    common = ("the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the quiet woods tonight again")
+    docs = [common, common.replace("fox", "cat"),
+            "zzqq xxvv wwkk jjqq zzqq xxvv wwkk jjqq zzqq xxvv wwkk"]
+    tbl = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    # reference model from the GOOD docs only (training on the corpus
+    # itself would let the self-repeating gibberish score well)
+    model = train_char_lm(ray.data.from_arrow(tbl.slice(0, 2)))
+    scored = score_char_lm(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cut = (scored.lm_logprob[1] + scored.lm_logprob[2]) / 2
+    assert scored.lm_logprob[2] < cut < scored.lm_logprob[1]
+    kw = dict(keep_langs=None, min_quality=0.0, pii=False,
+              boilerplate_max_count=None, near=False, concurrency=2)
+    out = curate_web_corpus(ds, lm_model=model, lm_min_logprob=cut,
+                            **kw).to_pandas()
+    assert sorted(out.doc_id) == [0, 1]
+    assert "lm_logprob" in out.columns
+    # annotate-only: no cut, all survive with scores attached
+    out2 = curate_web_corpus(ds, lm_model=model, **kw).to_pandas()
+    assert len(out2) == 3 and out2.lm_logprob.notna().all()
