@@ -229,6 +229,20 @@ def iter_jsonl_tables(path: str, target_bytes: int = 64 << 20):
         if schema is None:
             schema = tbl.schema
             return tbl
+        # sparse optional fields: a slice whose rows all omit a field
+        # still aligns (nulls); a field the FIRST block never saw is a
+        # typed error, not silent data loss
+        extra = [c for c in tbl.column_names if c not in schema.names]
+        if extra:
+            raise ValueError(
+                f"JSONL fields {extra} appear mid-file but not in the "
+                f"first block; schema is pinned by the first "
+                f"{target_bytes}-byte slice — reorder the file or raise "
+                f"target_bytes past the first occurrence")
+        for name in schema.names:
+            if name not in tbl.column_names:
+                tbl = tbl.append_column(
+                    name, pa.nulls(len(tbl), schema.field(name).type))
         return tbl.select(schema.names).cast(schema)
 
     with opener(path, "rb") as f:

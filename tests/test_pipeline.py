@@ -700,3 +700,26 @@ def test_iter_jsonl_schema_drift_fails_typed(tmp_path):
     p.write_text("\n".join(lines) + "\n")
     with pytest.raises((pa.lib.ArrowInvalid, pa.lib.ArrowTypeError)):
         list(iter_jsonl_tables(str(p), target_bytes=256))
+
+
+def test_iter_jsonl_sparse_and_extra_fields(tmp_path):
+    """A slice whose rows all omit an optional field aligns as nulls;
+    a field the first block never saw raises typed (no silent loss)."""
+    from parquet_rs_ray.job import iter_jsonl_tables
+
+    lines = [f'{{"id": {i}, "lang": "en"}}' for i in range(20)]
+    lines += [f'{{"id": {i}}}' for i in range(20, 40)]   # lang omitted
+    p = tmp_path / "sparse.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    got = pa.concat_tables(list(iter_jsonl_tables(str(p),
+                                                  target_bytes=128)))
+    assert got.num_rows == 40
+    assert got.column("lang").null_count == 20
+    assert got.column("id").to_pylist() == list(range(40))
+
+    lines2 = [f'{{"id": {i}}}' for i in range(20)]
+    lines2 += ['{"id": 99, "surprise": true}']
+    p2 = tmp_path / "extra.jsonl"
+    p2.write_text("\n".join(lines2) + "\n")
+    with pytest.raises(ValueError, match="surprise"):
+        list(iter_jsonl_tables(str(p2), target_bytes=64))
