@@ -225,7 +225,11 @@ def iter_jsonl_tables(path: str, target_bytes: int = 64 << 20):
 
     def parse(raw: bytes) -> pa.Table:
         nonlocal schema
-        tbl = pj.read_json(io.BytesIO(raw))
+        # block_size must cover the longest line: pyarrow's default
+        # 1 MiB block raises "straddling object" on multi-MB documents,
+        # which the slice accumulator exists to support
+        tbl = pj.read_json(io.BytesIO(raw), read_options=pj.ReadOptions(
+            block_size=len(raw) + 1))
         if schema is None:
             schema = tbl.schema
             return tbl

@@ -300,8 +300,12 @@ def _dedup_spans_broadcast(ds, *, text_col, key_col, mask_bits, max_len,
         dup_tbl = _dup_chunk_table(ds, text_col, key_col, mask_bits,
                                    max_len)
     dup_pd = dup_tbl.to_pandas()        # bounded: duplicated chunks only
-    dh = np.sort(dup_pd["chunk_hash"].to_numpy())
-    dwin = dup_pd.sort_values("chunk_hash")["winner"].to_numpy()
+    if len(dup_pd) == 0:                # no duplicated chunk anywhere —
+        dh = np.empty(0, np.int64)      # a fully empty dataset loses its
+        dwin = np.empty(0)              # columns, so don't index them
+    else:
+        dh = np.sort(dup_pd["chunk_hash"].to_numpy())
+        dwin = dup_pd.sort_values("chunk_hash")["winner"].to_numpy()
     ref = ray.put((dh, dwin))
     out_name = out_col or text_col
 
@@ -483,6 +487,27 @@ def _dedup_spans_join(ds, *, text_col, key_col, mask_bits, max_len,
     rebuilt = tagged.map_batches(add_part, batch_format="pyarrow",
                                  zero_copy_batch=True) \
         .groupby("__part").map_groups(rebuild, batch_format="pyarrow")
+
+    # degenerate corpus (every text null/empty): zero occurrence rows
+    # strip the rebuilt side's schema and the join cannot resolve
+    # __id. The probe streams exploded until its FIRST row — one block
+    # for any real corpus, a full (cheap, map-only) scan only in the
+    # degenerate case — and then skips the join entirely.
+    if exploded.limit(1).count() == 0:
+        def degenerate(batch: pa.Table) -> pa.Table:
+            src = batch.column(text_col)
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            txt = pc.if_else(pc.is_valid(src),
+                             pa.scalar("", pa.string()),
+                             pa.scalar(None, pa.string()))
+            if out_col is None:
+                i = batch.schema.get_field_index(text_col)
+                return batch.set_column(i, out_name, txt)
+            return batch.append_column(out_name, txt)
+
+        return ds.map_batches(degenerate, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     out = ds.join(rebuilt, "left_outer", P,
                   on=(key_col,), right_on=("__id",))

@@ -205,12 +205,17 @@ def bucket_by_lm(ds, model: dict, *, text_col: str = "text",
     −logprob, so its head = our top-score bucket). Unscorable docs
     (null / <3 bytes) get a null bucket.
 
-    Distribution shape: one scoring pass (model broadcast once), the
-    fully distributed grouped-quantile aggregate (only (group, value,
-    cnt) histogram partials shuffle — ops/relational.py), then the
-    tiny (n_langs × len(qs)) threshold table broadcasts back into a
-    final vectorized searchsorted pass. The corpus itself never
-    shuffles."""
+    Distribution shape: the scoring map runs twice — once feeding the
+    fully distributed grouped-quantile threshold aggregate (only
+    (group, value, cnt) histogram partials shuffle —
+    ops/relational.py) and once under the final labeling pass — which
+    is the minimum without materializing a corpus-sized intermediate
+    (scores can't be known before a full pass, and Ray re-executes
+    lazy lineage per consumer; 2× map compute beats spilling the whole
+    corpus through the object store). The tiny (n_langs × len(qs))
+    threshold table broadcasts back into a vectorized searchsorted
+    pass; the corpus itself never shuffles. Docs with a null score OR
+    null ``lang_col`` get a null bucket (no group to rank in)."""
     import pyarrow.compute as pc
     import ray
 
@@ -219,10 +224,22 @@ def bucket_by_lm(ds, model: dict, *, text_col: str = "text",
     scored = score_char_lm(ds, model, text_col=text_col,
                            out_col=score_col)
     gcol = lang_col or "__all"
-    q_in = scored if lang_col else scored.map_batches(
-        lambda b: b.append_column("__all", pa.array(
-            np.zeros(len(b), np.int8))),
-        batch_format="pyarrow", zero_copy_batch=True)
+    if lang_col:
+        # null-lang rows have no group to rank in (they get a null
+        # bucket below); the grouped aggregate is null-key-hostile
+        def drop_null_lang(b: pa.Table) -> pa.Table:
+            la = b.column(lang_col)
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            return b.filter(pc.is_valid(la)) if la.null_count else b
+        q_in = scored.map_batches(drop_null_lang,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    else:
+        q_in = scored.map_batches(
+            lambda b: b.append_column("__all", pa.array(
+                np.zeros(len(b), np.int8))),
+            batch_format="pyarrow", zero_copy_batch=True)
     th = grouped_quantiles(q_in, group_col=gcol, col=score_col,
                            qs=tuple(qs)).to_pandas()  # n_langs×len(qs)
     cuts = {g: np.sort(sub["value"].to_numpy())
@@ -260,8 +277,13 @@ def bucket_by_lm(ds, model: dict, *, text_col: str = "text",
                         side="right")
             lab = pa.array(labels, pa.string()).take(
                 pa.array(idx.astype(np.int32)))
-            lab = pc.if_else(pc.is_valid(s), lab,
-                             pa.scalar(None, pa.string()))
+            ok = pc.is_valid(s)
+            if lang_col is not None:
+                la2 = batch.column(lang_col)
+                if isinstance(la2, pa.ChunkedArray):
+                    la2 = la2.combine_chunks()
+                ok = pc.and_(ok, pc.is_valid(la2))
+            lab = pc.if_else(ok, lab, pa.scalar(None, pa.string()))
             return batch.append_column(out_col, lab)
 
     return scored.map_batches(_Bucket, batch_format="pyarrow",

@@ -281,20 +281,26 @@ class SampleFrames:
                 nf_col.extend([nf] * take)
             elif p[:4] == b"GIF8":
                 # animated GIF: structural count first (no LZW work),
-                # then one sequential composition pass keeping only the
-                # picked frames, each serialized as standalone P6 bytes
-                # decodable downstream by DecodeImage(fake=False)
+                # then one sequential composition pass that stops at
+                # the LAST picked frame, each pick serialized as
+                # standalone P6 bytes decodable downstream by
+                # DecodeImage(fake=False)
                 from .gif import count_frames, gif_frames
-                nf = max(1, count_frames(p))
+                nf = count_frames(p)
+                if nf == 0:          # structurally valid, zero images:
+                    continue         # nothing to sample from this row
                 take = min(F, nf)
                 picks = (np.arange(take, dtype=np.int64) * nf) // take
                 want = set(int(k) for k in picks)
+                last = int(picks[-1])
                 for i, fr in enumerate(gif_frames(p)):
                     if i in want:
                         hh, ww = fr.shape[:2]
                         frames.append(
                             b"P6\n%d %d\n255\n" % (ww, hh)
                             + fr.tobytes())
+                    if i >= last:    # don't decode past the last pick
+                        break
                 fidx.extend(int(k) for k in picks)
                 doc_of.extend([row] * take)
                 nf_col.extend([nf] * take)
@@ -427,17 +433,21 @@ class AudioPcmFeatures:
             col = col.combine_chunks()
         n = len(col)
         rates = np.full(n, self.rate)
+        # sniff the full 12-byte RIFF/WAVE signature: raw-PCM sample
+        # bytes are arbitrary, so a 4-byte b"RIFF" prefix alone would
+        # misroute ~2^-32 of raw clips into the WAV parser
         heads = pc.binary_slice(
             col.fill_null(b"") if col.null_count else col,
-            0, 4).to_pylist()
-        if any(h == b"RIFF" for h in heads):
+            0, 12).to_pylist()
+        is_wav = [h[:4] == b"RIFF" and h[8:12] == b"WAVE" for h in heads]
+        if any(is_wav):
             # WAV containers in the batch: per-clip parse (header walk
             # is per-item by nature, like image decode); raw-PCM clips
             # in the same batch keep the s16le convention
             parts, lens = [], np.zeros(n, np.int64)
             for i, p in enumerate(col.to_pylist()):
                 p = p or b""
-                if p[:4] == b"RIFF":
+                if is_wav[i]:
                     s, r = parse_wav(p)
                     rates[i] = float(r)
                 else:

@@ -505,10 +505,22 @@ def corpus_report(ds, *, text_col: str = "text", lang_col: str = "lang",
 
     from .relational import grouped_quantiles
 
-    def counts_partial(batch: pa.Table) -> pa.Table:
+    # SQL GROUP BY lang emits a NULL-lang group; Ray/arrow groupby and
+    # bincount machinery is null-key-hostile, so null langs ride a
+    # sentinel ("\x00" cannot occur in a real lang code) and turn back
+    # into null in the final report
+    _NULL = "\x00"
+
+    def _langs(batch: pa.Table) -> pa.Array:
         langs = batch.column(lang_col)
         if isinstance(langs, pa.ChunkedArray):
             langs = langs.combine_chunks()
+        if langs.null_count:
+            langs = langs.fill_null(_NULL)
+        return langs
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        langs = _langs(batch)
         txt = batch.column(text_col)
         blen = pc.binary_length(txt).cast(pa.int64())
         codes = langs.dictionary_encode()
@@ -533,8 +545,14 @@ def corpus_report(ds, *, text_col: str = "text", lang_col: str = "lang",
             batch_format="pyarrow").to_pandas()
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({lang_col: batch.column(lang_col),
+        t = pa.table({lang_col: _langs(batch),
                       source_col: batch.column(source_col)})
+        # COUNT(DISTINCT source) excludes NULL sources
+        src_col = t.column(source_col)
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        if src_col.null_count:
+            t = t.filter(pc.is_valid(src_col))
         return t.group_by([lang_col, source_col]).aggregate([])
 
     sources = ds.map_batches(pair_partial, batch_format="pyarrow",
@@ -552,7 +570,7 @@ def corpus_report(ds, *, text_col: str = "text", lang_col: str = "lang",
 
     def blen_col(batch: pa.Table) -> pa.Table:
         return pa.table({
-            lang_col: batch.column(lang_col),
+            lang_col: _langs(batch),
             "__blen": pc.binary_length(
                 batch.column(text_col)).cast(pa.int64())})
 
@@ -567,4 +585,6 @@ def corpus_report(ds, *, text_col: str = "text", lang_col: str = "lang",
         .merge(quant, on=lang_col, how="left") \
         .sort_values(lang_col).reset_index(drop=True)
     rep["n_sources"] = rep["n_sources"].fillna(0).astype(np.int64)
+    # .replace({x: None}) would trigger pandas' method-fill quirk
+    rep[lang_col] = rep[lang_col].mask(rep[lang_col] == _NULL, None)
     return pa.Table.from_pandas(rep, preserve_index=False)

@@ -227,3 +227,18 @@ def test_dedup_spans_auto_regimes(ray_session):
     assert want.text.tolist() == forced.text.tolist()
     with pytest.raises(ValueError, match="mode"):
         dedup_spans(ds, mode="bogus")
+
+
+def test_dedup_spans_join_all_null_or_empty(ray_session):
+    """Degenerate corpus (every text null/empty): join mode must not
+    crash on the schema-less rebuilt side — nulls stay null, empties
+    stay empty, matching broadcast."""
+    import ray
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array([None, "", None], pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    j = _spans_pd(dedup_spans(ds, mode="join", num_partitions=2))
+    b = _spans_pd(dedup_spans(ds, mode="broadcast"))
+    assert j.text.tolist() == b.text.tolist()
+    assert j.text[1] == "" and j.text[0] is None or np.isnan(j.text[0])

@@ -236,3 +236,31 @@ def test_gif_multimodal_dispatch_and_frame_sampling(ray_session):
         raster = decode_image_bytes(bytes(row.frame_bytes), (8, 11))
         np.testing.assert_array_equal(raster,
                                       composed[int(row.frame_idx)])
+
+
+def test_gif_zero_image_and_sampling_skip(ray_session):
+    """A structurally valid GIF with zero images yields count 0 and a
+    GifError from decode; SampleFrames skips the row instead of
+    crashing the batch."""
+    import pyarrow as pa
+    import ray
+
+    from parquet_rs_ray.ops.multimodal import SampleFrames
+
+    empty_gif = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
+                 + bytes([0x3B]))
+    assert count_frames(empty_gif) == 0
+    with pytest.raises(GifError):
+        decode_gif(empty_gif)
+    pal = _pal(4, 10)
+    idx = np.full((3, 3), 1, np.uint8)
+    good = _make_gif([idx, idx, idx], pal)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "media": pa.array([empty_gif, good], pa.binary())}))
+    out = ds.map_batches(SampleFrames,
+                         fn_constructor_kwargs={"num_frames": 2},
+                         batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert out.doc_id.tolist() == [2, 2]       # empty GIF row skipped
+    assert out.frame_idx.tolist() == [0, 1]

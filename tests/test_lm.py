@@ -194,3 +194,22 @@ def test_bucket_by_lm_thirds_and_langs(ray_session):
         assert nulls.isna().all()
         # every real bucket present
         assert set(out.lm_bucket.dropna()) == {"head", "middle", "tail"}
+
+
+def test_bucket_by_lm_null_lang_gets_null_bucket(ray_session):
+    import ray
+
+    from parquet_rs_ray.ops.lm import bucket_by_lm
+
+    texts = [f"plain english words number {i} flowing nicely" * 3
+             for i in range(12)]
+    langs = ["en"] * 10 + [None, None]
+    tbl = pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    model = train_char_lm(ds)
+    out = bucket_by_lm(ds, model, lang_col="lang").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.lm_bucket[:10].notna().all()
+    assert out.lm_bucket[10:].isna().all()   # no group to rank in

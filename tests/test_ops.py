@@ -1620,3 +1620,55 @@ def test_corpus_report_duckdb_parity(ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], exp[sorted(exp.columns)],
         check_dtype=False)
+
+
+def test_corpus_report_null_lang_and_source(ray_session):
+    """Null lang gets its own report row (SQL's NULL group) instead of
+    crashing bincount; null sources are excluded from n_sources
+    (COUNT DISTINCT semantics)."""
+    import duckdb
+    import pandas as pd
+    import ray
+
+    from parquet_rs_ray.ops.textstats import corpus_report
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(["aaa", "bb", None, "dddd",
+                          "ee", "f", "gg", "hhh"], pa.string()),
+        "lang": pa.array(["en", "en", None, None,
+                          "de", "de", "en", None], pa.string()),
+        "source": pa.array(["s1", None, "s2", "s1",
+                            "s3", "s3", "s1", None], pa.string())})
+    got = corpus_report(ray.data.from_arrow(tbl).repartition(3)) \
+        .to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_null_text, "
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+        "CAST(quantile_disc(octet_length(ENCODE(text)), 0.5) AS BIGINT) "
+        "AS p50_bytes, "
+        "CAST(SUM(COALESCE(octet_length(ENCODE(text)), 0)) AS BIGINT) "
+        "AS total_bytes FROM documents GROUP BY lang").fetchdf()
+    key = lambda df: df.assign(
+        _k=df.lang.fillna("￿")).sort_values("_k") \
+        .drop(columns="_k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got)[sorted(got.columns)],
+                                  key(exp)[sorted(exp.columns)],
+                                  check_dtype=False)
+
+
+def test_audio_riff_prefix_raw_pcm_not_misrouted():
+    """Raw s16le PCM whose first bytes happen to spell b'RIFF' must
+    stay on the raw path (the sniff checks the full RIFF....WAVE
+    signature)."""
+    from parquet_rs_ray.ops.multimodal import AudioPcmFeatures
+
+    raw = b"RIFF" + np.full(100, 4096, np.int16).tobytes()
+    t = pa.table({"id": pa.array([1], pa.int64()),
+                  "media": pa.array([raw], pa.binary())})
+    out = AudioPcmFeatures()(t).to_pandas()
+    assert out.duration_s[0] == pytest.approx(102 / 16000)
+    assert out.rms[0] > 0

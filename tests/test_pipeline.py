@@ -723,3 +723,16 @@ def test_iter_jsonl_sparse_and_extra_fields(tmp_path):
     p2.write_text("\n".join(lines2) + "\n")
     with pytest.raises(ValueError, match="surprise"):
         list(iter_jsonl_tables(str(p2), target_bytes=64))
+
+
+def test_iter_jsonl_giant_line(tmp_path):
+    """A single multi-MB document line parses (pyarrow's default 1 MiB
+    json block would raise 'straddling object')."""
+    from parquet_rs_ray.job import iter_jsonl_tables
+
+    big = "x" * (2 << 20)
+    p = tmp_path / "big.jsonl"
+    p.write_text(f'{{"id": 1, "text": "{big}"}}\n{{"id": 2, "text": "s"}}\n')
+    got = pa.concat_tables(list(iter_jsonl_tables(str(p))))
+    assert got.num_rows == 2
+    assert len(got.column("text")[0].as_py()) == 2 << 20
