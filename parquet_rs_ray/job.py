@@ -291,7 +291,10 @@ class EncodeShardActor(EncodeWriteActor):
             from .ops.html import extract_text_array
             from .warc import iter_warc_tables
 
-            wet = ".wet" in path
+            # extension check, not substring: a .warc file whose NAME
+            # contains ".wet" must not silently parse as a WET extract
+            # (conversion-only filtering would commit it as empty)
+            wet = path.endswith((".wet", ".wet.gz"))
             with open(path, "rb") as f:
                 for tbl in iter_warc_tables(
                         f, record_types=("conversion",) if wet

@@ -90,10 +90,16 @@ def _anchors(data: np.ndarray, mask_bits: int,
     return np.unique(brk[keep])
 
 
-def _split_long(bounds: np.ndarray, max_len: int) -> np.ndarray:
-    """Insert extra breaks so no chunk exceeds ``max_len`` (fixed
+def _split_long(bounds: np.ndarray, max_len: int,
+                data: np.ndarray) -> np.ndarray:
+    """Insert extra breaks so no chunk exceeds ``max_len`` + 3 (fixed
     offsets from each chunk start — stateless, vectorized via the
-    repeat/cumsum idiom)."""
+    repeat/cumsum idiom). Like anchors, fixed breaks advance off UTF-8
+    continuation bytes so they never split a character (a doc with no
+    content anchors — e.g. a long run of one multibyte codepoint —
+    would otherwise cut mid-character and the rebuilt text would not
+    be valid UTF-8); bounds themselves are doc edges, already
+    character-aligned."""
     lens = np.diff(bounds)
     n_extra = np.maximum((lens - 1) // max_len, 0)
     if not n_extra.any():
@@ -102,23 +108,32 @@ def _split_long(bounds: np.ndarray, max_len: int) -> np.ndarray:
     k = np.arange(int(n_extra.sum())) - np.repeat(
         np.concatenate([[0], np.cumsum(n_extra)[:-1]]), n_extra)
     extra = starts + (k + 1) * max_len
+    n = len(data)
+    for _ in range(3):                   # ≤3 continuation bytes in utf-8
+        inside = extra < n
+        cont = np.zeros(len(extra), bool)
+        cont[inside] = (data[extra[inside]] & 0xC0) == 0x80
+        extra = extra + cont
+    extra = extra[extra < n]             # pushed to the end: edge exists
     return np.unique(np.concatenate([bounds, extra]))
 
 
 def _chunk_view(starts: np.ndarray, lens: np.ndarray,
                 data: np.ndarray) -> pa.Array:
     """Zero-copy binary view: chunks tile the flat buffer, so the
-    Arrow array borrows the batch's own data buffer."""
+    Arrow array borrows the batch's own data buffer (py_buffer wraps
+    the numpy arrays via the buffer protocol — no copies; the Arrow
+    array keeps them alive)."""
     end = starts[-1] + lens[-1]
     if end < 2**31:
         cb = np.concatenate([starts, [end]]).astype(np.int32)
         return pa.BinaryArray.from_buffers(
             pa.binary(), len(starts),
-            [None, pa.py_buffer(cb.tobytes()), pa.py_buffer(data.tobytes())])
+            [None, pa.py_buffer(cb), pa.py_buffer(data)])
     cb64 = np.concatenate([starts, [end]])      # >2 GiB flat buffer
     return pa.LargeBinaryArray.from_buffers(
         pa.large_binary(), len(starts),
-        [None, pa.py_buffer(cb64.tobytes()), pa.py_buffer(data.tobytes())])
+        [None, pa.py_buffer(cb64), pa.py_buffer(data)])
 
 
 def _doc_chunk_rows(batch: pa.Table, text_col: str, key_col: str,
@@ -132,7 +147,8 @@ def _doc_chunk_rows(batch: pa.Table, text_col: str, key_col: str,
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     brk = _anchors(data, mask_bits, offsets)
-    bounds = _split_long(np.unique(np.concatenate([offsets, brk])), max_len)
+    bounds = _split_long(np.unique(np.concatenate([offsets, brk])),
+                         max_len, data)
     lens = np.diff(bounds)
     nz = lens > 0                        # zero-length docs contribute none
     starts = bounds[:-1][nz]
@@ -359,14 +375,20 @@ def _dedup_spans_broadcast(ds, *, text_col, key_col, mask_bits, max_len,
                 arr = pa.BinaryArray.from_buffers(
                     pa.binary(), n_docs,
                     [None,
-                     pa.py_buffer(new_off.astype(np.int32).tobytes()),
-                     pa.py_buffer(new_data.tobytes())])
+                     pa.py_buffer(np.ascontiguousarray(
+                         new_off.astype(np.int32))),
+                     pa.py_buffer(np.ascontiguousarray(new_data))])
             else:
                 arr = pa.LargeBinaryArray.from_buffers(
                     pa.large_binary(), n_docs,
-                    [None, pa.py_buffer(new_off.tobytes()),
-                     pa.py_buffer(new_data.tobytes())])
-            txt = arr.cast(pa.string())
+                    [None,
+                     pa.py_buffer(np.ascontiguousarray(new_off)),
+                     pa.py_buffer(np.ascontiguousarray(new_data))])
+            # large offsets cannot fit 32-bit string offsets: cast to
+            # large_string in that branch (note: a >2 GiB single-batch
+            # rebuild also changes the column type for that block)
+            txt = arr.cast(pa.string() if new_off[-1] < 2**31
+                           else pa.large_string())
             # null text stays null
             src = batch.column(text_col)
             if isinstance(src, pa.ChunkedArray):

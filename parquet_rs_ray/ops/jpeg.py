@@ -177,6 +177,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i < n:
         if payload[i] != 0xFF:
             raise JpegError(f"expected marker at byte {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them instead of misreading the second
+        # 0xFF as the code (some encoders/transcoders pad)
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise JpegError("fill bytes run off the stream end")
         marker = payload[i + 1]
         i += 2
         if marker == 0xD9:  # EOI

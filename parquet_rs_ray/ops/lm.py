@@ -102,10 +102,17 @@ def _gram_partials(batch: pa.Table, text_col: str, key_col: str,
         keys = batch.column(key_col)
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        mask = pa.array(keys.cast(pa.int64())
-                        .to_numpy(zero_copy_only=False)
-                        % sample_mod == 0)
-        batch = batch.filter(mask)
+        if pa.types.is_integer(keys.type):
+            kv = keys.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+                % sample_mod
+        else:
+            # string keys (urls): deterministic FNV-hash sampling —
+            # same partition-invariant property, SQL can replay the
+            # integer form only
+            from .dedup import _hash_strings
+            kv = _hash_strings(keys.cast(pa.string())) \
+                % np.uint64(sample_mod)
+        batch = batch.filter(pa.array(kv == 0))
     offsets, data = _flat_utf8(batch.column(text_col))
     codes, valid = _window_codes(offsets, data)
     grams, counts = np.unique(codes[valid], return_counts=True)
@@ -116,7 +123,9 @@ def _gram_partials(batch: pa.Table, text_col: str, key_col: str,
 def train_char_lm(ds, *, text_col: str = "text", key_col: str = "doc_id",
                   sample_mod: int = 1) -> dict:
     """Train the byte-trigram LM on `ds` (rows with
-    ``key_col % sample_mod == 0`` when sampling). Returns the model as
+    ``key_col % sample_mod == 0`` when sampling; string keys sample by
+    FNV hash mod instead — deterministic and partition-invariant, but
+    only the integer form is SQL-replayable). Returns the model as
     a plain dict: dense float64 ``logp`` (2^24 entries, add-one
     smoothed log probabilities, OOV included), ``total`` grams and
     ``vocab`` size — ~128 MB dense, built once on the driver from the

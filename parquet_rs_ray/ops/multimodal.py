@@ -187,8 +187,9 @@ class DecodeImage:
 
     ``__init__`` holds per-actor state once (target geometry; a real
     codec library would warm here); ``__call__`` decodes a batch.
-    PPM/PGM and uncompressed BMP payloads decode for REAL (pure-numpy
-    kernels, nearest-neighbor resize); compressed formats raise
+    PPM/PGM/BMP, JPEG (baseline + progressive), PNG and GIF payloads
+    decode for REAL (pure-numpy kernels, nearest-neighbor resize);
+    the remaining formats (webp/avif, arithmetic-coded JPEG) raise
     ``NotImplementedError`` naming the Pillow/OpenCV seam — unless
     ``fake=True``, which replaces decode with the deterministic
     payload-hash stub for plumbing tests. Output layout is identical

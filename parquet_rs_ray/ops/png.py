@@ -136,7 +136,9 @@ def _deinterlace(raw: np.ndarray, w: int, h: int,
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG to (h, w, 3) uint8 RGB. Raises ``PngError`` on
-    malformed input, ``NotImplementedError`` for sub-8-bit depths."""
+    malformed input (the full legal PNG feature grid decodes — no
+    seams; sub-8-bit depths are spec-legal only for gray/palette and
+    those decode)."""
     if payload[:8] != _SIG:
         raise PngError("not a PNG payload (missing signature)")
     pos = 8
@@ -165,9 +167,11 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise PngError(f"unknown PNG color type {color}")
             sub_byte_ok = color in (0, 3) and depth in (1, 2, 4)
             if depth not in (8, 16) and not sub_byte_ok:
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} for color type {color} "
-                    "needs a codec library")
+                # spec: depths 1/2/4 are legal ONLY for gray/palette —
+                # this is malformed input, not a codec seam
+                raise PngError(
+                    f"PNG bit depth {depth} is illegal for color type "
+                    f"{color} (RFC 2083 §4.1.1)")
             if color == 3 and depth == 16:
                 raise PngError("palette PNG cannot be 16-bit")
             ihdr = (w, h, depth, color, interlace)

@@ -242,3 +242,24 @@ def test_dedup_spans_join_all_null_or_empty(ray_session):
     b = _spans_pd(dedup_spans(ds, mode="broadcast"))
     assert j.text.tolist() == b.text.tolist()
     assert j.text[1] == "" and j.text[0] is None or np.isnan(j.text[0])
+
+
+def test_dedup_spans_multibyte_run_no_anchor(ray_session):
+    """A long run of one multibyte codepoint yields no content anchors;
+    the fixed-offset long-chunk splitter must still break on character
+    boundaries so span removal keeps the text valid UTF-8."""
+    import ray
+
+    run = "—" * 10000                      # 3 bytes/char, anchorless
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([run, "prefix " + run], pa.string())})
+    out = _spans_pd(dedup_spans(ray.data.from_arrow(tbl), mask_bits=6))
+    for t in out.text:
+        t.encode("utf-8").decode("utf-8")       # decodes = valid
+    # ONE copy of the repeated chunk content survives corpus-wide
+    # (the run is identical chunks, so even the winner keeps just its
+    # first occurrence); the loser keeps its unique prefix
+    assert 0 < len(out.text[0]) < len(run)
+    assert out.text[1].startswith("prefix ")
+    assert len(out.text[0]) + len(out.text[1]) < len(run) + 10
+    assert set(out.text[0]) == {"—"}

@@ -553,3 +553,15 @@ def test_progressive_equals_baseline_property(data, hw, subsample, qval):
     prog = decode_jpeg(
         encode_progressive_jpeg(img, subsample=subsample, qval=qval))
     assert (prog == base).all()
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker; the
+    decoder must skip them instead of misparsing segment lengths."""
+    base = encode_jpeg(_smooth(16, 16))
+    # pad before EOI and before the first segment after SOI
+    assert base[-2:] == b"\xff\xd9"
+    padded = base[:2] + b"\xff" * 3 + base[2:-2] + b"\xff\xff" + b"\xff\xd9"
+    got = decode_jpeg(padded)
+    want = decode_jpeg(base)
+    np.testing.assert_array_equal(got, want)

@@ -190,7 +190,7 @@ def test_corruption_and_seams():
         b"IHDR", struct.pack(">IIBBBBB", 9, 9, 4, 2, 0, 0, 0)) \
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 10)) \
         + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(PngError, match="illegal"):
         decode_png(deep)
     with pytest.raises(PngError):
         decode_png(b"not a png at all")
