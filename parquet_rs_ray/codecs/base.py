@@ -151,9 +151,11 @@ def values_from_arrow(arr: pa.Array):
             data = data[:offsets[-1]]
         return phys, ByteArrayVals(offsets, data)
     if phys == PhysicalType.FIXED_LEN_BYTE_ARRAY:
-        # decimal128 shares the fixed-width layout (16-byte values buffer);
-        # pyarrow has no decimal↔binary cast, so read the buffer directly
-        width = 16 if pa.types.is_decimal(arr.type) else arr.type.byte_width
+        # decimals share the fixed-width layout (16 bytes for
+        # decimal128, 32 for decimal256 — byte_width covers both);
+        # pyarrow has no decimal↔binary cast, so read the buffer
+        # directly
+        width = arr.type.byte_width
         data = np.frombuffer(arr.buffers()[1], dtype=np.uint8,
                              count=len(arr) * width, offset=arr.offset * width)
         offsets = np.arange(len(arr) + 1, dtype=np.int64) * width

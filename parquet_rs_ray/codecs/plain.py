@@ -40,7 +40,7 @@ def encode_byte_array(v: ByteArrayVals) -> bytes:
     lengths = v.lengths
     data_total = int(v.offsets[-1] - v.offsets[0])
     total = data_total + 4 * n
-    if n == 0 or data_total >= 48 * n:
+    if data_total >= 48 * n:   # (n == 0 returned above)
         lb = lengths.astype("<u4").tobytes()
         src = memoryview(np.ascontiguousarray(v.data, dtype=np.uint8))
         offs = (v.offsets - v.offsets[0]).tolist()

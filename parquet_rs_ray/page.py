@@ -285,9 +285,16 @@ def bloom_might_contain(bloom_hex: str, value) -> bool:
         from .ops.dedup import _hash_strings
         h = int(_hash_strings(pa.array([value], pa.binary()))[0])
     else:
+        v = int(value)
+        if not -2**63 <= v < 2**63:
+            # blooms are only built for integer columns that fit int64
+            # (uint64 is excluded at build time), so an out-of-range
+            # probe value provably isn't in the column — and
+            # np.int64(v) would raise OverflowError
+            return False
         from .ops.dedup import splitmix64
         h = int(splitmix64(
-            np.array([np.int64(int(value))], dtype=np.int64)
+            np.array([np.int64(v)], dtype=np.int64)
             .view(np.uint64))[0])
     bits = bytes.fromhex(bloom_hex)
     nbits = len(bits) * 8
@@ -478,9 +485,12 @@ def _encode_list_chunk(column: str, col_idx: int, arr: pa.Array, *,
     REPEATED/GROUP): validity + offsets + recursively-encoded children
     via `codecs/listcodec.py`; pages cut on estimated underlying bytes."""
     from .codecs import listcodec
+    # capture the ORIGINAL type first: large_list roundtrips as
+    # large_list (listcodec.decode casts to the target type); the
+    # downcast below is only the encode-side canonical form
+    atype = type_to_bytes(arr.type)
     if pa.types.is_large_list(arr.type):
         arr = arr.cast(pa.list_(arr.type.value_type))
-    atype = type_to_bytes(arr.type)
     # page cut on underlying bytes
     n = len(arr)
     if pa.types.is_list(arr.type):

@@ -199,28 +199,28 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
             return True
         return check(mn, mx, val.hex())
     if kind == "str":
+        # Mixed temporal granularity: a date predicate renders
+        # '2024-01-10' while a timestamp bound renders
+        # '2024-01-10 00:00:00' — a strict-prefix compare would
+        # "prove" no-match for a midnight row and unsoundly prune.
+        # Normalize to the bounds' rendering, mirroring the exact
+        # post-decode filter's semantics (Arrow casts date→midnight
+        # timestamp; pa.scalar truncates datetime→date):
+        def _shape(s: str) -> str:
+            if " " in s:
+                head, _, tail = s.partition(" ")
+                if "+" in tail or "-" in tail:
+                    return "tzts"  # tz-aware bound: no sound order
+                return "ts"
+            return "date" if "-" in s else "time"
+
+        bshape = _shape(mn)
+        if bshape != _shape(mx) or bshape == "tzts":
+            return True
         if isinstance(val, (datetime.datetime, datetime.date,
                             datetime.time)):
             if getattr(val, "tzinfo", None) is not None:
                 return True  # tz-aware strings don't order vs naive
-            # Mixed temporal granularity: a date predicate renders
-            # '2024-01-10' while a timestamp bound renders
-            # '2024-01-10 00:00:00' — a strict-prefix compare would
-            # "prove" no-match for a midnight row and unsoundly prune.
-            # Normalize to the bounds' rendering, mirroring the exact
-            # post-decode filter's semantics (Arrow casts date→midnight
-            # timestamp; pa.scalar truncates datetime→date):
-            def _shape(s: str) -> str:
-                if " " in s:
-                    head, _, tail = s.partition(" ")
-                    if "+" in tail or "-" in tail:
-                        return "tzts"  # tz-aware bound: no sound order
-                    return "ts"
-                return "date" if "-" in s else "time"
-
-            bshape = _shape(mn)
-            if bshape != _shape(mx) or bshape == "tzts":
-                return True
             if isinstance(val, datetime.datetime):
                 sval = str(val) if bshape == "ts" else (
                     str(val.date()) if bshape == "date" else None)
@@ -233,6 +233,14 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
                 return True
             val = sval
         if not isinstance(val, str):
+            return True
+        # kind "str" also covers timestamp/date columns rendered to
+        # strings: a predicate string in a DIFFERENT rendering (ISO
+        # 'T' separator vs the bounds' space form) does not order
+        # against the bounds — a raw compare would unsoundly prune the
+        # block holding the exact row, while the post-decode filter
+        # parses both forms. Same-shape strings compare raw as before.
+        if _shape(val) != bshape:
             return True
         return check(mn, mx, val)
     if kind == "dec":
@@ -365,6 +373,30 @@ def make_exact_filter(columns=None, predicate=None):
                 # columns) fail pyarrow's scalar inference
                 sval = pa.scalar(val, type=arr.type)
             except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+                if isinstance(val, str) and (
+                        pa.types.is_timestamp(arr.type)
+                        or pa.types.is_date(arr.type)
+                        or pa.types.is_time(arr.type)):
+                    # ISO-8601 strings ('T' or space separator) against
+                    # temporal columns: pa.scalar(str, type=) converts
+                    # strictly and raises; the string→temporal CAST
+                    # parses (unparseable predicate strings raise a
+                    # typed ArrowInvalid to the caller)
+                    batch = batch.filter(kernels[op](
+                        arr, _pc.cast(pa.scalar(val), arr.type)))
+                    continue
+                if isinstance(val, int):
+                    # value outside the column type's domain: the
+                    # comparison constant-folds (x==v: never; x<v with
+                    # huge v: always; …) — passing the raw int to the
+                    # kernel would TypeError
+                    big = val > 0
+                    always = {"==": False, ">": not big, ">=": not big,
+                              "<": big, "<=": big}[op]
+                    if always:
+                        continue
+                    batch = batch.slice(0, 0)
+                    continue
                 sval = val
             batch = batch.filter(kernels[op](arr, sval))
         return batch.select(columns) if columns else batch

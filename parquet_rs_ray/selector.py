@@ -85,6 +85,18 @@ class CodecSelector:
         # probe (train + trial encode) for the next pages of that column
         self._fsst_skip: dict[str, int] = {}
         self._fsst_backoff: dict[str, int] = {}
+        # per-actor block-codec cache: pa.Codec construction per PAGE
+        # adds up at 32 actors x thousands of pages (decode side
+        # already caches, page.py::_block_codec)
+        self._codecs: dict[str, object] = {}
+
+    def _codec(self, name: str):
+        c = self._codecs.get(name)
+        if c is None:
+            c = pa.Codec(name, compression_level=ZSTD_LEVEL) \
+                if name == "zstd" else pa.Codec(name)
+            self._codecs[name] = c
+        return c
 
     # ------------------------------------------------------------------
     def _finish(self, codec: str, data: bytes, dict_page: bytes,
@@ -95,7 +107,7 @@ class CodecSelector:
         if not mode:
             return enc
         name = AUTO_BLOCK_CODEC if mode == "auto" else mode
-        c = pa.Codec(name, compression_level=ZSTD_LEVEL) if name == "zstd" else pa.Codec(name)
+        c = self._codec(name)
         cdata = c.compress(data).to_pybytes() if len(data) else data
         cdict = c.compress(dict_page).to_pybytes() if len(dict_page) else dict_page
         if mode != "auto" or len(cdata) + len(cdict) < enc.total * 0.98:
@@ -202,7 +214,7 @@ class CodecSelector:
         head = _slice_values(values, k)
         head_bytes = int(head.offsets[-1])
         auto = self.block_codec == "auto"
-        z = pa.Codec(AUTO_BLOCK_CODEC, compression_level=ZSTD_LEVEL) if auto else None
+        z = self._codec(AUTO_BLOCK_CODEC) if auto else None
 
         def stacked(raw: bytes) -> int:
             return len(z.compress(raw).to_pybytes()) if auto and len(raw) else len(raw)
@@ -243,7 +255,14 @@ class CodecSelector:
                 fs = self._fsst_estimate(column, values, head)
                 if fs is not None:
                     est_codes, table, probe_len = fs
-                    ests.append((stacked(est_codes) * (total_bytes / probe_len),
+                    # account for the serialized symbol table and the
+                    # ~2 B/value delta-packed code-length stream that
+                    # the real payload carries (_try_fsst books the
+                    # same terms) — code bytes alone bias short-string
+                    # pages toward FSST by tens of percent
+                    ests.append((stacked(est_codes)
+                                 * (total_bytes / probe_len)
+                                 + len(table.serialize()) + 2 * n,
                                  "FSST"))
         # rank with cost hysteresis: a codec that is cheaper to run wins
         # unless the expensive one is smaller by ~5% per cost tier
@@ -287,7 +306,7 @@ class CodecSelector:
         if self.block_codec == "auto":
             # when the outer zstd already crushes plain bytes, training an
             # FSST table cannot pay for itself
-            z = pa.Codec(AUTO_BLOCK_CODEC, compression_level=ZSTD_LEVEL)
+            z = self._codec(AUTO_BLOCK_CODEC)
             if len(z.compress(probe).to_pybytes()) < len(probe) * 0.15:
                 return None
         cached = self._fsst_tables.get(column)
@@ -320,7 +339,7 @@ class CodecSelector:
                      "BYTE_STREAM_SPLIT": 1,
                      "RLE_DICTIONARY": 2, "DELTA_BYTE_ARRAY": 2, "FSST": 3}
         compare.sort(key=lambda c: cost_rank.get(c[1], 2))
-        c = pa.Codec(AUTO_BLOCK_CODEC, compression_level=ZSTD_LEVEL)
+        c = self._codec(AUTO_BLOCK_CODEC)
         best = None
         best_cost = 0
         for _, codec, payload in compare:
@@ -380,7 +399,7 @@ class CodecSelector:
         if self.block_codec == "auto":
             # pre-check before paying for training: when the outer zstd
             # already crushes the plain bytes, FSST cannot add enough
-            z = pa.Codec(AUTO_BLOCK_CODEC, compression_level=ZSTD_LEVEL)
+            z = self._codec(AUTO_BLOCK_CODEC)
             z_plain = len(z.compress(probe).to_pybytes())
             if z_plain < len(probe) * 0.15:
                 return

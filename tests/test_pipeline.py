@@ -736,3 +736,52 @@ def test_iter_jsonl_giant_line(tmp_path):
     got = pa.concat_tables(list(iter_jsonl_tables(str(p))))
     assert got.num_rows == 2
     assert len(got.column("text")[0].as_py()) == 2 << 20
+
+
+def test_huge_int_predicates_fold_not_crash(ray_session):
+    """Predicate values outside int64's domain must constant-fold
+    (x==2^63: no rows; x<2^63: all rows) instead of crashing the bloom
+    probe (OverflowError) or the exact filter (TypeError)."""
+    import ray
+
+    from parquet_rs_ray.page import bloom_might_contain, bloom_from_hashes
+    from parquet_rs_ray.ops.dedup import splitmix64
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+
+    h = splitmix64(np.arange(10, dtype=np.int64).view(np.uint64))
+    bl = bloom_from_hashes(h)
+    assert bloom_might_contain(bl, 2**63) is False       # no OverflowError
+    assert bloom_might_contain(bl, -2**63 - 1) is False
+    assert bloom_might_contain(bl, 5) is True
+
+    tbl = pa.table({"x": pa.array(range(100), pa.int64())})
+    enc = encode_dataset(ray.data.from_arrow(tbl))
+    assert decode_dataset(enc, predicate=[("x", "==", 2**63)]).count() == 0
+    assert decode_dataset(enc, predicate=[("x", "<", 2**63)]).count() == 100
+    assert decode_dataset(enc, predicate=[("x", ">", 2**63)]).count() == 0
+    assert decode_dataset(enc,
+                          predicate=[("x", ">=", -2**70)]).count() == 100
+
+
+def test_iso_t_timestamp_predicate_not_pruned(ray_session):
+    """An ISO-8601 'T'-separator string predicate against a timestamp
+    column must return the matching row — the string-rendered bounds
+    use a space, and a raw string compare would unsoundly prune the
+    block holding the exact match."""
+    import datetime
+
+    import ray
+
+    from parquet_rs_ray.pipeline import decode_dataset, encode_dataset
+
+    ts = [datetime.datetime(2024, 1, 15, h) for h in range(24)]
+    tbl = pa.table({"t": pa.array(ts, pa.timestamp("us")),
+                    "v": pa.array(range(24), pa.int64())})
+    enc = encode_dataset(ray.data.from_arrow(tbl))
+    out = decode_dataset(
+        enc, predicate=[("t", "==", "2024-01-15T10:00:00")]).to_pandas()
+    assert out.v.tolist() == [10]
+    # space form still prunes+matches
+    out2 = decode_dataset(
+        enc, predicate=[("t", "==", "2024-01-15 10:00:00")]).to_pandas()
+    assert out2.v.tolist() == [10]

@@ -25,6 +25,7 @@ def _roundtrip_col(col: pa.Array, block_codec=None) -> list:
 
 @pytest.mark.parametrize("typ,vals", [
     (pa.decimal128(12, 2), ["123456.78", "-0.01", None, "99.99"]),
+    (pa.decimal256(50, 2), ["1" * 40 + ".99", "-0.01", None, "7.00"]),
     (pa.date32(), [1, 20000, None, -5]),
     (pa.time32("ms"), [0, 86399999, None, 12]),
     (pa.time64("us"), [0, 86399999999, None, 12]),
@@ -35,10 +36,11 @@ def _roundtrip_col(col: pa.Array, block_codec=None) -> list:
     (pa.int16(), [-32768, 32767, None, 0]),
     (pa.binary(4), [b"abcd", b"efgh", None, b"zzzz"]),
     (pa.large_string(), ["a", None, "bb", ""]),
+    (pa.large_list(pa.int64()), [[1, 2], None, [], [3]]),
     (pa.float32(), [1.5, None, -2.25, 0.0]),
 ])
 def test_exotic_type_roundtrip(typ, vals):
-    if typ == pa.decimal128(12, 2):
+    if pa.types.is_decimal(typ):
         from decimal import Decimal
         vals = [None if v is None else Decimal(v) for v in vals]
     col = pa.array(vals, typ)
