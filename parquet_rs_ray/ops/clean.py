@@ -385,7 +385,6 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
                             counts))
         out = pa.table({
             "__id": ids, "__ord": pa.array(ords), "line": flat,
-            "__n_lines": pa.array(np.repeat(counts, counts)),
         })
         return out.append_column(
             "__lpart", _key_part(out.column("line"), P))
@@ -404,7 +403,6 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
             return pa.table({"__id": pa.array([], id_type),
                              "__ord": pa.array([], pa.int64()),
                              "line": pa.array([], pa.string()),
-                             "__n_lines": pa.array([], pa.int64()),
                              "__keep": pa.array([], pa.bool_())})
         codes = group.column("line").combine_chunks().dictionary_encode()
         c = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)

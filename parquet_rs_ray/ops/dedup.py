@@ -187,14 +187,6 @@ def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
 
 # ---------------------------------------------------------------- minhash
 
-from hashlib import blake2b
-
-
-def _h64(s: str) -> int:
-    """Deterministic 64-bit hash (built-in hash() is salted per process —
-    it would break cross-worker LSH bucketing)."""
-    return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
-
 
 _SHINGLE_P = np.uint64(1099511628211)
 
@@ -571,7 +563,20 @@ def pair_jaccard(texts_a, texts_b, k: int = 5) -> np.ndarray:
     n = len(texts_a)
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    flat, seg = _batch_shingles(list(texts_a) + list(texts_b), k)
+    if isinstance(texts_a, (pa.Array, pa.ChunkedArray)):
+        # Arrow fast path: concat column-side — round-tripping through
+        # to_pylist would materialize every candidate text as a Python
+        # str and re-encode it (the verify stage's dominant memory
+        # traffic on boilerplate-heavy corpora)
+        ta = texts_a.combine_chunks() \
+            if isinstance(texts_a, pa.ChunkedArray) else texts_a
+        tb = texts_b.combine_chunks() \
+            if isinstance(texts_b, pa.ChunkedArray) else texts_b
+        both = pa.concat_arrays([ta.cast(pa.string()),
+                                 tb.cast(pa.string())])
+    else:
+        both = list(texts_a) + list(texts_b)
+    flat, seg = _batch_shingles(both, k)
     # ONE lexsort over (pair, side, hash) replaces per-pair
     # np.unique/intersect1d (the r2 boilerplate-heavy-corpora hotspot):
     # dedupe within each (pair, side) via adjacent-run boundaries, then
@@ -676,8 +681,8 @@ def near_dedup(ds, *, text_col: str = "text", key_col: str = "doc_id",
                                    num_partitions=num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
-        sims = pair_jaccard(batch.column("text_a").to_pylist(),
-                            batch.column("text_b").to_pylist(), k)
+        sims = pair_jaccard(batch.column("text_a"),
+                            batch.column("text_b"), k)
         keep = sims >= jaccard_threshold
         # verified dupe = larger key of the pair
         drop = np.maximum(
@@ -797,8 +802,8 @@ def ngram_jaccard_pairs(pairs, ds, *, text_col: str = "text",
              "jaccard": pa.array([], pa.float64())}))
 
     def score(batch: pa.Table) -> pa.Table:
-        sims = pair_jaccard(batch.column("text_a").to_pylist(),
-                            batch.column("text_b").to_pylist(), k)
+        sims = pair_jaccard(batch.column("text_a"),
+                            batch.column("text_b"), k)
         return pa.table({"a": batch.column("a"), "b": batch.column("b"),
                          "jaccard": pa.array(sims, pa.float64())})
 

@@ -62,15 +62,18 @@ def broadcast_hash_join(ds, small: pa.Table, *, on: str,
     (`pa.Table.join`) — no shuffle of the big side, no per-batch
     reshipping. ``join_type``: "inner" or "left outer"."""
     import ray
+    if join_type not in ("inner", "left outer"):
+        # fail loudly like every other op's mode validation — silently
+        # coercing e.g. "left_outer" to inner would drop unmatched rows
+        raise ValueError(f"unknown join_type {join_type!r} "
+                         "(use 'inner' or 'left outer')")
     small_ref = ray.put(small)
     rkey = right_on or on
 
     def join(batch: pa.Table) -> pa.Table:
         right = ray.get(small_ref)
         return batch.join(right, keys=[on], right_keys=[rkey],
-                          join_type=("left outer"
-                                     if join_type == "left outer"
-                                     else "inner"))
+                          join_type=join_type)
 
     return ds.map_batches(join, batch_format="pyarrow",
                           zero_copy_batch=True)

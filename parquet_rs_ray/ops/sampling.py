@@ -88,11 +88,14 @@ def split_cut_points(weights) -> list[tuple[str, int]]:
     total = sum(w for _, w in items)
     if total <= 0:
         raise ValueError("split weights must sum > 0")
+    if any(w < 0 for _name, w in items):
+        # validate EVERY weight incl. the last: a negative tail weight
+        # would yield non-monotone bounds and silently mislabel every
+        # row instead of erroring
+        raise ValueError("negative split weight")
     out: list[tuple[str, int]] = []
     cum = 0.0
     for name, w in items[:-1]:
-        if w < 0:
-            raise ValueError("negative split weight")
         cum += w
         out.append((name, int(cum / total * (1 << 32))))
     out.append((items[-1][0], 1 << 32))

@@ -81,22 +81,35 @@ def brute_force_topk(ds, queries: np.ndarray, *, k: int = 10,
     return pa.concat_tables(reduced.iter_batches(batch_format="pyarrow"))
 
 
+def _lsh_planes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    """The ONE hyperplane derivation both the index actors and the
+    query side use — any drift between them silently collapses recall
+    (query buckets stop matching index buckets)."""
+    return np.random.default_rng(seed) \
+        .standard_normal((dim, nbits)).astype(np.float32)
+
+
+def _fold_buckets(bits: np.ndarray) -> np.ndarray:
+    """(n, nbits) sign bits → int64 bucket ids (shared with queries)."""
+    bucket = np.zeros(len(bits), dtype=np.int64)
+    for j in range(bits.shape[1]):
+        bucket |= bits[:, j].astype(np.int64) << j
+    return bucket
+
+
 class LshIndexActor:
     """Stateful bucketing stage: hyperplanes drawn once per actor from a
     fixed seed (identical across actors — deterministic bucketing)."""
 
     def __init__(self, dim: int, nbits: int = 12, vec_col: str = "embedding",
                  key_col: str = "vec_id", seed: int = 7):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, nbits)).astype(np.float32)
+        self.planes = _lsh_planes(dim, nbits, seed)
         self.vec_col, self.key_col = vec_col, key_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = _normalize(_stack(batch.column(self.vec_col)))
         bits = (vecs @ self.planes) > 0  # (n, nbits)
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for j in range(bits.shape[1]):
-            bucket |= bits[:, j].astype(np.int64) << j
+        bucket = _fold_buckets(bits)
         out = batch.select([self.key_col, self.vec_col])
         return out.append_column("bucket", pa.array(bucket))
 
@@ -113,12 +126,7 @@ def lsh_topk(ds, queries: np.ndarray, *, k: int = 10, nbits: int = 12,
         fn_constructor_kwargs={"dim": dim, "nbits": nbits,
                                "vec_col": vec_col, "key_col": key_col},
         batch_format="pyarrow", concurrency=concurrency)
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((dim, nbits)).astype(np.float32)
-    qbits = (q @ planes) > 0
-    qbuckets = np.zeros(len(q), dtype=np.int64)
-    for j in range(nbits):
-        qbuckets |= qbits[:, j].astype(np.int64) << j
+    qbuckets = _fold_buckets((q @ _lsh_planes(dim, nbits, 7)) > 0)
     rings = set()
     for b in qbuckets.tolist():
         rings.add(b)

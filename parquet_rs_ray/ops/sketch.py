@@ -207,11 +207,7 @@ def cms_topk(ds, col: str, *, k: int = 20, candidates_per_batch: int = 64):
     if not cands:
         return pd.DataFrame({"value": [], "approx_count": []})
     cand_list = sorted(cands)
-    h = _column_hashes(pa.array(cand_list, pa.binary()))
-    rows = _cms_rows(h)
-    est = mat[0][rows[0]]
-    for d in range(1, _CMS_D):
-        est = np.minimum(est, mat[d][rows[d]])
+    est = _cms_score(mat, cand_list)
     order = np.argsort(-est, kind="stable")[:k]
     return pd.DataFrame({
         "value": [_as_str(cand_list[i]) for i in order],

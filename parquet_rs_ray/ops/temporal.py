@@ -82,6 +82,19 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     P = num_partitions or _default_partitions()
     proj = ds.select_columns([key_col, ts_col])
 
+    # a null timestamp has no position in any session (SQL windows
+    # over ts skip them the same way) — drop map-side, BEFORE the
+    # shuffle, or the int64 NaN conversion corrupts gap detection and
+    # then crashes the session builder
+    def _drop_null_ts(batch: pa.Table) -> pa.Table:
+        col = batch.column(ts_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.filter(pc.is_valid(col)) if col.null_count else batch
+
+    proj = proj.map_batches(_drop_null_ts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
     if salt_period_minutes is None:
         def add_part(batch: pa.Table) -> pa.Table:
             return batch.append_column(

@@ -27,8 +27,11 @@ import pyarrow.compute as pc
 
 # scheme://host(path up to ? or #) — RE2, shared verbatim with the
 # DuckDB oracle (both engines are RE2-based)
-URL_RE = (r"^([a-z][a-z0-9+.\-]*)://([^/?#]*)([^?#]*)")
-_NAMED_URL_RE = (r"^(?P<scheme>[a-z][a-z0-9+.\-]*)://"
+# case-insensitive scheme (RFC 3986 §3.1: schemes are
+# case-insensitive; normalize_url lowercases post-match) — an
+# uppercase-scheme URL must not fall into the null/unparseable group
+URL_RE = (r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)")
+_NAMED_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
                  r"(?P<host>[^/?#]*)(?P<path>[^?#]*)")
 
 

@@ -1672,3 +1672,40 @@ def test_audio_riff_prefix_raw_pcm_not_misrouted():
     out = AudioPcmFeatures()(t).to_pandas()
     assert out.duration_s[0] == pytest.approx(102 / 16000)
     assert out.rms[0] > 0
+
+
+def test_ops_review_regressions(ray_session):
+    """Round-4 review fixes: uppercase URL schemes parse (RFC 3986
+    case-insensitive), sessionize tolerates null timestamps, a negative
+    LAST split weight raises, and broadcast_hash_join rejects unknown
+    join types instead of silently running inner."""
+    import datetime
+
+    import ray
+
+    from parquet_rs_ray.ops.relational import broadcast_hash_join
+    from parquet_rs_ray.ops.sampling import split_cut_points
+    from parquet_rs_ray.ops.temporal import sessionize
+    from parquet_rs_ray.ops.url import url_parts
+
+    t = pa.table({"url": pa.array(
+        ["HTTP://Example.com/A", "http://ex.com/b"], pa.string())})
+    parts = url_parts(ray.data.from_arrow(t)).to_pandas()
+    assert parts.scheme.tolist() == ["HTTP", "http"]
+    assert parts.host.tolist() == ["Example.com", "ex.com"]
+
+    ts = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([datetime.datetime(2024, 1, 1, 0, 0),
+                        datetime.datetime(2024, 1, 1, 0, 5),
+                        None], pa.timestamp("us"))})
+    out = sessionize(ray.data.from_arrow(ts), gap_minutes=30).to_pandas()
+    assert len(out) == 1 and out.n_events[0] == 2   # null-ts row dropped
+
+    with pytest.raises(ValueError, match="negative"):
+        split_cut_points([("train", 1.0), ("test", -0.5)])
+
+    with pytest.raises(ValueError, match="join_type"):
+        broadcast_hash_join(ray.data.from_arrow(t),
+                            pa.table({"url": pa.array(["x"])}),
+                            on="url", join_type="left_outer")
