@@ -1839,8 +1839,15 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {html_to_text_sql(f'({_SYNTH_HTML_SQL})')} "
         "AS text_extracted FROM documents")
     sql["extract_links_documents"] = (
-        f"SELECT doc_id, unnest(regexp_extract_all({_SYNTH_HTML_SQL}, "
-        "'(?i)\\bhref\\s*=\\s*[\"'']([^\"'']*)', 1)) AS link "
+        # quote-aware, matching ops/html.py: a double-quoted URL may
+        # legally contain an apostrophe and vice versa; the driver
+        # sorts rows before hashing, so the two-pattern union's order
+        # difference is immaterial
+        f"SELECT doc_id, unnest(list_concat("
+        f"regexp_extract_all({_SYNTH_HTML_SQL}, "
+        "'(?i)\\bhref\\s*=\\s*\"([^\"]*)', 1), "
+        f"regexp_extract_all({_SYNTH_HTML_SQL}, "
+        "'(?i)\\bhref\\s*=\\s*''([^'']*)', 1))) AS link "
         "FROM documents")
     sql["chunk_documents"] = (
         "WITH base AS (SELECT doc_id, string_split(text, ' ') AS w "

@@ -27,17 +27,13 @@ def _block_distinct(num_salts: int, column: str):
         vals = pc.drop_null(batch.column(column)).unique()
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        h = _fallback_hash(vals)
-        salts = pc.cast(pc.bit_wise_and(h, np.uint64(num_salts - 1)), pa.int32())
-        return pa.table({"value": vals, "salt": salts})
+        # the repo's ONE salt/partition kernel (null- and type-safe,
+        # integer columns via splitmix64) — a second hash→salt
+        # implementation here could silently drift from it
+        from .ops.temporal import _key_part
+        return pa.table({"value": vals,
+                         "salt": _key_part(vals, num_salts)})
     return fn
-
-
-def _fallback_hash(vals: pa.Array) -> pa.Array:
-    # deterministic per-value hash without pc.hash64 (not in all pyarrow
-    # versions): the vectorized batch hash from ops/dedup
-    from .ops.dedup import _hash_strings
-    return pa.array(_hash_strings(vals.cast(pa.string())), pa.uint64())
 
 
 def _dedup_group(batch: pa.Table) -> pa.Table:
@@ -51,7 +47,6 @@ def build_global_dictionary(ds, column: str, *, num_salts: int = 16) -> list:
     assumption (dictionary column); the shuffle moves only per-block
     distinct sets, never raw rows.
     """
-    assert num_salts & (num_salts - 1) == 0, "num_salts must be a power of 2"
     per_block = ds.select_columns([column]).map_batches(
         _block_distinct(num_salts, column), batch_format="pyarrow")
     per_salt = per_block.groupby("salt").map_groups(

@@ -103,7 +103,8 @@ def pending_journal(manifest_dir: str) -> dict[str, dict]:
     try:
         with open(os.path.join(manifest_dir, JOURNAL)) as f:
             return json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError, OSError):
+    except (FileNotFoundError, json.JSONDecodeError,
+            UnicodeDecodeError, OSError):
         return {}  # torn journal write → rename never happened → empty
 
 
@@ -116,16 +117,22 @@ def clear_journal(manifest_dir: str) -> None:
 
 def _entry_files(manifest_dir: str) -> list[str]:
     """Every per-shard entry file, across the sharded and legacy-flat
-    layouts (snapshot + journal excluded)."""
-    files: list[str] = []
+    layouts (snapshot + journal excluded). LEGACY flat entries list
+    FIRST: load() applies files in order, so when a crash between the
+    sharded-entry rename and the legacy cleanup leaves BOTH files for
+    one shard, the sharded entry (written by current code, hence
+    newer) deterministically wins — os.listdir order must not decide
+    which commit a resume sees."""
+    legacy: list[str] = []
+    sharded: list[str] = []
     for name in os.listdir(manifest_dir):
         p = os.path.join(manifest_dir, name)
         if len(name) == 2 and os.path.isdir(p):
-            files.extend(os.path.join(p, f) for f in os.listdir(p)
-                         if f.endswith(".json") and f != SNAPSHOT)
+            sharded.extend(os.path.join(p, f) for f in os.listdir(p)
+                           if f.endswith(".json") and f != SNAPSHOT)
         elif name.endswith(".json") and name not in (JOURNAL, SNAPSHOT):
-            files.append(p)
-    return files
+            legacy.append(p)
+    return legacy + sharded
 
 
 def _read_entry(path: str) -> dict | None:
@@ -134,7 +141,8 @@ def _read_entry(path: str) -> dict | None:
             e = json.load(f)
         e["shard"]  # noqa: B018 — key check
         return e
-    except (json.JSONDecodeError, KeyError, OSError):
+    except (json.JSONDecodeError, KeyError,
+            UnicodeDecodeError, OSError):
         return None  # torn write → treated as uncommitted
 
 
@@ -142,7 +150,8 @@ def _read_snapshot(path: str) -> dict[str, dict]:
     try:
         with open(path) as f:
             return json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError, OSError):
+    except (FileNotFoundError, json.JSONDecodeError,
+            UnicodeDecodeError, OSError):
         return {}  # torn snapshot write → rename never happened → absent
 
 

@@ -122,8 +122,11 @@ def extract_text(ds, *, html_col: str = "html",
                           zero_copy_batch=True)
 
 
-# href attribute start, quote style + case normalized before splitting
-_HREF_RE = r"""(?i)\bhref\s*=\s*["']"""
+# href attribute start; the OPENING quote is re-emitted after the
+# sentinel (RE2 \1 rewrite) so each fragment knows which quote closes
+# it — a single [^"']* trim would truncate double-quoted URLs at a
+# legal RFC 3986 apostrophe
+_HREF_RE = r"""(?i)\bhref\s*=\s*(["'])"""
 _SENTINEL = "\x01"
 
 
@@ -140,7 +143,7 @@ def extract_links_batch(batch: pa.Table, *, html_col: str,
     html = _as_string(batch.column(html_col))
     s = pc.replace_substring(html, pattern=_SENTINEL, replacement="")
     s = pc.replace_substring_regex(s, pattern=_HREF_RE,
-                                   replacement=_SENTINEL)
+                                   replacement=_SENTINEL + "\\1")
     parts = pc.split_pattern(s, pattern=_SENTINEL)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
@@ -150,8 +153,11 @@ def extract_links_batch(batch: pa.Table, *, html_col: str,
     keep = np.ones(len(flat), bool)
     keep[offs[:-1][counts > 0]] = False          # drop pre-href fragment
     frags = flat.filter(pa.array(keep))
-    links = pc.struct_field(
-        pc.extract_regex(frags, pattern=r"""(?s)^(?P<u>[^"']*)"""), "u")
+    u_d = pc.struct_field(
+        pc.extract_regex(frags, pattern=r'(?s)^"(?P<u>[^"]*)'), "u")
+    u_s = pc.struct_field(
+        pc.extract_regex(frags, pattern=r"(?s)^'(?P<u>[^']*)"), "u")
+    links = pc.coalesce(u_d, u_s)
     n_links = np.maximum(counts - 1, 0)
     ids = batch.column(id_col)
     if isinstance(ids, pa.ChunkedArray):

@@ -31,12 +31,19 @@ def pack_sequences(ds, *, key_col: str = "doc_id", text_col: str = "text",
 
     def pack(batch: pa.Table) -> pa.Table:
         import uuid
+        # null text / null token counts pack as 0-token docs — the
+        # NaN from a null would astype to INT64_MIN and silently
+        # corrupt every bin total
         if tokens_col is not None:
-            toks = batch.column(tokens_col).to_numpy(zero_copy_only=False) \
+            tc = batch.column(tokens_col)
+            if isinstance(tc, pa.ChunkedArray):
+                tc = tc.combine_chunks()
+            toks = tc.fill_null(0).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
         else:
             toks = pc.add(pc.count_substring(batch.column(text_col), " "),
-                          1).to_numpy(zero_copy_only=False).astype(np.int64)
+                          1).fill_null(0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(toks)
         order = np.argsort(-toks, kind="stable")   # decreasing
         bin_of = np.empty(n, dtype=np.int64)

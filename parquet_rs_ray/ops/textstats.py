@@ -110,7 +110,10 @@ class QualityScorer:
                  + np.clip(1 - np.abs(mean_wl - 5.0) / 5.0, 0, 1) * 0.3
                  + np.clip(stop_ratio * 4, 0, 1) * 0.2
                  + np.clip(1 - punct / np.maximum(length, 1) * 5, 0, 1) * 0.2)
-        out = pa.table({"quality_score": pa.array(np.round(score, 6))})
+        # null text: the NaN from utf8_length must surface as a NULL
+        # score (token_counts' convention), not poison downstream means
+        out = pa.table({"quality_score": pa.array(
+            np.round(score, 6), from_pandas=True)})
         for name in batch.column_names:
             if name != self.text_col:
                 out = out.append_column(name, batch.column(name))

@@ -237,15 +237,19 @@ def _phys_of(typ: pa.DataType) -> tuple[str, str | None]:
     if pa.types.is_date32(typ):
         return "int32", "DATE"
     if pa.types.is_time32(typ):
-        return "int32", "TIME_MILLIS"
+        # time32('s') has no ConvertedType: annotating it TIME_MILLIS
+        # would silently misstate values 1000x — print physical only
+        return "int32", ("TIME_MILLIS" if typ.unit == "ms" else None)
     if pa.types.is_time64(typ):
-        return "int64", "TIME_MICROS"
+        return "int64", ("TIME_MICROS" if typ.unit == "us" else None)
     if pa.types.is_timestamp(typ):
-        unit = {"ms": "TIMESTAMP_MILLIS", "us": "TIMESTAMP_MICROS",
-                "ns": "TIMESTAMP_MICROS", "s": "TIMESTAMP_MILLIS"}[typ.unit]
+        # same: 's'/'ns' units have no ConvertedType — physical only,
+        # never a wrong-unit annotation
+        unit = {"ms": "TIMESTAMP_MILLIS",
+                "us": "TIMESTAMP_MICROS"}.get(typ.unit)
         return "int64", unit
     if pa.types.is_decimal(typ):
-        return (f"fixed_len_byte_array(16)",
+        return (f"fixed_len_byte_array({typ.byte_width})",
                 f"DECIMAL({typ.precision},{typ.scale})")
     for small, logical in ((pa.int8(), "INT_8"), (pa.int16(), "INT_16"),
                            (pa.uint8(), "UINT_8"), (pa.uint16(), "UINT_16"),

@@ -68,7 +68,11 @@ def _gzip_chunks(f, chunk_size: int = 1 << 20) -> Iterator[bytes]:
         if not raw:
             break
         while raw:
-            out = d.decompress(raw)
+            try:
+                out = d.decompress(raw)
+            except zlib.error as e:   # bit rot / bad transfer: typed,
+                raise WarcError(      # so callers can quarantine
+                    f"corrupt gzip member in WARC stream: {e}") from e
             if out:
                 yield out
             if d.eof:

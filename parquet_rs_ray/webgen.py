@@ -13,10 +13,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-LANGS = (["en"] * 0 +  # weights applied via Zipf below
+LANGS = ( # weights applied via Zipf below
          "en de fr es pt it nl ru ja zh ko ar tr pl sv fi no da cs hu ro el he th vi id ms hi bn ta te ur fa uk bg sr hr sk sl lt lv et".split())
 
-_WORDS = None
 
 
 def _vocab(rng: np.random.Generator, size: int = 4096) -> np.ndarray:

