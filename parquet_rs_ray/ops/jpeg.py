@@ -485,7 +485,7 @@ def _reconstruct(frame, qt) -> np.ndarray:
         planes.append(plane)
 
     if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = planes
     cb = cb - 128.0

@@ -163,16 +163,13 @@ def score_char_lm(ds, model: dict, *, text_col: str = "text",
             offsets, data = _flat_utf8(batch.column(text_col))
             codes, valid = _window_codes(offsets, data)
             vals = np.where(valid, self.logp[codes], 0.0)
-            starts = np.minimum(offsets[:-1], max(len(vals) - 1, 0))
-            if len(vals):
-                sums = np.add.reduceat(vals, starts)
-                # reduceat repeats the value at equal consecutive
-                # starts (zero-length docs): zero them explicitly
-                n_tri = np.maximum(np.diff(offsets) - (_N - 1), 0)
-                sums = np.where(n_tri > 0, sums, 0.0)
-            else:
-                n_tri = np.zeros(len(batch), np.int64)
-                sums = np.zeros(len(batch), np.float64)
+            n_tri = np.maximum(np.diff(offsets) - (_N - 1), 0)
+            # exact segment sums via cumsum differences — unlike
+            # reduceat this is correct when a zero-length (empty or
+            # null-text) doc ends the flat buffer
+            csum = np.concatenate(([0.0], np.cumsum(vals)))
+            e = np.clip(offsets, 0, len(vals))
+            sums = csum[e[1:]] - csum[e[:-1]]
             mean = np.where(n_tri > 0, sums / np.maximum(n_tri, 1),
                             np.nan)
             out = pa.array(mean, pa.float64(), from_pandas=True)

@@ -14,6 +14,7 @@ input block, and we never repartition between encode and decode).
 
 from __future__ import annotations
 
+import re as _re
 import uuid
 from collections import defaultdict
 
@@ -168,6 +169,27 @@ def _normalize_predicates(predicate):
     return list(predicate)
 
 
+_DATE_RE = _re.compile(r"\d{4}-\d{2}-\d{2}")
+_TIME_RE = _re.compile(r"\d{2}:\d{2}:\d{2}(?:\.\d+)?")
+
+
+def _temporal_shape(s: str):
+    """'2024-01-10' → 'date', '12:30:00[.ffffff]' → 'time',
+    '2024-01-10 12:30:00[.ffffff]' → 'ts', trailing utc-offset →
+    'tzts', anything else (plain strings: urls, text) → None. Strings
+    that aren't temporal renderings keep raw min/max pruning."""
+    if _DATE_RE.fullmatch(s):
+        return "date"
+    if _TIME_RE.fullmatch(s):
+        return "time"
+    d, sep, t = s.partition(" ")
+    if sep and _DATE_RE.fullmatch(d):
+        m = _TIME_RE.match(t)
+        if m:
+            return "ts" if m.end() == len(t) else "tzts"
+    return None
+
+
 _PRED_OPS = {
     "==": lambda mn, mx, v: mn <= v <= mx,
     ">": lambda mn, mx, v: mx > v,
@@ -205,18 +227,21 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
         # "prove" no-match for a midnight row and unsoundly prune.
         # Normalize to the bounds' rendering, mirroring the exact
         # post-decode filter's semantics (Arrow casts date→midnight
-        # timestamp; pa.scalar truncates datetime→date):
-        def _shape(s: str) -> str:
-            if " " in s:
-                head, _, tail = s.partition(" ")
-                if "+" in tail or "-" in tail:
-                    return "tzts"  # tz-aware bound: no sound order
-                return "ts"
-            return "date" if "-" in s else "time"
-
-        bshape = _shape(mn)
-        if bshape != _shape(mx) or bshape == "tzts":
+        # timestamp; pa.scalar truncates datetime→date). The shape
+        # rule applies ONLY when both bounds actually parse as
+        # temporal renderings — ordinary string columns (urls, text)
+        # whose bounds merely contain hyphens/spaces keep raw min/max
+        # compares, so pruning effectiveness is not lost on them:
+        bshape = _temporal_shape(mn)
+        if bshape is None or _temporal_shape(mx) != bshape:
+            # plain string bounds (or mixed/unparsable): raw compare
+            # is sound for string predicates; anything else keeps
+            if bshape is None and _temporal_shape(mx) is None \
+                    and isinstance(val, str):
+                return check(mn, mx, val)
             return True
+        if bshape == "tzts":
+            return True  # tz-aware bound: no sound order
         if isinstance(val, (datetime.datetime, datetime.date,
                             datetime.time)):
             if getattr(val, "tzinfo", None) is not None:
@@ -229,7 +254,7 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
                     str(val) + " 00:00:00" if bshape == "ts" else None)
             else:  # datetime.time
                 sval = str(val) if bshape == "time" else None
-            if sval is None or _shape(sval) != bshape:
+            if sval is None or _temporal_shape(sval) != bshape:
                 return True
             val = sval
         if not isinstance(val, str):
@@ -240,7 +265,7 @@ def _stats_can_match(st: dict, op: str, val) -> bool:
         # against the bounds — a raw compare would unsoundly prune the
         # block holding the exact row, while the post-decode filter
         # parses both forms. Same-shape strings compare raw as before.
-        if _shape(val) != bshape:
+        if _temporal_shape(val) != bshape:
             return True
         return check(mn, mx, val)
     if kind == "dec":
@@ -385,11 +410,16 @@ def make_exact_filter(columns=None, predicate=None):
                     batch = batch.filter(kernels[op](
                         arr, _pc.cast(pa.scalar(val), arr.type)))
                     continue
-                if isinstance(val, int):
-                    # value outside the column type's domain: the
-                    # comparison constant-folds (x==v: never; x<v with
-                    # huge v: always; …) — passing the raw int to the
-                    # kernel would TypeError
+                if isinstance(val, int) and (
+                        pa.types.is_integer(arr.type)
+                        or pa.types.is_floating(arr.type)
+                        or pa.types.is_decimal(arr.type)):
+                    # value outside the NUMERIC column type's domain:
+                    # the comparison constant-folds (x==v: never; x<v
+                    # with huge v: always; …) — passing the raw int to
+                    # the kernel would TypeError. Non-numeric columns
+                    # re-raise: an int predicate against a string
+                    # column is a caller type error, not a fold
                     big = val > 0
                     always = {"==": False, ">": not big, ">=": not big,
                               "<": big, "<=": big}[op]

@@ -113,6 +113,29 @@ def test_score_vs_duckdb_ascii(ray_session):
     assert np.allclose(gv[m], wv[m], rtol=0, atol=1e-9)
 
 
+def test_trailing_empty_doc_exact_sums(ray_session):
+    """Regression: a zero-length (empty or null) doc that ENDS a
+    batch's flat buffer must not steal/cut the preceding doc's last
+    trigram (np.add.reduceat clamped the final segment start). With a
+    uniform model, every scorable doc's mean is exactly the uniform
+    logprob."""
+    import ray
+
+    for tail in ["", None]:
+        texts = ["abcdef", tail]
+        tbl = pa.table({"doc_id": pa.array(range(2), pa.int64()),
+                        "text": pa.array(texts, pa.string())})
+        ds = ray.data.from_arrow(tbl)
+        model = train_char_lm(ds)
+        counts, total = _ref_model(texts)
+        out = score_char_lm(ds, model).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # 4 distinct trigrams, each count 1 → uniform mean
+        want = _ref_score("abcdef", counts, total)
+        assert out.lm_logprob[0] == pytest.approx(want, rel=1e-12)
+        assert np.isnan(out.lm_logprob[1])
+
+
 def test_filter_by_lm(ray_session):
     import ray
 

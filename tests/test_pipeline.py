@@ -763,6 +763,44 @@ def test_huge_int_predicates_fold_not_crash(ray_session):
                           predicate=[("x", ">=", -2**70)]).count() == 100
 
 
+def test_plain_string_bounds_keep_raw_pruning():
+    """Regression: url-like string bounds containing hyphens/spaces
+    must still prune with raw min/max compares — only bounds that
+    actually parse as temporal renderings fall back to the
+    shape-mismatch keep rule."""
+    from parquet_rs_ray.pipeline import _stats_can_match
+
+    st = {"kind": "str", "min": "http://a-site.com/p 1",
+          "max": "http://m-site.com/p 9"}
+    assert _stats_can_match(st, "==", "http://b-site.com/x") is True
+    assert _stats_can_match(st, "==", "http://z-site.com/x") is False
+    assert _stats_can_match(st, "<", "http://a-site.com/p 1") is False
+    assert _stats_can_match(st, ">", "http://m-site.com/p 9") is False
+    # genuinely temporal bounds still use the shape rule: a date-shaped
+    # predicate against timestamp-shaped bounds must NOT prune
+    st2 = {"kind": "str", "min": "2024-01-10 00:00:00",
+           "max": "2024-01-10 23:59:59"}
+    assert _stats_can_match(st2, "==", "2024-01-10") is True
+    # non-str predicate against plain string bounds stays conservative
+    assert _stats_can_match(st, "==", 5) is True
+
+
+def test_int_predicate_on_string_column_raises():
+    """Regression: an int predicate against a string column is a caller
+    type error — it must raise, not silently constant-fold to an empty
+    (or all-rows) result."""
+    from parquet_rs_ray.pipeline import make_exact_filter
+
+    tbl = pa.table({"s": pa.array(["a", "b"], pa.string())})
+    f = make_exact_filter(predicate=[("s", "==", 5)])
+    with pytest.raises(Exception):
+        f(tbl)
+    # huge ints against numeric columns still fold
+    tbl2 = pa.table({"x": pa.array([1, 2], pa.int64())})
+    f2 = make_exact_filter(predicate=[("x", "<", 2**70)])
+    assert f2(tbl2).num_rows == 2
+
+
 def test_iso_t_timestamp_predicate_not_pruned(ray_session):
     """An ISO-8601 'T'-separator string predicate against a timestamp
     column must return the matching row — the string-rendered bounds
