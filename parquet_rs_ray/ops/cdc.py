@@ -242,7 +242,7 @@ def duplicate_span_stats(ds, *, text_col: str = "text",
 
 def dedup_spans(ds, *, text_col: str = "text", key_col: str = "doc_id",
                 mask_bits: int = 8, max_len: int = 4096,
-                out_col: str | None = None, mode: str = "broadcast",
+                out_col: str | None = None, mode: str = "auto",
                 num_partitions: int | None = None,
                 broadcast_budget_bytes: int | None = None):
     """Remove duplicated spans, keeping ONE copy corpus-wide: for every
@@ -254,7 +254,11 @@ def dedup_spans(ds, *, text_col: str = "text", key_col: str = "doc_id",
     document ids); duplicate keys would keep one copy per tied doc in
     broadcast mode but one corpus-wide in join mode.
 
-    ``mode="broadcast"`` (default): the (dup hash, winner key) table
+    ``mode="auto"`` (default) probes the winners table against the
+    broadcast budget (ops/regime.py) and picks the regime; the probe
+    materializes an aggregate both regimes consume, so it is ~free.
+
+    ``mode="broadcast"``: the (dup hash, winner key) table
     rides ray.put — its size is bounded by the corpus's
     duplicated-content volume / 2^mask_bits; run
     `duplicate_span_stats` first to size it.

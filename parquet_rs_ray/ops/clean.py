@@ -462,7 +462,7 @@ def _line_dedup_join(ds, *, text_col: str, id_col: str, max_count: int,
 
 def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
                min_len: int = 0, num_partitions: int | None = None,
-               concurrency=2, mode: str = "broadcast",
+               concurrency=2, mode: str = "auto",
                id_col: str = "doc_id", sep: str = "\n",
                broadcast_budget_bytes: int | None = None):
     """Cross-document line deduplication (CCNet/RefinedWeb-style
@@ -477,7 +477,11 @@ def line_dedup(ds, *, text_col: str = "text", max_count: int = 1,
     ``line_frequency`` (one row per distinct line per block shuffles,
     never the corpus).
 
-    ``mode="broadcast"`` (default): the frequent set ships to every
+    ``mode="auto"`` (default) probes the frequent-line set against the
+    broadcast budget (ops/regime.py) and picks the regime; the probe
+    materializes an aggregate both regimes consume, so it is ~free.
+
+    ``mode="broadcast"``: the frequent set ships to every
     actor once via ``ray.put`` and the corpus streams — no second
     shuffle. Right while the set fits worker heaps (it is
     threshold-bounded, not corpus-bounded; raise ``max_count`` /

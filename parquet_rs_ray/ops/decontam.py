@@ -44,7 +44,7 @@ def contamination_ngrams(ref_ds, *, text_col: str = "text",
 
 def decontaminate(ds, ref_ds=None, *, blocklist: np.ndarray | None = None,
                   text_col: str = "text", k: int = 5, invert: bool = False,
-                  mode: str = "broadcast", ref_text_col: str | None = None,
+                  mode: str = "auto", ref_text_col: str | None = None,
                   id_col: str = "doc_id",
                   num_partitions: int | None = None,
                   broadcast_budget_bytes: int | None = None):
@@ -63,9 +63,13 @@ def decontaminate(ds, ref_ds=None, *, blocklist: np.ndarray | None = None,
     ``id_col`` to be a unique row key of ``ds``)."""
     import ray
 
+    if mode == "auto" and ref_ds is None and blocklist is not None:
+        # a precomputed blocklist is already a driver-side array — the
+        # caller paid its memory, broadcast is the only regime left
+        mode = "broadcast"
     if mode == "auto":
         if ref_ds is None:
-            raise ValueError("mode='auto' needs ref_ds")
+            raise ValueError("mode='auto' needs ref_ds or blocklist")
         from .regime import pick_regime
         rtc = ref_text_col or text_col
 

@@ -103,7 +103,7 @@ def _hash_strings(arr: pa.Array) -> np.ndarray:
     return out
 
 
-def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "broadcast",
+def exact_dedup(ds, text_col: str, key_col: str, *, mode: str = "auto",
                 num_partitions: int | None = None,
                 broadcast_budget_bytes: int | None = None):
     """Keep the min-`key_col` row per distinct `text_col` value.

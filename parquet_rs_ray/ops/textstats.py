@@ -313,14 +313,19 @@ class _DfScorer:
 
 def word_df_stats(ds, *, text_col: str = "text",
                   num_partitions: int | None = None, concurrency=2,
-                  mode: str = "broadcast", id_col: str = "doc_id",
+                  mode: str = "auto", id_col: str = "doc_id",
                   broadcast_budget_bytes: int | None = None):
     """Per-document rarity signals from global word document-frequency:
     ``n_words`` (with repeats), ``sum_df`` (Σ df of each word token)
     and ``min_df`` (the rarest word's df — the OOV/garbage detector;
     all exact int64, so the SQL oracle compares bit-identical).
 
-    ``mode="broadcast"`` (default), the two-pass aggregate-broadcast-
+    ``mode="auto"`` (default) probes the (word, df) vocabulary against
+    the broadcast budget (ops/regime.py) and picks the regime; the
+    probe materializes an aggregate both regimes consume, so it is
+    ~free.
+
+    ``mode="broadcast"``, the two-pass aggregate-broadcast-
     join shape: pass 1 is the distributed `word_document_frequency`
     (map-side combine, shuffles one row per distinct word per block);
     its (word, df) result — VOCABULARY-sized, not corpus-sized —
