@@ -776,6 +776,29 @@ def _container_stats_documents(sf_dir: str):
                      columns=["doc_id", "lang", "n_chars", "source"])
 
 
+def _decode_projected_documents(sf_dir: str):
+    """Projected + predicated decode over the COMMITTED container
+    format (job.decode_job — the round-4 projection-IO flagship,
+    ≙ per-column chunk reads `/root/reference/src/file/reader.rs:295-330`
+    + per-row-group metadata `/root/reference/src/file/metadata.rs:167-172`):
+    encode documents to a scratch dir (column-group layout), then decode
+    ONLY 2 of the 5 columns under a predicate that mixes a NON-projected
+    column (lang) with a zone-prunable one (n_chars). Exercises, in one
+    oracle row: manifest file elimination → footer row-group selection
+    (only doc_id/n_chars/lang row groups' bytes read) → payload-free
+    per-block metadata probe → page prune → exact post-decode filter →
+    projection. Oracle: plain SQL projection+filter on the source."""
+    import tempfile
+
+    from parquet_rs_ray.job import decode_job, encode_job
+
+    out_dir = tempfile.mkdtemp(prefix="graft_proj_", dir="/tmp")
+    encode_job([f"{sf_dir}/documents.parquet"], out_dir, concurrency=4)
+    return decode_job(out_dir, columns=["doc_id", "n_chars"],
+                      predicate=[("lang", "==", "en"),
+                                 ("n_chars", ">", 500)])
+
+
 def _dedup_against_corpus_documents(sf_dir: str):
     """Incremental ingestion dedup (job.hash_index_job +
     ops.dedup.dedup_against_index): documents with doc_id % 3 != 0 play
@@ -1410,7 +1433,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["window_agg_events"] = _window_agg_events
     q["top2_orders_per_customer"] = _top2_orders_per_customer
     q["customer_nation_join"] = _customer_nation_join
-    q["distinct_text_count_documents"] = _distinct_text_count_documents
+    # round-5 rotation: the projected+predicated container decode (the
+    # r4 projection-IO flagship, previously pytest/rchar-only evidence)
+    # takes distinct_text_count's slot — distinct_count keeps its exact
+    # pytest pin (tests/test_ops.py::test_distinct_count_and_hll) and
+    # its oracle row past the window; its combiner→groupby machinery
+    # stays window-covered by exact_dedup_documents
+    q["decode_projected_documents"] = _decode_projected_documents
     q["range_join_orders"] = _range_join_orders
     q["asof_purchase_click_events"] = _asof_purchase_click_events
     q["customer_order_totals"] = _customer_order_totals
@@ -1461,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # DuckDB-parity tests ---
     q["lang_counts"] = _lang_counts
     q["quantiles_nchars_documents"] = _quantiles_nchars_documents
+    q["distinct_text_count_documents"] = _distinct_text_count_documents
     for table in _deferred_roundtrips:
         q[f"roundtrip_{table}"] = _roundtrip_query(table, _TABLES[table])
     q["exact_dedup_join_documents"] = _exact_dedup_join_documents
@@ -1660,6 +1690,9 @@ def oracle_sql() -> dict[str, str]:
     sql["distinct_text_count_documents"] = (
         "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct "
         "FROM documents")
+    sql["decode_projected_documents"] = (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars > 500")
     # hll_distinct_text_documents: approximate sketch → rows-only
     sql["range_join_orders"] = (
         "SELECT o.o_orderkey, o.o_totalprice, b.band FROM orders o "

@@ -135,6 +135,17 @@ def run_bench(num_cpus: int) -> dict:
             lambda b: {"n": [b.num_rows]}, batch_format="pyarrow")
         .sum("n"))
 
+    # projected decode: 2-of-5 columns under a predicate — the
+    # column-group layout reads only url/lang row groups (the html/text
+    # payload bytes never leave disk), quantifying the projection-IO
+    # win vs the full decode leg above on the same committed corpus
+    queries["decode_web_projected"] = _timed(
+        lambda: decode_job(out_dir, columns=["url", "lang"],
+                           predicate=[("lang", "==", "en")])
+        .map_batches(lambda b: {"n": [b.num_rows]},
+                     batch_format="pyarrow")
+        .sum("n"))
+
     # testdata tables: encode+decode roundtrip wall time
     for table in ("documents", "events", "lineitem"):
         path = f"{SF_DIR}/{table}.parquet"
