@@ -195,6 +195,14 @@ def test_compaction_preserves_column_prunability(ray_session, tmp_path):
     total = sum(md.row_group(i).total_byte_size
                 for i in range(md.num_row_groups))
     assert planned < 0.5 * total
+    # REAL IO, not just the plan: a projected read of the compacted
+    # container must leave the merged html/text bytes on disk
+    before = _rchar()
+    pages = read_container_pages(files[0], columns=["url", "lang"])
+    read_bytes = _rchar() - before
+    assert read_bytes < 0.5 * os.path.getsize(files[0])
+    assert not ({"html", "text"}
+                & set(pages.column("column").to_pylist()))
     got = decode_job(out, columns=["url", "lang"]).to_pandas() \
         .sort_values("url").reset_index(drop=True)
     assert got.equals(exp)
