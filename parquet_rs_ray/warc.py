@@ -13,9 +13,16 @@ rows as a streaming Ray Data source:
 - `WarcDatasource` / `read_warc`: a `FileBasedDatasource` whose
   `_read_stream` incrementally parses one file — bounded buffer, one
   record resident at a time, batches of rows yielded as Arrow tables.
-  One crawl file is one read task (the CC shard, ~1 GiB gzipped, is the
-  natural parallelism grain; a 100 TB crawl is ~100 k files, far more
-  tasks than any cluster has slots, so no intra-file split is needed).
+  One crawl file is one read task by default (the CC shard, ~1 GiB
+  gzipped, is the natural parallelism grain; a 100 TB crawl is ~100 k
+  files, far more tasks than any cluster has slots). For PATHOLOGICAL
+  inputs — a few 100 GB files that would serialize the read —
+  `read_warc(split_target_bytes=...)` fans each file out to byte-range
+  tasks: the CC one-member-per-record gzip layout lets any offset
+  resync to the next member boundary (magic scan + decompress-probe
+  validation, the Hadoop-split idea), so no stored index and no first
+  pass are needed; each slot decodes exactly the members STARTING in
+  its range.
 - `read_wet`: the WET convenience — `conversion` records only, payload
   decoded to a `text` column.
 - `write_warc`: a spec-compliant writer used by tests/fixtures (and by
@@ -160,6 +167,147 @@ def iter_warc_records(f) -> Iterator[tuple[dict, bytes]]:
         yield headers, payload
 
 
+_GZ_MEMBER_MAGIC = b"\x1f\x8b\x08"   # magic + CM=deflate
+
+
+def _member_probe_ok(data: bytes) -> bool:
+    """Does ``data`` begin a real record-carrying gzip member? The
+    deflate stream must start cleanly AND its first decompressed bytes
+    must be the WARC version line — a payload byte run that merely
+    mimics the 3-byte magic fails one of the two. (Heuristic resync has
+    the same residual limit as Hadoop text splits / warcio indexing: a
+    payload embedding a complete well-formed gzipped WARC record
+    through a STORED-block member could validate; top-level members are
+    the format's contract.)"""
+    if data[:3] != _GZ_MEMBER_MAGIC:
+        return False
+    d = zlib.decompressobj(wbits=31)
+    try:
+        out = d.decompress(data, 8)
+    except zlib.error:
+        return False
+    return out[:5] == b"WARC/"
+
+
+def _resync_member(f, start: int, end: int,
+                   chunk_size: int = 1 << 20) -> int | None:
+    """Absolute offset of the first gzip member starting in
+    ``[start, end)``, or None. Offset 0 is a boundary by definition;
+    interior candidates are found by scanning the COMPRESSED bytes for
+    the member magic and validated by `_member_probe_ok` (decompress a
+    probe, require the WARC version prefix)."""
+    if start == 0:
+        return 0
+    # probe window past `end`: a candidate near the range end still
+    # needs compressed bytes to validate against
+    probe = 1 << 16
+    f.seek(start)
+    buf = b""
+    base = start                       # abs offset of buf[0]
+    eof = False
+    pos = 0                            # scan cursor within buf
+    while True:
+        # keep ~one chunk of scannable bytes plus a probe window; the
+        # window SLIDES (bounded memory on member-less gigabyte ranges)
+        while not eof and len(buf) < pos + chunk_size + probe:
+            raw = f.read(chunk_size)
+            if not raw:
+                eof = True
+                break
+            buf += raw
+        idx = buf.find(_GZ_MEMBER_MAGIC, pos,
+                       pos + chunk_size + len(_GZ_MEMBER_MAGIC) - 1)
+        if idx < 0 or base + idx >= end:
+            if idx >= 0 or eof or base + len(buf) - 2 >= end:
+                return None            # first candidate past end / EOF
+            # slide: keep 2 trailing bytes for a straddling magic
+            scanned = min(pos + chunk_size, len(buf) - 2)
+            buf = buf[scanned:]
+            base += scanned
+            pos = 0
+            continue
+        if _member_probe_ok(buf[idx:idx + probe]):
+            return base + idx
+        pos = idx + 1
+
+
+def _member_chunks_range(f, start: int, end: int,
+                         chunk_size: int = 1 << 20) -> Iterator[bytes]:
+    """Decompressed chunks of every gzip member whose compressed START
+    offset lies in ``[start, end)`` — a member straddling ``end`` is
+    finished by the slot that started it, so slots tile the file with
+    no member read twice and none skipped (the intra-file split grain;
+    cf. job.decode_job's (file, slot) pattern for containers)."""
+    pos = _resync_member(f, start, end, chunk_size)
+    if pos is None:
+        return
+    f.seek(pos)
+    fed_end = pos                      # abs offset just past bytes fed
+    d = zlib.decompressobj(wbits=31)
+    pending = b""
+    while True:
+        if pending:
+            raw, pending = pending, b""
+        else:
+            raw = f.read(chunk_size)
+            if not raw:
+                break
+            fed_end += len(raw)
+        while raw:
+            try:
+                out = d.decompress(raw)
+            except zlib.error as e:
+                raise WarcError(
+                    f"corrupt gzip member in WARC stream: {e}") from e
+            if out:
+                yield out
+            if not d.eof:
+                break
+            nxt = fed_end - len(d.unused_data)   # next member's offset
+            if nxt >= end:
+                return                 # next slot's member: stop here
+            raw = d.unused_data
+            d = zlib.decompressobj(wbits=31)
+    tail = d.flush()
+    if tail:
+        yield tail
+
+
+class _ChunkStream:
+    """`.read(n)` facade over an iterator of byte chunks (feeds the
+    plain-stream record parser with pre-decompressed member ranges)."""
+
+    def __init__(self, gen: Iterator[bytes]):
+        self._gen = gen
+        self._buf = bytearray()
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            try:
+                self._buf.extend(next(self._gen))
+            except StopIteration:
+                break
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+
+def iter_warc_tables_range(f, start: int, end: int, *,
+                           record_types: tuple[str, ...] | None,
+                           strip_http: bool,
+                           payload_as_text: bool) -> Iterator[pa.Table]:
+    """`iter_warc_tables` over one compressed byte range of a
+    one-member-per-record (Common Crawl layout) ``.warc.gz``: only the
+    members starting in ``[start, end)`` are decompressed and parsed.
+    Member boundaries must align with record boundaries (the CC
+    convention); a misaligned member makes the parser raise a typed
+    WarcError rather than emit a torn record."""
+    stream = _ChunkStream(_member_chunks_range(f, start, end))
+    yield from iter_warc_tables(stream, record_types=record_types,
+                                strip_http=strip_http,
+                                payload_as_text=payload_as_text)
+
+
 def split_http_payload(payload: bytes) -> tuple[str | None, bytes]:
     """(HTTP Content-Type, body) of an application/http payload; a
     payload with no header/body split returns (None, payload)."""
@@ -252,24 +400,119 @@ except ImportError:  # pragma: no cover
     WarcDatasource = None
 
 
+def _empty_warc_table(payload_as_text: bool) -> pa.Table:
+    return pa.table({
+        "url": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("us")),
+        "warc_type": pa.array([], pa.string()),
+        "content_type": pa.array([], pa.string()),
+        ("text" if payload_as_text else "payload"):
+            pa.array([], pa.string() if payload_as_text else pa.binary()),
+    })
+
+
+def make_warc_range_reader(*, record_types, strip_http, payload_as_text):
+    """Batch fn over `{path, start, end}` descriptors → record tables
+    from the gzip members starting in each compressed byte range (the
+    giant-file fan-out grain). A plain (uncompressed) WARC can't resync
+    safely, so slot 0 parses it whole and the other slots yield nothing
+    — correct, just unsplit."""
+
+    def read_ranges(batch: pa.Table):
+        got_any = False
+        for p, s, e in zip(batch.column("path").to_pylist(),
+                           batch.column("start").to_pylist(),
+                           batch.column("end").to_pylist()):
+            with open(p, "rb") as f:
+                magic = f.read(2)
+                f.seek(0)
+                if magic == _GZIP_MAGIC:
+                    tables = iter_warc_tables_range(
+                        f, s, e, record_types=record_types,
+                        strip_http=strip_http,
+                        payload_as_text=payload_as_text)
+                elif s == 0:
+                    tables = iter_warc_tables(
+                        f, record_types=record_types,
+                        strip_http=strip_http,
+                        payload_as_text=payload_as_text)
+                else:
+                    continue
+                for tbl in tables:
+                    got_any = True
+                    yield tbl
+        if not got_any:
+            yield _empty_warc_table(payload_as_text)
+
+    return read_ranges
+
+
+def _read_warc_split(paths, *, split_target_bytes: int, record_types,
+                     strip_http: bool, payload_as_text: bool):
+    """Descriptor-based WARC read: each file fans out to
+    ``ceil(size / split_target_bytes)`` byte-range tasks, so ONE
+    pathological 100 GB crawl file spreads across a cluster the way
+    container decodes do (job.decode_job's (file, slot) pattern) —
+    the CC one-member-per-record gzip layout makes any byte offset
+    resync-able without a stored index or a first pass."""
+    import os
+
+    import ray
+
+    if isinstance(paths, (str, bytes)):
+        paths = [paths]
+    descs = []
+    for p in paths:
+        size = os.path.getsize(p)
+        k = max(1, -(-size // split_target_bytes))
+        bounds = [size * i // k for i in range(k + 1)]
+        descs.extend({"path": p, "start": bounds[i], "end": bounds[i + 1]}
+                     for i in range(k))
+    ds = ray.data.from_items(descs, override_num_blocks=len(descs))
+    return ds.map_batches(
+        make_warc_range_reader(record_types=record_types,
+                               strip_http=strip_http,
+                               payload_as_text=payload_as_text),
+        batch_format="pyarrow", batch_size=None)
+
+
 def read_warc(paths, *, record_types: tuple[str, ...] | None = ("response",),
-              strip_http: bool = True, **read_args):
+              strip_http: bool = True,
+              split_target_bytes: int | None = None, **read_args):
     """Crawl WARC files → Dataset of `(url, warc_ts, warc_type,
     content_type, payload)`. Defaults keep only `response` records with
     HTTP headers stripped — the html-bytes view `encode_job` and
-    `ops/html.extract_text` consume."""
+    `ops/html.extract_text` consume.
+
+    ``split_target_bytes`` turns on intra-file parallelism: each file
+    splits into ~that many compressed bytes per task via gzip-member
+    resync (leave None for normal ~1 GiB CC shards, where 1 file = 1
+    task is the right grain; set it when a few giant files would
+    otherwise serialize the read)."""
     import ray
 
+    if split_target_bytes:
+        return _read_warc_split(paths,
+                                split_target_bytes=split_target_bytes,
+                                record_types=record_types,
+                                strip_http=strip_http,
+                                payload_as_text=False)
     return ray.data.read_datasource(
         WarcDatasource(paths, record_types=record_types,
                        strip_http=strip_http), **read_args)
 
 
-def read_wet(paths, **read_args):
+def read_wet(paths, *, split_target_bytes: int | None = None, **read_args):
     """WET text extracts → Dataset of `(url, warc_ts, warc_type,
-    content_type, text)` from `conversion` records."""
+    content_type, text)` from `conversion` records. See `read_warc`
+    for ``split_target_bytes``."""
     import ray
 
+    if split_target_bytes:
+        return _read_warc_split(paths,
+                                split_target_bytes=split_target_bytes,
+                                record_types=("conversion",),
+                                strip_http=False, payload_as_text=True)
     return ray.data.read_datasource(
         WarcDatasource(paths, record_types=("conversion",),
                        strip_http=False, payload_as_text=True),
@@ -277,12 +520,15 @@ def read_wet(paths, **read_args):
 
 
 def write_warc(path: str, records: list[dict], *,
-               gzip_per_record: bool = False) -> None:
+               gzip_per_record: bool = False,
+               gzip_level: int = 6) -> None:
     """Spec-compliant WARC writer (tests, fixtures, corpus export).
     Each record dict: `warc_type`, `payload` (bytes), optional `url`,
     `date` (ISO-8601 Z), `content_type`, `record_id`. With
     `gzip_per_record=True` every record is its own gzip member (the CC
-    convention this module's reader resynchronizes on)."""
+    convention this module's reader resynchronizes on); ``gzip_level=0``
+    emits stored deflate blocks (payload bytes appear literally in the
+    compressed stream — the resync spoof-resistance fixture)."""
     out = io.BytesIO()
     for rec in records:
         payload = rec["payload"]
@@ -301,7 +547,7 @@ def write_warc(path: str, records: list[dict], *,
                 + b"".join(f"{k}: {v}\r\n".encode() for k, v in headers)
                 + b"\r\n" + payload + _CRLF2)
         if gzip_per_record:
-            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            co = zlib.compressobj(gzip_level, zlib.DEFLATED, 31)
             blob = co.compress(blob) + co.flush()
         out.write(blob)
     with open(path, "wb") as fh:

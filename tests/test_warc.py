@@ -4,6 +4,7 @@ extract → encode chain on the north-star invariant (byte-identical
 payload per url)."""
 
 import io
+import os
 import zlib
 
 import pyarrow as pa
@@ -214,3 +215,104 @@ def test_crawl_extract_encode_decode_north_rule(ray_session, tmp_path):
     want = {u: extract_text_array(pa.array([h.decode()]))[0].as_py()
             for u, h in rows}
     assert out == want                        # byte-identical per url
+
+
+# ---- intra-file byte-range splitting (giant-WARC fan-out) ----
+
+def _all_records(path):
+    with open(path, "rb") as f:
+        return list(iter_warc_records(f))
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 7])
+def test_range_slots_cover_exactly_once(tmp_path, k):
+    """Union over k byte-range slots == the unpartitioned read, and no
+    record lands in two slots — for arbitrary (non-member-aligned)
+    byte bounds."""
+    from parquet_rs_ray.warc import iter_warc_tables_range
+
+    p = str(tmp_path / "big.warc.gz")
+    write_warc(p, _recs(60), gzip_per_record=True)
+    size = os.path.getsize(p)
+    urls = []
+    for i in range(k):
+        s, e = size * i // k, size * (i + 1) // k
+        with open(p, "rb") as f:
+            for tbl in iter_warc_tables_range(
+                    f, s, e, record_types=None, strip_http=False,
+                    payload_as_text=False):
+                urls.extend(tbl.column("url").to_pylist())
+    want = [h["warc-target-uri"] for h, _ in _all_records(p)]
+    assert sorted(urls) == sorted(want)     # exactly once each
+    assert len(urls) == len(set(urls)) == 60
+
+
+def test_single_member_gzip_falls_to_slot_zero(tmp_path):
+    """A whole-file single gzip member can't split: slot 0 decodes all
+    records, the other slots yield nothing (correct, just unsplit)."""
+    import gzip
+
+    from parquet_rs_ray.warc import iter_warc_tables_range
+
+    plain = str(tmp_path / "a.warc")
+    write_warc(plain, _recs(20))
+    p = str(tmp_path / "one.warc.gz")
+    with open(p, "wb") as out:
+        out.write(gzip.compress(open(plain, "rb").read()))
+    size = os.path.getsize(p)
+    per_slot = []
+    for i in range(3):
+        s, e = size * i // 3, size * (i + 1) // 3
+        got = 0
+        with open(p, "rb") as f:
+            for tbl in iter_warc_tables_range(
+                    f, s, e, record_types=None, strip_http=False,
+                    payload_as_text=False):
+                got += tbl.num_rows
+        per_slot.append(got)
+    assert per_slot == [20, 0, 0]
+
+
+def test_resync_rejects_spoofed_magic_in_stored_blocks(tmp_path):
+    """Payload bytes carrying the gzip member magic appear LITERALLY in
+    the compressed stream under stored (level-0) deflate blocks; the
+    resync validator must reject them (probe decompress + WARC/ prefix)
+    so no phantom records appear and coverage stays exact."""
+    from parquet_rs_ray.warc import iter_warc_tables_range
+
+    bait = b"\x1f\x8b\x08\x00AAAA\x00\x03" * 40   # magic + junk headers
+    recs = _recs(24, binary_tail=bait)
+    p = str(tmp_path / "spoof.warc.gz")
+    write_warc(p, recs, gzip_per_record=True, gzip_level=0)
+    assert bait[:10] in open(p, "rb").read()      # literally present
+    size = os.path.getsize(p)
+    urls = []
+    for i in range(5):
+        s, e = size * i // 5, size * (i + 1) // 5
+        with open(p, "rb") as f:
+            for tbl in iter_warc_tables_range(
+                    f, s, e, record_types=None, strip_http=False,
+                    payload_as_text=False):
+                urls.extend(tbl.column("url").to_pylist())
+    assert sorted(urls) == sorted(r["url"] for r in recs)
+    assert len(urls) == len(set(urls)) == 24
+
+
+def test_read_warc_split_matches_unsplit(ray_session, tmp_path):
+    """read_warc(split_target_bytes=...) over several files (one of
+    them 'giant' relative to the target) equals the unsplit read."""
+    paths = []
+    for j, n in enumerate([40, 7, 13]):
+        p = str(tmp_path / f"c{j}.warc.gz")
+        write_warc(p, [{**r, "url": f"{r['url']}?f={j}"}
+                       for r in _recs(n)], gzip_per_record=True)
+        paths.append(p)
+
+    unsplit = read_warc(paths).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    split = read_warc(paths, split_target_bytes=2048).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert len(split) == 40 + 7 + 13
+    assert split.equals(unsplit)
+    # the giant file genuinely fanned out to >1 descriptor
+    assert os.path.getsize(paths[0]) > 2 * 2048
