@@ -878,6 +878,25 @@ def _lm_score_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _lm_score_5gram_documents(sf_dir: str):
+    """KenLM-order (5-gram) LM scoring through the HASHED pruned model
+    (ops/lm.py::train_ngram_lm): 256^5 can't sit dense, so the model is
+    a sorted (uint64 key, logp) pair table with count-≥2 pruning —
+    bounded by realized n-gram diversity at 16 B/gram; scoring is one
+    vectorized searchsorted membership probe per batch. Same training
+    shuffle shape as the trigram twin. Rows-only (ln() ulp; parity vs
+    an independent python reference pinned by tests/test_lm.py)."""
+    import ray
+    from parquet_rs_ray.ops.lm import score_char_lm, train_ngram_lm
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    model = train_ngram_lm(ds, n=5, sample_mod=2, prune_min_count=2)
+    return score_char_lm(ds, model).map_batches(
+        lambda b: b.select(["doc_id", "lm_logprob"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _corpus_report_documents(sf_dir: str):
     """Per-language corpus profile (ops/textstats.py::corpus_report):
     three fully distributed aggregates (vectorized per-batch combine →
@@ -1524,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["quantile_sketch_events"] = _quantile_sketch_events
     q["warc_ingest_documents"] = _warc_ingest_documents
     q["lm_score_documents"] = _lm_score_documents
+    q["lm_score_5gram_documents"] = _lm_score_5gram_documents
     q["lm_bucket_documents"] = _lm_bucket_documents
     q["dup_span_stats_documents"] = _dup_span_stats_documents
     q["dedup_spans_documents"] = _dedup_spans_documents

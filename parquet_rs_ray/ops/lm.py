@@ -4,11 +4,17 @@ The classic web-curation quality gate scores each document with a small
 language model trained on a trusted reference corpus and drops the
 high-perplexity tail (CCNet does this with a KenLM 5-gram; the same
 shape appears in most LLM-data pipelines). This module is that stage
-with the model kept honest for this environment: a BYTE-TRIGRAM
-add-one-smoothed unigram-of-trigrams LM — deterministic, trainable
-inside the engine itself, vectorized end to end, and small enough to
-broadcast (vocab ≤ alphabet³; real text keeps it in the low millions of
-codes even at 100 TB because the byte alphabet is fixed).
+with the model kept honest for this environment, in two sizes:
+
+* `train_char_lm` — BYTE-TRIGRAM add-one-smoothed unigram-of-trigrams
+  LM as a DENSE 2^24 float array (~128 MB) — deterministic, trainable
+  inside the engine, vectorized end to end.
+* `train_ngram_lm` — byte n-grams up to n=8 (default 5, the KenLM
+  order CCNet uses) as a SORTED HASH TABLE with count pruning: 256^5
+  can't sit dense, but the (uint64 key, float64 logp) pair table is
+  bounded by the corpus's REALIZED pruned n-gram diversity at
+  16 B/gram. Same training shuffle shape; scoring swaps the dense
+  gather for one vectorized searchsorted membership probe.
 
 Scale shape:
 
@@ -43,8 +49,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["train_char_lm", "score_char_lm", "filter_by_lm",
-           "bucket_by_lm"]
+__all__ = ["train_char_lm", "train_ngram_lm", "score_char_lm",
+           "filter_by_lm", "bucket_by_lm"]
 
 _N = 3          # trigrams: codes pack into uint32, dense vocab 2^24
 
@@ -76,28 +82,32 @@ def _flat_utf8(arr) -> tuple[np.ndarray, np.ndarray]:
     return offsets, data
 
 
-def _window_codes(offsets: np.ndarray,
-                  data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """All trigram window codes of the flat buffer + a validity mask
-    that zeroes the windows crossing document boundaries. Code =
-    b0*65536 + b1*256 + b2 (big-endian pack, uint32)."""
+def _window_codes(offsets: np.ndarray, data: np.ndarray,
+                  n: int = _N) -> tuple[np.ndarray, np.ndarray]:
+    """All byte n-gram window codes of the flat buffer + a validity
+    mask that zeroes the windows crossing document boundaries. Code =
+    big-endian pack of the window's n bytes (uint32 for trigrams —
+    dense-indexable — uint64 up to n=8)."""
     total = len(data)
-    if total < _N:
-        return np.empty(0, np.uint32), np.empty(0, bool)
-    codes = (data[:-2].astype(np.uint32) << 16) \
-        | (data[1:-1].astype(np.uint32) << 8) | data[2:]
-    valid = np.ones(total - 2, bool)
-    # windows starting in a doc's last N-1 bytes belong to no doc
+    n_win = total - (n - 1)
+    dtype = np.uint32 if n <= 4 else np.uint64
+    if n_win <= 0:
+        return np.empty(0, dtype), np.empty(0, bool)
+    codes = np.zeros(n_win, dtype)
+    for j in range(n):
+        codes |= data[j:j + n_win].astype(dtype) << (8 * (n - 1 - j))
+    valid = np.ones(n_win, bool)
+    # windows starting in a doc's last n-1 bytes belong to no doc
     ends = offsets[1:]
-    for k in range(1, _N):
+    for k in range(1, n):
         pos = ends - k
-        pos = pos[(pos >= 0) & (pos < total - 2)]
+        pos = pos[(pos >= 0) & (pos < n_win)]
         valid[pos] = False
     return codes, valid
 
 
 def _gram_partials(batch: pa.Table, text_col: str, key_col: str,
-                   sample_mod: int) -> pa.Table:
+                   sample_mod: int, n: int = _N) -> pa.Table:
     if sample_mod > 1:
         keys = batch.column(key_col)
         if isinstance(keys, pa.ChunkedArray):
@@ -114,7 +124,7 @@ def _gram_partials(batch: pa.Table, text_col: str, key_col: str,
                 % np.uint64(sample_mod)
         batch = batch.filter(pa.array(kv == 0))
     offsets, data = _flat_utf8(batch.column(text_col))
-    codes, valid = _window_codes(offsets, data)
+    codes, valid = _window_codes(offsets, data, n)
     grams, counts = np.unique(codes[valid], return_counts=True)
     return pa.table({"gram": pa.array(grams.astype(np.int64)),
                      "cnt": pa.array(counts.astype(np.int64))})
@@ -144,33 +154,100 @@ def train_char_lm(ds, *, text_col: str = "text", key_col: str = "doc_id",
     return {"logp": logp, "total": total, "n_grams_distinct": len(grams)}
 
 
+def train_ngram_lm(ds, *, n: int = 5, text_col: str = "text",
+                   key_col: str = "doc_id", sample_mod: int = 1,
+                   prune_min_count: int = 2) -> dict:
+    """Train a byte n-gram LM (n up to 8) stored as a SORTED HASH TABLE
+    with KenLM-style count pruning, instead of the dense array the
+    trigram model uses — 256^5 can't sit dense, but web text's distinct
+    5-grams with count ≥ ``prune_min_count`` fit a (uint64 key, float64
+    logp) pair table at 16 B/gram, bounded by the alphabet's REALIZED
+    n-gram diversity, not 256^n.
+
+    Same distribution shape as `train_char_lm`: per-batch (gram, count)
+    partials (np.unique over packed window codes of the flat buffer,
+    boundary windows masked) → ONE groupby-sum shuffle of tiny pairs →
+    the driver folds the bounded table, prunes, sorts. Smoothing is
+    add-one over the nominal 256^n vocabulary computed from the FULL
+    (pre-prune) total, so pruning only demotes the dropped grams to the
+    OOV probability — kept grams score identically with or without
+    pruning. Scoring plugs into the same `score_char_lm` /
+    `filter_by_lm` / `bucket_by_lm` stages (the scorer dispatches on
+    the model dict's ``keys`` field): lookups are one vectorized
+    `np.searchsorted` membership probe per batch."""
+    if not 2 <= n <= 8:
+        raise ValueError("n must be in [2, 8] (codes pack into uint64)")
+    agg = ds.map_batches(
+        lambda b: _gram_partials(b, text_col, key_col, sample_mod, n),
+        batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("gram").sum("cnt")
+    tbl = agg.to_pandas()       # bounded: ≤ realized distinct n-grams
+    grams = tbl["gram"].to_numpy().astype(np.uint64)
+    counts = tbl["sum(cnt)"].to_numpy().astype(np.int64)
+    total = int(counts.sum())   # full total: smoothing ignores pruning
+    kept = counts >= prune_min_count
+    grams, counts = grams[kept], counts[kept]
+    order = np.argsort(grams, kind="stable")
+    grams, counts = grams[order], counts[order]
+    vocab = float(256) ** n
+    return {"n": n,
+            "keys": np.ascontiguousarray(grams),
+            "logp": np.log((counts + 1) / (total + vocab)),
+            "oov_logp": float(-np.log(total + vocab)),
+            "total": total, "n_grams_distinct": len(grams)}
+
+
 def score_char_lm(ds, model: dict, *, text_col: str = "text",
                   out_col: str = "lm_logprob"):
     """Append ``out_col`` = mean log probability of the document's byte
-    trigrams under `model` (≤ 0; higher = more reference-like; docs
-    shorter than 3 bytes or null score null). The ~128 MB logp array
-    ships to the object store ONCE (ray.put) and maps read-only into
-    every worker."""
+    n-grams under `model` (≤ 0; higher = more reference-like; docs
+    shorter than n bytes or null score null). Accepts BOTH model kinds:
+    the dense trigram array (`train_char_lm`, ~128 MB, fancy-index
+    gather) and the sorted-hash-table n-gram model (`train_ngram_lm`,
+    searchsorted membership probe, misses score OOV). Model arrays ship
+    to the object store ONCE (ray.put) and map read-only into every
+    worker."""
     import ray
 
-    ref = ray.put(model["logp"])
+    hashed = "keys" in model
+    n = int(model.get("n", _N))
+    if hashed:
+        kref = ray.put(model["keys"])
+        vref = ray.put(model["logp"])
+        oov = float(model["oov_logp"])
+    else:
+        ref = ray.put(model["logp"])
 
     class _Scorer:
         def __init__(self):
-            self.logp = ray.get(ref)
+            if hashed:
+                self.keys = ray.get(kref)
+                self.vals = ray.get(vref)
+            else:
+                self.logp = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             offsets, data = _flat_utf8(batch.column(text_col))
-            codes, valid = _window_codes(offsets, data)
-            vals = np.where(valid, self.logp[codes], 0.0)
-            n_tri = np.maximum(np.diff(offsets) - (_N - 1), 0)
+            codes, valid = _window_codes(offsets, data, n)
+            if hashed:
+                if len(self.keys):
+                    pos = np.searchsorted(self.keys, codes)
+                    pos[pos == len(self.keys)] = 0
+                    hit = self.keys[pos] == codes
+                    vals = np.where(hit, self.vals[pos], oov)
+                else:
+                    vals = np.full(len(codes), oov)
+            else:
+                vals = self.logp[codes]
+            vals = np.where(valid, vals, 0.0)
+            n_win = np.maximum(np.diff(offsets) - (n - 1), 0)
             # exact segment sums via cumsum differences — unlike
             # reduceat this is correct when a zero-length (empty or
             # null-text) doc ends the flat buffer
             csum = np.concatenate(([0.0], np.cumsum(vals)))
             e = np.clip(offsets, 0, len(vals))
             sums = csum[e[1:]] - csum[e[:-1]]
-            mean = np.where(n_tri > 0, sums / np.maximum(n_tri, 1),
+            mean = np.where(n_win > 0, sums / np.maximum(n_win, 1),
                             np.nan)
             out = pa.array(mean, pa.float64(), from_pandas=True)
             return batch.append_column(out_col, out)  # NaN → null

@@ -236,3 +236,133 @@ def test_bucket_by_lm_null_lang_gets_null_bucket(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert out.lm_bucket[:10].notna().all()
     assert out.lm_bucket[10:].isna().all()   # no group to rank in
+
+
+# ---- hashed/pruned n-gram model (train_ngram_lm) ----
+
+def _ref_ngram_model(texts, n, prune):
+    counts = {}
+    total = 0
+    for t in texts:
+        if t is None:
+            continue
+        b = t.encode()
+        for i in range(len(b) - (n - 1)):
+            g = b[i:i + n]
+            counts[g] = counts.get(g, 0) + 1
+            total += 1
+    kept = {g: c for g, c in counts.items() if c >= prune}
+    return kept, total
+
+
+def _ref_ngram_score(text, kept, total, n):
+    V = 256.0 ** n
+    b = text.encode() if text is not None else b""
+    if len(b) < n:
+        return None
+    vals = [np.log((kept.get(b[i:i + n], 0) + 1) / (total + V))
+            for i in range(len(b) - (n - 1))]
+    return float(np.mean(vals))
+
+
+@pytest.mark.parametrize("n,prune", [(5, 1), (5, 2), (4, 2), (8, 1)])
+def test_ngram_lm_vs_python_reference_multibyte(ray_session, n, prune):
+    """Hashed n-gram model parity against an independent pure-python
+    reference on MULTI-BYTE utf-8 text (umlauts, CJK, emoji cross the
+    per-byte windows) — training counts, pruning, and per-doc scores."""
+    import ray
+
+    from parquet_rs_ray.ops.lm import train_ngram_lm
+
+    texts = ["der schnelle braune Fuchs läuft über die Straße",
+             "der schnelle braune Hund läuft über die Wiese",
+             "敏捷的棕色狐狸跳过懒狗", "敏捷的棕色狐狸跳过懒猫",
+             "🦊🦊 the fox émigré naïve 🦊", None, "", "ab",
+             "aaaaaaaaaaaaaaaaaaaaaa"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    model = train_ngram_lm(ds, n=n, prune_min_count=prune)
+    kept, total = _ref_ngram_model(texts, n, prune)
+    assert model["total"] == total          # full pre-prune total
+    assert model["n_grams_distinct"] == len(kept)
+    got = score_char_lm(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        want = _ref_ngram_score(t, kept, total, n)
+        if want is None:
+            assert np.isnan(got.lm_logprob[i])
+        else:
+            assert got.lm_logprob[i] == pytest.approx(want, rel=1e-12)
+
+
+def test_ngram_pruning_only_demotes_dropped_grams(ray_session):
+    """Kept grams score identically with and without pruning (the full
+    pre-prune total feeds the smoothing), and the pruned table is
+    strictly smaller."""
+    import ray
+
+    from parquet_rs_ray.ops.lm import train_ngram_lm
+
+    texts = ["common common common phrase", "common common phrase",
+             "one-off singleton line here"]
+    tbl = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    m1 = train_ngram_lm(ds, n=5, prune_min_count=1)
+    m2 = train_ngram_lm(ds, n=5, prune_min_count=2)
+    assert m2["n_grams_distinct"] < m1["n_grams_distinct"]
+    assert m1["total"] == m2["total"]
+    # kept keys of m2 carry the same logp as in m1
+    pos = np.searchsorted(m1["keys"], m2["keys"])
+    assert (m1["keys"][pos] == m2["keys"]).all()
+    assert np.array_equal(m1["logp"][pos], m2["logp"])
+    assert m1["oov_logp"] == m2["oov_logp"]
+
+
+def test_ngram_model_footprint_bounded(ray_session):
+    """The 5-gram table is 16 B per kept gram — a corpus with ~10k
+    distinct 5-grams must produce a model ~6 orders of magnitude below
+    the dense 256^5 representation."""
+    import ray
+
+    from parquet_rs_ray.ops.lm import train_ngram_lm
+
+    rng = np.random.default_rng(7)
+    words = ["".join(rng.choice(list("abcdefgh "), 12)) for _ in range(400)]
+    tbl = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                    "text": pa.array(words, pa.string())})
+    model = train_ngram_lm(ray.data.from_arrow(tbl), n=5,
+                           prune_min_count=1)
+    nbytes = model["keys"].nbytes + model["logp"].nbytes
+    assert nbytes == 16 * model["n_grams_distinct"]
+    assert nbytes < (1 << 20)               # vs 256^5*8 ≈ 8.8 TB dense
+    assert model["keys"].dtype == np.uint64
+    assert (np.diff(model["keys"].view(np.uint64)) > 0).all()  # sorted
+
+
+def test_bucket_by_lm_works_with_hashed_model(ray_session):
+    """bucket_by_lm is model-kind agnostic: head/middle/tail labels from
+    a 5-gram hashed model follow the exact per-group score quantiles."""
+    import ray
+
+    from parquet_rs_ray.ops.lm import bucket_by_lm, train_ngram_lm
+
+    texts = [f"repeated reference phrase number {i % 3}" for i in range(30)]
+    texts += ["zq zq xv xv jj kk totally out of distribution %d" % i
+              for i in range(6)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    model = train_ngram_lm(ds, n=5, prune_min_count=1)
+    out = bucket_by_lm(ds, model).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert set(out.lm_bucket.dropna()) <= {"head", "middle", "tail"}
+    # the OOD docs score lowest → all in the tail bucket
+    assert (out.lm_bucket[30:] == "tail").all()
+    # exact quantile replay
+    s = out.lm_logprob.to_numpy()
+    cuts = np.quantile(s, [1 / 3, 2 / 3], method="inverted_cdf")
+    want = np.where(s < cuts[0], "tail",
+                    np.where(s < cuts[1], "middle", "head"))
+    assert (out.lm_bucket.to_numpy() == want).all()
