@@ -173,12 +173,16 @@ def decode_image_bytes(payload: bytes,
     elif payload[:4] == b"GIF8":
         from .gif import decode_gif
         img = decode_gif(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+        img = decode_webp(payload)       # lossless VP8L decodes for
+        # real; lossy VP8 raises the arithmetic-coder seam inside
     else:
         raise NotImplementedError(
-            "webp/avif/etc. need a codec library (Pillow/OpenCV) that "
-            "is not in this container; PPM/PGM/BMP, JPEG, PNG and GIF "
-            "decode natively, or pass fake=True for the deterministic "
-            "stub")
+            "avif (and other av1-class formats) need a codec library "
+            "(Pillow/OpenCV) that is not in this container; "
+            "PPM/PGM/BMP, JPEG, PNG, GIF and lossless WebP decode "
+            "natively, or pass fake=True for the deterministic stub")
     return np.ascontiguousarray(_resize_nearest(img, target_hw))
 
 
@@ -187,9 +191,10 @@ class DecodeImage:
 
     ``__init__`` holds per-actor state once (target geometry; a real
     codec library would warm here); ``__call__`` decodes a batch.
-    PPM/PGM/BMP, JPEG (baseline + progressive), PNG and GIF payloads
-    decode for REAL (pure-numpy kernels, nearest-neighbor resize);
-    the remaining formats (webp/avif, arithmetic-coded JPEG) raise
+    PPM/PGM/BMP, JPEG (baseline + progressive), PNG, GIF and lossless
+    WebP (VP8L) payloads decode for REAL (pure-numpy kernels,
+    nearest-neighbor resize); the remaining formats (lossy-VP8 webp,
+    avif, arithmetic-coded JPEG — all arithmetic-coder-bound) raise
     ``NotImplementedError`` naming the Pillow/OpenCV seam — unless
     ``fake=True``, which replaces decode with the deterministic
     payload-hash stub for plumbing tests. Output layout is identical

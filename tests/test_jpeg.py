@@ -513,7 +513,9 @@ def test_decode_image_bytes_sniffs_jpeg():
     out = decode_image_bytes(encode_jpeg(img), (20, 28))
     assert out.shape == (20, 28, 3)
     with pytest.raises(NotImplementedError):  # webp stays the seam
-        decode_image_bytes(b"RIFFxxxxWEBPVP8 ", (8, 8))
+        decode_image_bytes(
+            b"RIFF\x10\x00\x00\x00WEBP"
+            b"VP8 \x04\x00\x00\x00\x00\x00\x00\x00", (8, 8))
 
 
 def test_decode_image_pipeline_with_jpeg(ray_session):

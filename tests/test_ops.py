@@ -174,13 +174,14 @@ def test_attach_media_schema():
 
 
 def test_decode_image_stub_gate():
-    # webp/gif remain the codec-library seam (baseline JPEG and
-    # non-interlaced PNG decode natively since r4 — ops/jpeg.py,
-    # ops/png.py — so magic-bytes payloads that are garbage now raise
-    # the decoders' typed errors, not the seam)
+    # lossy-VP8 webp / avif remain the codec-library seam (JPEG, PNG,
+    # GIF and LOSSLESS webp decode natively — ops/jpeg.py, ops/png.py,
+    # ops/gif.py, ops/webp.py — so magic-bytes payloads that are
+    # garbage now raise the decoders' typed errors, not the seam)
     dec = multimodal.DecodeImage(fake=False)
-    webp = pa.table({"media": pa.array([b"RIFFxxxxWEBPVP8 "],
-                                       pa.binary())})
+    webp = pa.table({"media": pa.array(
+        [b"RIFF\x10\x00\x00\x00WEBP"
+         b"VP8 \x04\x00\x00\x00\x00\x00\x00\x00"], pa.binary())})
     with pytest.raises(NotImplementedError):
         dec(webp)
     from parquet_rs_ray.ops.jpeg import JpegError

@@ -204,7 +204,9 @@ def test_decode_image_bytes_sniffs_png():
     out = decode_image_bytes(encode_png(img, color=2), (15, 10))
     assert out.shape == (15, 10, 3)
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"RIFFxxxxWEBPVP8 ", (8, 8))
+        decode_image_bytes(
+            b"RIFF\x10\x00\x00\x00WEBP"
+            b"VP8 \x04\x00\x00\x00\x00\x00\x00\x00", (8, 8))
 
 
 def test_adam7_rgb_roundtrip_bit_exact():
