@@ -306,64 +306,129 @@ def _decode_entropy_image(br: _BitReader, xsize: int, ysize: int,
     groups = [[_read_prefix_code(br, a) for a in alph]
               for _ in range(num_groups)]
 
+    # --- pixel loop: THE codec hot path. The bit buffer and the LUTs
+    # are inlined as plain python ints/lists (same treatment as the
+    # scalar Huffman loops in ops/jpeg.py / ops/gif.py): the
+    # method-call version measured 3x slower on 196k symbol reads.
     total = xsize * ysize
-    out = np.zeros(total, np.uint32)
-    cache = np.zeros(cache_size, np.uint32) if cache_size else None
-    cache_shift = np.uint64(32 - cache_bits) if cache_bits else None
-    g_tree, r_tree, b_tree, a_tree, d_tree = groups[0]
+    outl = [0] * total
+    cache = [0] * cache_size if cache_size else None
+    cshift = 32 - cache_bits if cache_bits else 0
+    hmul = int(_HASH_MUL)
+
+    def _unpack(t):
+        return (t.single, None if t.single >= 0 else t.lut.tolist())
+
+    gtables = [[_unpack(t) for t in g] for g in groups]
+    (g_s, g_l), (r_s, r_l), (b_s, b_l), (a_s, a_l), (d_s, d_l) = gtables[0]
+    data_b = br.data
+    dpos = br.pos
+    bitbuf = br.bitbuf
+    nbits = br.nbits
+    nd = br.n
     cur_group = 0
     pos = 0
     x = 0
-    while pos < total:
-        if meta is not None:
-            gi = int(meta[(pos // xsize) >> meta_bits, x >> meta_bits])
-            if gi != cur_group:
-                cur_group = gi
-                if gi >= num_groups:
-                    raise WebpError("meta prefix index out of range")
-                g_tree, r_tree, b_tree, a_tree, d_tree = groups[gi]
-        s = g_tree.read(br)
-        if s < 256:                      # literal
-            red = r_tree.read(br)
-            blue = b_tree.read(br)
-            alpha = a_tree.read(br)
-            px = (alpha << 24) | (red << 16) | (s << 8) | blue
-            out[pos] = px
-            if cache is not None:
-                cache[int((np.uint64(px) * _HASH_MUL)
-                          & np.uint64(0xFFFFFFFF)) >> int(cache_shift)] = px
-            pos += 1
-            x += 1
-            if x == xsize:
-                x = 0
-        elif s < 280:                    # LZ77 backward reference
-            length = _prefix_value(s - 256, br)
-            dist_code = _prefix_value(d_tree.read(br), br)
-            dist = _plane_distance(dist_code, xsize)
-            if dist > pos or pos + length > total:
-                raise WebpError("LZ77 reference out of bounds")
-            if dist >= length:           # non-overlapping: one slice
-                out[pos:pos + length] = out[pos - dist:pos - dist + length]
-            else:                        # overlapping run: stride copy
-                for i in range(length):
-                    out[pos + i] = out[pos + i - dist]
-            if cache is not None:
-                seg = out[pos:pos + length]
-                idx = ((seg.astype(np.uint64) * _HASH_MUL)
-                       & np.uint64(0xFFFFFFFF)) >> cache_shift
-                cache[idx] = seg
-            pos += length
-            x = pos % xsize
-        else:                            # color cache hit
-            if cache is None:
-                raise WebpError("cache symbol without a color cache")
-            ci = s - 280
-            out[pos] = cache[ci]
-            pos += 1
-            x += 1
-            if x == xsize:
-                x = 0
-    return out
+    try:
+        while pos < total:
+            if meta is not None:
+                gi = int(meta[(pos // xsize) >> meta_bits,
+                              x >> meta_bits])
+                if gi != cur_group:
+                    if gi >= num_groups:
+                        raise WebpError("meta prefix index out of range")
+                    cur_group = gi
+                    ((g_s, g_l), (r_s, r_l), (b_s, b_l), (a_s, a_l),
+                     (d_s, d_l)) = gtables[gi]
+            if g_s >= 0:
+                s = g_s
+            else:
+                if nbits < 15:
+                    while nbits <= 48 and dpos < nd:
+                        bitbuf |= data_b[dpos] << nbits
+                        dpos += 1
+                        nbits += 8
+                e = g_l[bitbuf & 0x7FFF]
+                ln = e & 15
+                if ln == 0:
+                    raise WebpError("invalid prefix code word")
+                bitbuf >>= ln
+                nbits -= ln
+                if nbits < 0:
+                    raise WebpError("truncated VP8L stream")
+                s = e >> 4
+            if s < 256:                  # literal: red, blue, alpha
+                rgb = [0, 0, 0]
+                for ch, (t_s, t_l) in enumerate(
+                        ((r_s, r_l), (b_s, b_l), (a_s, a_l))):
+                    if t_s >= 0:
+                        rgb[ch] = t_s
+                        continue
+                    if nbits < 15:
+                        while nbits <= 48 and dpos < nd:
+                            bitbuf |= data_b[dpos] << nbits
+                            dpos += 1
+                            nbits += 8
+                    e = t_l[bitbuf & 0x7FFF]
+                    ln = e & 15
+                    if ln == 0:
+                        raise WebpError("invalid prefix code word")
+                    bitbuf >>= ln
+                    nbits -= ln
+                    if nbits < 0:
+                        raise WebpError("truncated VP8L stream")
+                    rgb[ch] = e >> 4
+                px = (rgb[2] << 24) | (rgb[0] << 16) | (s << 8) | rgb[1]
+                outl[pos] = px
+                if cache is not None:
+                    cache[((hmul * px) & 0xFFFFFFFF) >> cshift] = px
+                pos += 1
+                x += 1
+                if x == xsize:
+                    x = 0
+            elif s < 280:                # LZ77 backward reference
+                br.pos, br.bitbuf, br.nbits = dpos, bitbuf, nbits
+                length = _prefix_value(s - 256, br)
+                if d_s >= 0:
+                    dsym = d_s
+                else:                    # rare path: plain reader is fine
+                    if br.nbits < 15:
+                        br._fill()
+                    e = d_l[br.bitbuf & 0x7FFF]
+                    ln = e & 15
+                    if ln == 0:
+                        raise WebpError("invalid prefix code word")
+                    br.skip(ln)
+                    dsym = e >> 4
+                dist_code = _prefix_value(dsym, br)
+                dpos, bitbuf, nbits = br.pos, br.bitbuf, br.nbits
+                dist = _plane_distance(dist_code, xsize)
+                if dist > pos or pos + length > total:
+                    raise WebpError("LZ77 reference out of bounds")
+                src = pos - dist
+                if dist >= length:       # non-overlapping: one slice
+                    outl[pos:pos + length] = outl[src:src + length]
+                else:                    # overlapping run
+                    for i in range(length):
+                        outl[pos + i] = outl[src + i]
+                if cache is not None:
+                    for px in outl[pos:pos + length]:
+                        cache[((hmul * px) & 0xFFFFFFFF) >> cshift] = px
+                pos += length
+                x = pos % xsize
+            else:                        # color cache hit
+                if cache is None:
+                    raise WebpError("cache symbol without a color cache")
+                outl[pos] = cache[s - 280]
+                pos += 1
+                x += 1
+                if x == xsize:
+                    x = 0
+    finally:
+        # the parent stream (transforms, sibling images) reads on
+        # after this image: sync the inlined cursor back
+        br.pos, br.bitbuf, br.nbits = dpos, bitbuf, nbits
+    return np.array(outl, np.uint32)
 
 
 # ------------------------------------------------------------ transforms
@@ -372,72 +437,123 @@ def _avg2(a, b):
     return (a.astype(np.uint16) + b) >> 1
 
 
+_T_ONLY_MODES = frozenset((0, 2, 3, 4, 8, 9))   # no left dependency
+
+
 def _inv_predictor(px: np.ndarray, xsize: int, ysize: int,
                    sub: np.ndarray, size_bits: int) -> np.ndarray:
     """Inverse PREDICTOR transform: pixels were stored as deltas from a
-    per-tile-selected prediction of already-reconstructed neighbors, so
-    reconstruction is inherently raster-sequential (row by row, and
-    within a row pixel by pixel for the left-dependent modes)."""
+    per-tile-selected prediction of already-reconstructed neighbors.
+    Reconstruction is row-sequential; WITHIN a row, tiles whose mode
+    depends only on the previous row (0/2/3/4/8/9) reconstruct as one
+    vectorized segment, and only the left-dependent modes fall back to
+    a per-pixel loop over plain python ints (the numpy-scalar-per-pixel
+    version measured ~6 µs/px — this is what made 2 MP images take
+    tens of seconds)."""
     modes = ((sub >> np.uint32(8)) & np.uint32(0xFF)).astype(np.int64)
     mw = _subsample(xsize, size_bits)
+    if int(modes.max()) > 13:
+        raise WebpError(
+            f"predictor mode {int(modes.max())} out of range")
     modes = modes.reshape(-1, mw)
-    img = px.view(np.uint8).reshape(ysize, xsize, 4)   # little-endian BGRA
-    out = img.astype(np.int32)           # reconstruct mod 256 per step
+    res = px.view(np.uint8).reshape(ysize, xsize, 4).astype(np.int32)
+    out = np.empty((ysize, xsize, 4), np.int32)
+    tile = 1 << size_bits
     for y in range(ysize):
-        row = out[y]
+        rrow = res[y]
+        if y == 0:                       # (0,0) black, then L-scan
+            lst = rrow.tolist()
+            p = lst[0]
+            p = [p[0] & 0xFF, p[1] & 0xFF, p[2] & 0xFF,
+                 (p[3] + 255) & 0xFF]    # BGRA opaque black
+            lst[0] = p
+            for x in range(1, xsize):
+                q = lst[x]
+                p = [(q[0] + p[0]) & 0xFF, (q[1] + p[1]) & 0xFF,
+                     (q[2] + p[2]) & 0xFF, (q[3] + p[3]) & 0xFF]
+                lst[x] = p
+            out[y] = lst
+            continue
         mrow = modes[y >> size_bits]
-        for x in range(xsize):
-            if x == 0 and y == 0:
-                pred = np.array([0, 0, 0, 255], np.int32)  # BGRA black
-            elif y == 0:
-                pred = row[x - 1]                          # L
-            elif x == 0:
-                pred = out[y - 1, 0]                       # T
-            else:
-                m = mrow[x >> size_bits]
-                L = row[x - 1]
-                T = out[y - 1, x]
-                TL = out[y - 1, x - 1]
-                # rows are contiguous, so the rightmost column's TR is
-                # the CURRENT row's first pixel (already reconstructed)
-                TR = (out[y - 1, x + 1]
-                      if x + 1 < xsize else row[0])
+        prev = out[y - 1]
+        cur = out[y]
+        # x == 0 is always T-predicted
+        cur[0] = (rrow[0] + prev[0]) & 0xFF
+        x = 1
+        prev_lst = None
+        cur_lst = None
+        while x < xsize:
+            m = int(mrow[x >> size_bits])
+            x_end = min(((x >> size_bits) + 1) * tile, xsize)
+            if m in _T_ONLY_MODES:
+                T = prev[x:x_end]
                 if m == 0:
-                    pred = np.array([0, 0, 0, 255], np.int32)
-                elif m == 1:
-                    pred = L
+                    pred = np.array([[0, 0, 0, 255]], np.int32)
                 elif m == 2:
                     pred = T
-                elif m == 3:
-                    pred = TR
+                elif m == 3 or m == 9:
+                    TR = prev[x + 1:x_end + 1]
+                    if x_end == xsize:   # rightmost TR = cur row's
+                        TR = np.concatenate([TR, cur[0:1]])  # first px
+                    pred = TR if m == 3 else (T + TR) >> 1
                 elif m == 4:
-                    pred = TL
-                elif m == 5:
-                    pred = (((L + TR) >> 1) + T) >> 1
-                elif m == 6:
-                    pred = (L + TL) >> 1
+                    pred = prev[x - 1:x_end - 1]
+                else:                    # 8
+                    pred = (prev[x - 1:x_end - 1] + T) >> 1
+                cur[x:x_end] = (rrow[x:x_end] + pred) & 0xFF
+                cur_lst = None           # list view is stale now
+                x = x_end
+                continue
+            # left-dependent modes: plain-python-int inner loop
+            if prev_lst is None:
+                prev_lst = prev.tolist()
+            if cur_lst is None:
+                cur_lst = cur.tolist()
+            r_lst = rrow[x:x_end].tolist()
+            Lp = cur_lst[x - 1]
+            for i, q in enumerate(r_lst):
+                xx = x + i
+                T = prev_lst[xx]
+                if m == 1:
+                    pred = Lp
                 elif m == 7:
-                    pred = (L + T) >> 1
-                elif m == 8:
-                    pred = (TL + T) >> 1
-                elif m == 9:
-                    pred = (T + TR) >> 1
-                elif m == 10:
-                    pred = (((L + TL) >> 1) + ((T + TR) >> 1)) >> 1
-                elif m == 11:            # Select
-                    p = L + T - TL
-                    pl = np.abs(p - L).sum()
-                    pt = np.abs(p - T).sum()
-                    pred = L if pl < pt else T
-                elif m == 12:
-                    pred = np.clip(L + T - TL, 0, 255)
-                elif m == 13:
-                    ave = (L + T) >> 1
-                    d = ave - TL         # C truncating /2, not floor
-                    pred = np.clip(ave + ((d + (d < 0)) >> 1), 0, 255)
+                    pred = [(Lp[0] + T[0]) >> 1, (Lp[1] + T[1]) >> 1,
+                            (Lp[2] + T[2]) >> 1, (Lp[3] + T[3]) >> 1]
                 else:
-                    raise WebpError(f"predictor mode {m} out of range")
-            row[x] = (row[x] + pred) & 0xFF
+                    TL = prev_lst[xx - 1]
+                    TR = (prev_lst[xx + 1] if xx + 1 < xsize
+                          else cur_lst[0])
+                    if m == 5:
+                        pred = [((((Lp[c] + TR[c]) >> 1) + T[c]) >> 1)
+                                for c in range(4)]
+                    elif m == 6:
+                        pred = [(Lp[c] + TL[c]) >> 1 for c in range(4)]
+                    elif m == 10:
+                        pred = [((((Lp[c] + TL[c]) >> 1)
+                                  + ((T[c] + TR[c]) >> 1)) >> 1)
+                                for c in range(4)]
+                    elif m == 11:        # Select
+                        pl = pt = 0
+                        for c in range(4):
+                            pc = Lp[c] + T[c] - TL[c]
+                            pl += abs(pc - Lp[c])
+                            pt += abs(pc - T[c])
+                        pred = Lp if pl < pt else T
+                    elif m == 12:
+                        pred = [min(255, max(0, Lp[c] + T[c] - TL[c]))
+                                for c in range(4)]
+                    else:                # 13 (C truncating /2)
+                        pred = []
+                        for c in range(4):
+                            ave = (Lp[c] + T[c]) >> 1
+                            d = ave - TL[c]
+                            pred.append(min(255, max(
+                                0, ave + ((d + (d < 0)) >> 1))))
+                Lp = [(q[0] + pred[0]) & 0xFF, (q[1] + pred[1]) & 0xFF,
+                      (q[2] + pred[2]) & 0xFF, (q[3] + pred[3]) & 0xFF]
+                cur_lst[xx] = Lp
+            cur[x:x_end] = cur_lst[x:x_end]
+            x = x_end
     return np.ascontiguousarray(out.astype(np.uint8)).reshape(-1, 4) \
         .copy().view(np.uint32).ravel()
 

@@ -206,29 +206,42 @@ def _resync_member(f, start: int, end: int,
     base = start                       # abs offset of buf[0]
     eof = False
     pos = 0                            # scan cursor within buf
-    while True:
+    while base + pos < end:            # candidates must START before end
         # keep ~one chunk of scannable bytes plus a probe window; the
-        # window SLIDES (bounded memory on member-less gigabyte ranges)
+        # window SLIDES on every advance (bounded memory on member-less
+        # AND on spoof-dense gigabyte ranges)
         while not eof and len(buf) < pos + chunk_size + probe:
             raw = f.read(chunk_size)
             if not raw:
                 eof = True
                 break
             buf += raw
+        limit = min(len(buf), pos + chunk_size)     # this window's span
         idx = buf.find(_GZ_MEMBER_MAGIC, pos,
-                       pos + chunk_size + len(_GZ_MEMBER_MAGIC) - 1)
-        if idx < 0 or base + idx >= end:
-            if idx >= 0 or eof or base + len(buf) - 2 >= end:
-                return None            # first candidate past end / EOF
-            # slide: keep 2 trailing bytes for a straddling magic
-            scanned = min(pos + chunk_size, len(buf) - 2)
-            buf = buf[scanned:]
-            base += scanned
+                       limit + len(_GZ_MEMBER_MAGIC) - 1)
+        if idx < 0:
+            if eof and limit >= len(buf):
+                return None            # scanned to end of file
+            # advance the SCAN CURSOR only to what was actually
+            # scanned (keep 2 bytes for a straddling magic) — never
+            # declare the range exhausted on buffer coverage alone
+            new_pos = max(limit - 2, pos)
+            if new_pos == pos and eof:
+                return None
+            base += new_pos
+            buf = buf[new_pos:]
             pos = 0
             continue
+        if base + idx >= end:
+            return None                # first candidate is past end
         if _member_probe_ok(buf[idx:idx + probe]):
             return base + idx
         pos = idx + 1
+        if pos > chunk_size:           # trim after failed probes too
+            base += pos
+            buf = buf[pos:]
+            pos = 0
+    return None
 
 
 def _member_chunks_range(f, start: int, end: int,
@@ -244,15 +257,11 @@ def _member_chunks_range(f, start: int, end: int,
     f.seek(pos)
     fed_end = pos                      # abs offset just past bytes fed
     d = zlib.decompressobj(wbits=31)
-    pending = b""
     while True:
-        if pending:
-            raw, pending = pending, b""
-        else:
-            raw = f.read(chunk_size)
-            if not raw:
-                break
-            fed_end += len(raw)
+        raw = f.read(chunk_size)
+        if not raw:
+            break
+        fed_end += len(raw)
         while raw:
             try:
                 out = d.decompress(raw)
@@ -454,7 +463,9 @@ def _read_warc_split(paths, *, split_target_bytes: int, record_types,
     pathological 100 GB crawl file spreads across a cluster the way
     container decodes do (job.decode_job's (file, slot) pattern) —
     the CC one-member-per-record gzip layout makes any byte offset
-    resync-able without a stored index or a first pass."""
+    resync-able without a stored index or a first pass. LOCAL paths
+    only (descriptors are sized with os.path.getsize and opened with
+    open(); the engine's whole IO layer shares this constraint)."""
     import os
 
     import ray
@@ -488,10 +499,17 @@ def read_warc(paths, *, record_types: tuple[str, ...] | None = ("response",),
     splits into ~that many compressed bytes per task via gzip-member
     resync (leave None for normal ~1 GiB CC shards, where 1 file = 1
     task is the right grain; set it when a few giant files would
-    otherwise serialize the read)."""
+    otherwise serialize the read). The split path takes LOCAL file
+    paths and no datasource read_args — both raise loudly rather than
+    being silently ignored."""
     import ray
 
     if split_target_bytes:
+        if read_args:
+            raise TypeError(
+                "split_target_bytes reads via byte-range descriptors, "
+                f"not a datasource; read_args {sorted(read_args)} "
+                "would be silently ignored — drop them or drop the split")
         return _read_warc_split(paths,
                                 split_target_bytes=split_target_bytes,
                                 record_types=record_types,
@@ -509,6 +527,11 @@ def read_wet(paths, *, split_target_bytes: int | None = None, **read_args):
     import ray
 
     if split_target_bytes:
+        if read_args:
+            raise TypeError(
+                "split_target_bytes reads via byte-range descriptors, "
+                f"not a datasource; read_args {sorted(read_args)} "
+                "would be silently ignored — drop them or drop the split")
         return _read_warc_split(paths,
                                 split_target_bytes=split_target_bytes,
                                 record_types=("conversion",),

@@ -316,3 +316,46 @@ def test_read_warc_split_matches_unsplit(ray_session, tmp_path):
     assert split.equals(unsplit)
     # the giant file genuinely fanned out to >1 descriptor
     assert os.path.getsize(paths[0]) > 2 * 2048
+
+
+def test_resync_scans_past_buffer_coverage(tmp_path):
+    """Regression (review finding): a member >1 MiB compressed whose
+    END lies deep inside a slot's range must not make the slot return
+    'no members here' just because the probe window already buffered
+    the range — the scan cursor, not buffer coverage, decides
+    exhaustion. Coverage must stay exact-once for every split."""
+    import os as _os
+    import zlib as _zlib
+
+    from parquet_rs_ray.warc import http_response, iter_warc_tables_range
+
+    # one INCOMPRESSIBLE big record (~1.2 MiB compressed) + small ones
+    import numpy as _np
+    big_body = _np.random.default_rng(33).integers(
+        0, 256, 1_200_000, dtype=_np.uint8).tobytes()
+    recs = [{"warc_type": "response", "url": "https://ex.com/big",
+             "date": "2020-01-02T03:04:05Z",
+             "content_type": "application/http; msgtype=response",
+             "payload": http_response(big_body)}]
+    recs += _recs(10)
+    p = str(tmp_path / "bigmember.warc.gz")
+    write_warc(p, recs, gzip_per_record=True)
+    size = _os.path.getsize(p)
+    assert size > (1 << 20)              # member 0 alone exceeds chunk
+    for k in (2, 3, 5):
+        urls = []
+        for i in range(k):
+            s, e = size * i // k, size * (i + 1) // k
+            with open(p, "rb") as f:
+                for tbl in iter_warc_tables_range(
+                        f, s, e, record_types=None, strip_http=False,
+                        payload_as_text=False):
+                    urls.extend(tbl.column("url").to_pylist())
+        assert sorted(urls) == sorted(r["url"] for r in recs), k
+        assert len(urls) == len(recs)
+
+
+def test_split_rejects_read_args():
+    with pytest.raises(TypeError):
+        read_warc(["/tmp/x.warc.gz"], split_target_bytes=1024,
+                  override_num_blocks=4)
