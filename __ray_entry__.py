@@ -897,6 +897,30 @@ def _lm_score_5gram_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _bpe_tokenize_documents(sf_dir: str):
+    """Byte-level BPE tokenizer trained ON the corpus then applied to
+    count tokens per document (ops/bpe.py): training is one (word,
+    count) partials → groupby-sum shuffle plus a driver-side
+    lazy-deletion-heap merge loop over the bounded word-frequency
+    table (the corpus text never shuffles); apply broadcasts the merge
+    table once and tokenizes per DISTINCT batch word through a
+    persistent per-actor cache, all per-doc steps vectorized
+    (dictionary_encode + bincount segment sums). Deterministic
+    (max-count, smallest-pair tie-break over the partition-invariant
+    word-freq table) but not SQL-expressible — rows-only; merge-table
+    parity vs an independent naive trainer plus greedy≡training-order
+    apply equivalence are pinned by tests/test_bpe.py."""
+    import ray
+    from parquet_rs_ray.ops.bpe import tokenize_bpe, train_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    model = train_bpe(ds, num_merges=200, prune_min_count=2)
+    return tokenize_bpe(ds, model).map_batches(
+        lambda b: b.select(["doc_id", "n_tokens_bpe"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _corpus_report_documents(sf_dir: str):
     """Per-language corpus profile (ops/textstats.py::corpus_report):
     three fully distributed aggregates (vectorized per-batch combine →
@@ -1544,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["warc_ingest_documents"] = _warc_ingest_documents
     q["lm_score_documents"] = _lm_score_documents
     q["lm_score_5gram_documents"] = _lm_score_5gram_documents
+    q["bpe_tokenize_documents"] = _bpe_tokenize_documents
     q["lm_bucket_documents"] = _lm_bucket_documents
     q["dup_span_stats_documents"] = _dup_span_stats_documents
     q["dedup_spans_documents"] = _dedup_spans_documents
