@@ -1,8 +1,12 @@
 """JPEG decode in pure numpy — no codec library.
 
 Covers the formats that dominate web image payloads: baseline
-sequential DCT (SOF0/1) AND progressive DCT (SOF2), 8-bit,
-Huffman-coded (ITU-T T.81 annex F resp. G.2), grayscale or YCbCr with
+sequential DCT (SOF0/1) AND progressive DCT (SOF2), 8-bit and 12-bit
+precision (extended sequential: 16-bit DQT entries, DC categories to
+15, native-range reconstruction round-shifted to the uint8 contract),
+Huffman-coded (ITU-T T.81 annex F resp. G.2), grayscale, YCbCr, and
+4-component CMYK/YCCK via the Adobe APP14 transform flag
+(Adobe-inverted samples, white-composite display conversion), with
 any of the common sampling factors (4:4:4, 4:2:2, 4:2:0), interleaved
 and non-interleaved (multi-scan) component layout, spectral selection
 + successive approximation (DC/AC first and refinement scans, EOB-run
@@ -11,8 +15,8 @@ decode is a scalar loop with a 16-bit prefix LUT per Huffman table
 (Huffman is inherently sequential); everything after it — dequantize,
 dezigzag, IDCT, upsample, color convert — is vectorized numpy over
 all blocks at once. This is the correctness kernel behind the
-multimodal seam (`DecodeImage`): arithmetic-coded, hierarchical,
-12-bit and CMYK streams still raise the named ``NotImplementedError``
+multimodal seam (`DecodeImage`): arithmetic-coded, hierarchical and
+lossless streams still raise the named ``NotImplementedError``
 seam, and a production deployment would swap in a codec library for
 throughput; the Ray-side plumbing is identical either way. Measured:
 ~35 ms per 4:2:0 224×224 baseline image (~30 img/s/core; 68 ms at
@@ -161,15 +165,19 @@ def _unstuff(data: bytes) -> tuple[list[bytes], int]:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline or progressive JPEG to an (h, w, 3) uint8 RGB
-    array (grayscale replicates into 3 channels). Raises ``JpegError``
-    for malformed streams and ``NotImplementedError`` (the codec seam)
-    for arithmetic/hierarchical/12-bit/CMYK variants."""
+    array (grayscale replicates into 3 channels; 12-bit samples
+    round-shift to 8 bits; 4-component CMYK/YCCK converts through the
+    Adobe APP14 transform — stored values are Adobe-inverted per the
+    de-facto convention). Raises ``JpegError`` for malformed streams
+    and ``NotImplementedError`` (the codec seam) for
+    arithmetic/hierarchical/lossless variants."""
     if payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG payload (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
+    adobe_transform = None      # APP14: 0=CMYK/RGB, 1=YCbCr, 2=YCCK
     restart_interval = 0
     scans_done = 0
     i = 2
@@ -201,13 +209,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 15
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables (12-bit JPEG) need a "
-                        "codec library")
-                qt[tq] = np.frombuffer(
-                    seg, np.uint8, 64, p + 1).astype(np.int32)
-                p += 65
+                if pq == 0:             # 8-bit entries
+                    qt[tq] = np.frombuffer(
+                        seg, np.uint8, 64, p + 1).astype(np.int32)
+                    p += 65
+                elif pq == 1:           # 16-bit entries (12-bit frames)
+                    qt[tq] = np.frombuffer(
+                        seg, ">u2", 64, p + 1).astype(np.int32)
+                    p += 129
+                else:
+                    raise JpegError(f"bad DQT precision {pq}")
         elif marker == 0xC4:  # DHT — may hold several tables
             p = 0
             while p < len(seg):
@@ -220,21 +231,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = seg[0]
-            if prec != 8:
-                raise NotImplementedError(
-                    f"{prec}-bit JPEG needs a codec library")
+            if prec not in (8, 12):
+                raise JpegError(f"bad sample precision {prec}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
-            if nc not in (1, 3):
-                raise NotImplementedError(
-                    f"{nc}-component JPEG (CMYK?) needs a codec library")
+            if nc not in (1, 3, 4):
+                raise JpegError(f"unsupported component count {nc}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
             # persistent coefficient planes (zigzag order), MCU-padded
             hmax = max(c["h"] for c in comps)
@@ -258,6 +267,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "natively)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]   # APP14 color-transform flag
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
@@ -280,14 +291,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # APPn / COM / others: skipped
     if frame is None or scans_done == 0:
         raise JpegError("no scan data (missing SOS)")
-    return _reconstruct(frame, qt)
+    return _reconstruct(frame, qt, adobe_transform)
 
 
-def _decode_block_seq(br, blk, dct, act, pred, cid):
+def _decode_block_seq(br, blk, dct, act, pred, cid, dc_cap):
     """Sequential DC+AC block decode (T.81 F.2.2)."""
     s = _decode_sym(br, dct)
-    if s > 11:
-        raise JpegError("DC magnitude > 11")
+    if s > dc_cap:
+        raise JpegError(f"DC magnitude > {dc_cap}")
     diff = _extend(br.receive(s), s) if s else 0
     pred[cid] += diff
     blk[0] = pred[cid]
@@ -383,6 +394,8 @@ def _entropy_scan(frame, scan_comps, ss, se, ah, al, huff_dc, huff_ac,
     single-component) and all four progressive scan kinds."""
     progressive = frame["progressive"]
     mcux = frame["mcux"]
+    # T.81 F.1.2.1.1: DC difference categories 0–11 at 8-bit, 0–15 at 12
+    dc_cap = 11 if frame["prec"] == 8 else 15
     if progressive:
         dc_scan = ss == 0
         if dc_scan and se != 0:
@@ -438,11 +451,12 @@ def _entropy_scan(frame, scan_comps, ss, se, ah, al, huff_dc, huff_ac,
                            comp["coef"][by * comp["bw"] + bx])]
             for comp, dct, act, blk in blocks:
                 if not progressive:
-                    _decode_block_seq(br, blk, dct, act, pred, comp["id"])
+                    _decode_block_seq(br, blk, dct, act, pred,
+                                      comp["id"], dc_cap)
                 elif dc_scan and not refine:
                     s = _decode_sym(br, dct)
-                    if s > 11:
-                        raise JpegError("DC magnitude > 11")
+                    if s > dc_cap:
+                        raise JpegError(f"DC magnitude > {dc_cap}")
                     diff = _extend(br.receive(s), s) if s else 0
                     pred[comp["id"]] += diff
                     blk[0] = pred[comp["id"]] << al
@@ -460,11 +474,24 @@ def _entropy_scan(frame, scan_comps, ss, se, ah, al, huff_dc, huff_ac,
             f"truncated entropy stream: {unit}/{n_units} units decoded")
 
 
-def _reconstruct(frame, qt) -> np.ndarray:
+def _ycc_to_rgb(y, cb, cr, half):
+    cb = cb - half
+    cr = cr - half
+    return np.stack([y + 1.402 * cr,
+                     y - 0.344136 * cb - 0.714136 * cr,
+                     y + 1.772 * cb], axis=2)
+
+
+def _reconstruct(frame, qt, adobe_transform) -> np.ndarray:
     """Batched inverse path over the accumulated coefficient planes:
-    dequantize → dezigzag → IDCT → level shift → upsample → RGB."""
+    dequantize → dezigzag → IDCT → level shift → upsample → color
+    convert. 12-bit samples reconstruct in their native range, then
+    round-shift to 8 bits for the uint8 contract."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax, vmax, mcuy = frame["hmax"], frame["vmax"], frame["mcuy"]
+    prec = frame["prec"]
+    half = float(1 << (prec - 1))
+    maxval = float((1 << prec) - 1)
     planes = []
     for c in comps:
         if c["tq"] not in qt:
@@ -474,7 +501,7 @@ def _reconstruct(frame, qt) -> np.ndarray:
         blocks[:, _ZIGZAG] = deq            # zigzag -> raster
         blocks = blocks.reshape(-1, 8, 8).astype(np.float64)
         pix = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A,
-                        optimize=True) + 128.0
+                        optimize=True) + half
         bh = mcuy * c["v"]
         plane = pix.reshape(bh, c["bw"], 8, 8).transpose(0, 2, 1, 3) \
             .reshape(bh * 8, c["bw"] * 8)
@@ -485,12 +512,27 @@ def _reconstruct(frame, qt) -> np.ndarray:
         planes.append(plane)
 
     if len(planes) == 1:
-        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2)
-    y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    rgb = np.stack([y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+    elif len(planes) == 3:
+        rgb = _ycc_to_rgb(*planes, half)
+    else:                                   # 4-component CMYK family
+        # Adobe convention: stored samples are INVERTED ink values
+        # (stored = maxval − ink); transform 2 (YCCK) additionally runs
+        # the stored C'M'Y' through the YCbCr transform. Either way the
+        # composite against white is R = stored_C · stored_K / maxval
+        # (= maxval·(1−c)(1−k)), the libjpeg/Ghostscript display path.
+        if adobe_transform == 2:
+            cmy = _ycc_to_rgb(planes[0], planes[1], planes[2], half)
+        elif adobe_transform in (None, 0):
+            cmy = np.stack(planes[:3], axis=2)
+        else:
+            raise JpegError(
+                f"APP14 transform {adobe_transform} is invalid for a "
+                "4-component frame")
+        k = np.clip(planes[3], 0.0, maxval)
+        rgb = np.clip(cmy, 0.0, maxval) * (k / maxval)[:, :, None]
+    if prec == 8:
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    # 12-bit: round in the native range first, then round-shift to 8
+    v = np.clip(np.rint(rgb), 0, maxval).astype(np.int32)
+    return np.minimum((v + 8) >> 4, 255).astype(np.uint8)

@@ -66,21 +66,35 @@ def _build_tables(used: set[int]):
     return bytes(counts), bytes(syms), codes
 
 
-def _prepare_blocks(img: np.ndarray, subsample: bool, qval: int):
+def _rgb_to_ycc(f: np.ndarray, half: float):
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = half - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = half + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [y, cb, cr]
+
+
+def _prepare_blocks(img: np.ndarray, subsample: bool, qval: int,
+                    prec: int = 8, transform: int | None = None):
     """FDCT + quantize + zigzag shared by both test encoders; returns
-    (comp_blocks, h, w, qt, mcux, mcuy, hmax, vmax)."""
+    (comp_blocks, h, w, qt, mcux, mcuy, hmax, vmax). 4-channel input
+    is stored-domain (Adobe-inverted) CMYK; transform=2 routes the
+    C'M'Y' channels through the YCbCr transform (YCCK)."""
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    half = float(1 << (prec - 1))
     if gray:
         planes = [img.astype(np.float64)]
         samps = [(1, 1)]
-    else:
+    elif img.shape[2] == 4:
         f = img.astype(np.float64)
-        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        planes = [y, cb, cr]
+        cmy = (_rgb_to_ycc(f[:, :, :3], half) if transform == 2
+               else [f[:, :, 0], f[:, :, 1], f[:, :, 2]])
+        planes = cmy + [f[:, :, 3]]
+        samps = [(2, 2), (1, 1), (1, 1), (2, 2)] if subsample else \
+            [(1, 1)] * 4
+    else:
+        planes = _rgb_to_ycc(img.astype(np.float64), half)
         samps = [(2, 2), (1, 1), (1, 1)] if subsample else \
             [(1, 1), (1, 1), (1, 1)]
     hmax = max(s[0] for s in samps)
@@ -101,7 +115,7 @@ def _prepare_blocks(img: np.ndarray, subsample: bool, qval: int):
             pad = pad.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
         bh, bw = mcuy * cv, mcux * ch
         blocks = pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) \
-            .reshape(-1, 8, 8) - 128.0
+            .reshape(-1, 8, 8) - half
         coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A, optimize=True)
         q = np.rint(coef.reshape(-1, 64) / qt).astype(np.int64)
         zz = np.zeros_like(q)
@@ -112,11 +126,16 @@ def _prepare_blocks(img: np.ndarray, subsample: bool, qval: int):
 
 
 def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
-                restart_interval: int = 0, qval: int = 4) -> bytes:
-    """Baseline JPEG encoder (test oracle). ``img`` is (h, w, 3) uint8
-    RGB or (h, w) grayscale; ``subsample`` uses 4:2:0 luma 2×2."""
+                restart_interval: int = 0, qval: int = 4,
+                prec: int = 8, transform: int | None = None) -> bytes:
+    """Baseline/extended-sequential JPEG encoder (test oracle). ``img``
+    is (h, w, 3) RGB, (h, w) grayscale, or (h, w, 4) stored-domain
+    CMYK (``transform`` 0 or 2 selects plain CMYK vs YCCK and emits
+    the Adobe APP14 marker); ``prec=12`` writes an SOF1 frame with
+    16-bit DQT entries over uint16 samples in [0, 4095];
+    ``subsample`` uses 4:2:0 luma 2×2."""
     comp_blocks, h, w, qt, mcux, mcuy, hmax, vmax = \
-        _prepare_blocks(img, subsample, qval)
+        _prepare_blocks(img, subsample, qval, prec, transform)
 
     def tokens():
         """(class, tid, symbol, magnitude, magbits) in scan order; DC
@@ -179,14 +198,23 @@ def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
     body += bw_.out
 
     out = bytearray(b"\xff\xd8")
-    dqt_zz = bytes(int(qt[_ZIGZAG[k]]) for k in range(64))
-    out += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + dqt_zz
     nc = len(comp_blocks)
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+    if nc == 4:
+        app14 = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform or 0])
+        out += b"\xff\xee" + (2 + len(app14)).to_bytes(2, "big") + app14
+    if prec == 8:
+        dqt_zz = bytes(int(qt[_ZIGZAG[k]]) for k in range(64))
+        out += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + dqt_zz
+    else:
+        dqt_zz = b"".join(int(qt[_ZIGZAG[k]]).to_bytes(2, "big")
+                          for k in range(64))
+        out += b"\xff\xdb" + (2 + 129).to_bytes(2, "big") + b"\x10" + dqt_zz
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([nc])
     for ci, (_z, ch, cv, _b) in enumerate(comp_blocks):
         sof += bytes([ci + 1, (ch << 4) | cv, 0])
-    out += b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+    sof_marker = b"\xff\xc0" if prec == 8 else b"\xff\xc1"
+    out += sof_marker + (2 + len(sof)).to_bytes(2, "big") + sof
     for (cls, tid), (counts, syms, _c) in sorted(tables.items()):
         seg = bytes([(cls << 4) | tid]) + counts + syms
         out += b"\xff\xc4" + (2 + len(seg)).to_bytes(2, "big") + seg
@@ -555,6 +583,67 @@ def test_progressive_equals_baseline_property(data, hw, subsample, qval):
     prog = decode_jpeg(
         encode_progressive_jpeg(img, subsample=subsample, qval=qval))
     assert (prog == base).all()
+
+
+def test_roundtrip_12bit_grayscale_and_color():
+    """12-bit extended sequential (SOF1, 16-bit DQT, DC cats >11):
+    decode reconstructs in the native range then round-shifts to the
+    uint8 contract — compare against the same shift of the source."""
+    rng = np.random.default_rng(30)
+    yy, xx = np.mgrid[0:40, 0:56]
+    g12 = np.clip(2048 + 1500 * np.sin(xx / 15) * np.cos(yy / 19)
+                  + rng.normal(0, 20, (40, 56)), 0, 4095).astype(np.uint16)
+    got = decode_jpeg(encode_jpeg(g12, prec=12, qval=8))
+    want8 = np.minimum((g12.astype(np.int32) + 8) >> 4, 255)
+    assert got.dtype == np.uint8 and got.shape == (40, 56, 3)
+    assert _psnr(np.repeat(want8[:, :, None], 3, 2), got) > 32
+    c12 = np.stack([np.clip(2048 + 1500 * np.sin(xx / (13 + 4 * c))
+                            * np.cos(yy / (17 + 3 * c)), 0, 4095)
+                    for c in range(3)], axis=2).astype(np.uint16)
+    got = decode_jpeg(encode_jpeg(c12, prec=12, qval=8))
+    want8 = np.minimum((c12.astype(np.int32) + 8) >> 4, 255)
+    assert _psnr(want8, got) > 30
+
+
+def test_roundtrip_cmyk_and_ycck():
+    """4-component Adobe CMYK (transform 0) and YCCK (transform 2):
+    the decoder composites stored-domain samples against white
+    (R = C'·K'/255). Both transforms must land on the same RGB."""
+    rng = np.random.default_rng(31)
+    yy, xx = np.mgrid[0:48, 0:40]
+    cmyk = np.stack([np.clip(128 + 100 * np.sin(xx / (11 + 3 * c))
+                             * np.cos(yy / (14 + 2 * c))
+                             + rng.normal(0, 2, (48, 40)), 0, 255)
+                     for c in range(4)], axis=2).astype(np.uint8)
+    want = np.clip(np.rint(
+        cmyk[:, :, :3].astype(np.float64)
+        * (cmyk[:, :, 3:].astype(np.float64) / 255.0)), 0, 255)
+    got_cmyk = decode_jpeg(encode_jpeg(cmyk, transform=0))
+    got_ycck = decode_jpeg(encode_jpeg(cmyk, transform=2))
+    assert got_cmyk.shape == (48, 40, 3)
+    assert _psnr(want, got_cmyk) > 32, _psnr(want, got_cmyk)
+    assert _psnr(want, got_ycck) > 32, _psnr(want, got_ycck)
+    assert _psnr(got_cmyk, got_ycck) > 35   # same image, two routes
+
+
+def test_cmyk_subsampled_and_restart():
+    rng = np.random.default_rng(32)
+    cmyk = np.clip(rng.normal(128, 30, (32, 48, 4)), 0, 255) \
+        .astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(cmyk, transform=2))
+    sub = decode_jpeg(encode_jpeg(cmyk, transform=2, subsample=True))
+    assert sub.shape == base.shape
+    rst = decode_jpeg(encode_jpeg(cmyk, transform=2, restart_interval=2))
+    assert (rst == base).all()
+
+
+def test_bad_app14_transform_raises():
+    cmyk = np.full((16, 16, 4), 128, np.uint8)
+    enc = bytearray(encode_jpeg(cmyk, transform=0))
+    i = enc.index(b"Adobe")
+    enc[i + 11] = 1                 # YCbCr flag invalid for 4 comps
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(enc))
 
 
 def test_jpeg_fill_bytes_before_markers():
