@@ -921,6 +921,37 @@ def _bpe_tokenize_documents(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pagerank_hosts_documents(sf_dir: str):
+    """Host-level PageRank (ops/graph.py::pagerank) over a
+    deterministic link graph derived from the documents table: each
+    document contributes one edge source → hub_{doc_id·7 mod 13} (13
+    hub hosts, realistic in-degree skew). All arithmetic is fixed-point
+    int64 with rational damping, so the result is bit-identical across
+    regimes, partitionings and runs — broadcast ≡ join regime equality
+    and exact parity vs a dense numpy replica are pinned by
+    tests/test_pagerank.py; rows-only here (iterative, not
+    SQL-expressible in one statement)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from parquet_rs_ray.ops.graph import pagerank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    import numpy as np
+    hubs = pa.array([f"hub{i}.net" for i in range(13)])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hub = hubs.take(pa.array(((did * 7) % 13).astype(np.int32)))
+        return pa.table({"src": b.column("source"), "dst": hub})
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return pagerank(edges, num_iters=10)
+
+
 def _corpus_report_documents(sf_dir: str):
     """Per-language corpus profile (ops/textstats.py::corpus_report):
     three fully distributed aggregates (vectorized per-batch combine →
@@ -1569,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lm_score_documents"] = _lm_score_documents
     q["lm_score_5gram_documents"] = _lm_score_5gram_documents
     q["bpe_tokenize_documents"] = _bpe_tokenize_documents
+    q["pagerank_hosts_documents"] = _pagerank_hosts_documents
     q["lm_bucket_documents"] = _lm_bucket_documents
     q["dup_span_stats_documents"] = _dup_span_stats_documents
     q["dedup_spans_documents"] = _dedup_spans_documents

@@ -1,4 +1,5 @@
-"""Distributed connected components + duplicate-cluster assignment.
+"""Distributed link-graph ops: connected components, duplicate
+clusters, and host-level PageRank.
 
 Near-dedup (`ops/dedup.py::near_dedup`) DROPS the larger key of every
 verified duplicate pair, which is the right call for corpus pruning but
@@ -148,6 +149,212 @@ def connected_components(edges, *, nodes=None, key_col: str = "node",
     raise RuntimeError(
         f"connected_components: no fixpoint after {max_iters} rounds "
         f"(graph diameter exceeds max_iters; raise max_iters)")
+
+
+_PR_SCALE = 10 ** 15        # fixed-point rank unit (fits float64 exactly)
+
+
+def _pr_node_degrees(edges, src_col: str, dst_col: str):
+    """ONE shuffle builds the node universe AND out-degrees: per-batch
+    partials emit (node, out=count) for distinct srcs and (node, 0)
+    for distinct dsts, then groupby-sum."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks() \
+            if isinstance(b.column(src_col), pa.ChunkedArray) \
+            else b.column(src_col)
+        d = b.column(dst_col).combine_chunks() \
+            if isinstance(b.column(dst_col), pa.ChunkedArray) \
+            else b.column(dst_col)
+        sv = s.value_counts()
+        du = pc.unique(d)
+        return pa.table({
+            "node": pa.concat_arrays([sv.field("values"), du]),
+            "out": pa.concat_arrays([
+                sv.field("counts").cast(pa.int64()),
+                pa.array(np.zeros(len(du), np.int64))])})
+
+    return edges.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("node").sum("out")
+
+
+def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, num_iters: int = 20,
+             mode: str = "auto", broadcast_budget_bytes: int | None = None,
+             num_partitions: int | None = None):
+    """PageRank over a directed edge Dataset (``src_col`` → ``dst_col``,
+    any key type; parallel edges count once per occurrence). Returns a
+    Dataset ``(node, pagerank)`` over every node appearing as a source
+    or destination. Dangling (zero-out-degree) mass redistributes
+    uniformly; ``num_iters`` fixed power iterations (the web-graph
+    standard; convergence tests belong to the caller's tolerance).
+
+    DETERMINISM: all arithmetic is fixed-point int64 (rank unit
+    ``1e-15``, damping as the rational round(damping·1000)/1000, per-
+    edge round-half-up division) — grouped sums become associative, so
+    the result is bit-identical across regimes, partitionings and
+    runs, and the pytest oracle replays it exactly in dense numpy.
+
+    Regimes (``ops/regime.py``; probe = the (node, out_degree)
+    aggregate both plans need): **broadcast** holds the rank vector on
+    the driver, each iteration is one map_batches over the (once-
+    materialized) edges emitting (dst, contrib) partials + one tiny
+    groupby-sum; **join** keeps ranks as a Dataset — per iteration one
+    hash join (edges ⋈ ranks on src), one groupby-sum union'd with the
+    node universe (so no-inbound nodes keep a row; no outer join), and
+    one scalar dangling aggregate. K iterations ⇒ K small shuffles
+    either way; the edge set shuffles only in join mode.
+
+    Reference anchor: extension beyond parquet-rs (SURVEY §2 training-
+    data family) — the Common-Crawl-style host-rank signal used for
+    corpus quality weighting."""
+    import pyarrow.compute as pc
+    import ray
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if num_iters < 0:
+        raise ValueError("num_iters must be >= 0")
+    d_num = int(round(damping * 1000))
+    d_den = 1000
+
+    from .regime import pick_regime
+    node_deg = _pr_node_degrees(edges, src_col, dst_col)
+    if mode == "auto":
+        mode, node_deg = pick_regime(node_deg, broadcast_budget_bytes)
+    elif mode in ("broadcast", "join"):
+        node_deg = node_deg.materialize()
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if mode == "broadcast":
+        nd = pa.concat_tables(list(node_deg.iter_batches(
+            batch_format="pyarrow", batch_size=None))).combine_chunks()
+        order = pc.sort_indices(nd.column("node"))
+        nodes = nd.column("node").take(order).combine_chunks()
+        deg = nd.column("sum(out)").take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(nodes)
+        if n == 0:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.string()),
+                 "pagerank": pa.array([], pa.float64())}))
+        rank = np.full(n, _PR_SCALE // n, np.int64)
+        base = ((d_den - d_num) * _PR_SCALE) // (d_den * n)
+        nodes_ref = ray.put(nodes)       # broadcast once, read per actor
+        deg_ref = ray.put(deg)
+        edges_m = edges.map_batches(
+            lambda b: b.select([src_col, dst_col]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        for _ in range(num_iters):
+            rank_ref = ray.put(rank)
+
+            class _Contrib:
+                def __init__(self, _r=rank_ref):
+                    self.nodes = ray.get(nodes_ref)
+                    self.deg = ray.get(deg_ref)
+                    self.rank = ray.get(_r)
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    si = pc.index_in(
+                        b.column(src_col), value_set=self.nodes) \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                    di = pc.index_in(
+                        b.column(dst_col), value_set=self.nodes) \
+                        .to_numpy(zero_copy_only=False).astype(np.int64)
+                    dg = self.deg[si]   # >0: si is a source by def.
+                    c = (self.rank[si] + dg // 2) // dg
+                    u, inv = np.unique(di, return_inverse=True)
+                    sums = np.bincount(inv, weights=c.astype(np.float64))
+                    return pa.table({"i": pa.array(u),
+                                     "c": pa.array(sums.astype(np.int64))})
+
+            agg = edges_m.map_batches(_Contrib, batch_format="pyarrow",
+                                      zero_copy_batch=True,
+                                      concurrency=(1, 8)) \
+                .groupby("i").sum("c").to_pandas()
+            contrib = np.zeros(n, np.int64)
+            contrib[agg["i"].to_numpy()] = agg["sum(c)"].to_numpy()
+            share = int(rank[deg == 0].sum()) // n
+            rank = base + (d_num * (contrib + share)) // d_den
+        return ray.data.from_arrow(pa.table(
+            {"node": nodes,
+             "pagerank": pa.array(rank / _PR_SCALE, pa.float64())}))
+
+    # ---- join regime: ranks stay a Dataset ----
+    from .dedup import _join_partitions
+    num_partitions = _join_partitions(num_partitions, n_joins=1)
+    n = node_deg.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], pa.string()),
+             "pagerank": pa.array([], pa.float64())}))
+    base = ((d_den - d_num) * _PR_SCALE) // (d_den * n)
+    init = _PR_SCALE // n
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "out": b.column("sum(out)"),
+                         "r": pa.array(np.full(len(b), init, np.int64))})
+
+    ranks = node_deg.map_batches(init_ranks, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    def dangling_partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("out"), 0)
+        s = pc.sum(pc.if_else(m, b.column("r"), pa.scalar(0, pa.int64())))
+        return pa.table({"d": pa.array(
+            [s.as_py() or 0], pa.int64())})
+
+    def contrib_edge(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False)
+        o = b.column("out").to_numpy(zero_copy_only=False)
+        return pa.table({"node": b.column(dst_col),
+                         "c": pa.array((r + o // 2) // o),
+                         "out": pa.array(np.zeros(len(b), np.int64))})
+
+    # the union trick (cf. connected_components' change detection):
+    # contrib rows carry out=0, universe rows carry c=0 and the true
+    # out-degree — ONE groupby-sum re-derives both the inbound sum and
+    # each node's out-degree, so no-inbound nodes keep a row without an
+    # outer join and `out` survives into the next iteration for free
+    zero_rows = node_deg.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "c": pa.array(np.zeros(len(b), np.int64)),
+                            "out": b.column("sum(out)")}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    for _ in range(num_iters):
+        share = ranks.map_batches(
+            dangling_partial, batch_format="pyarrow",
+            zero_copy_batch=True).sum("d") // n
+        joined = edges.join(ranks, "inner", num_partitions,
+                            on=(src_col,), right_on=("node",))
+        contribs = joined.map_batches(contrib_edge,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+        def fold(b: pa.Table, _s=share) -> pa.Table:
+            s = b.column("sum(c)").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b.column("node"),
+                "out": b.column("sum(out)"),
+                "r": pa.array(base + (d_num * (s + _s)) // d_den)})
+
+        ranks = contribs.union(zero_rows).groupby("node") \
+            .sum(["c", "out"]) \
+            .map_batches(fold, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "pagerank": pa.array(
+                b.column("r").to_numpy(zero_copy_only=False)
+                / _PR_SCALE, pa.float64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dup_clusters(ds, *, text_col: str = "text", key_col: str = "doc_id",
