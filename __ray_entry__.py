@@ -932,7 +932,6 @@ def _pagerank_hosts_documents(sf_dir: str):
     tests/test_pagerank.py; rows-only here (iterative, not
     SQL-expressible in one statement)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray
     from parquet_rs_ray.ops.graph import pagerank
 

@@ -14,8 +14,10 @@ to count or encode every document. Both halves are engine-shaped:
   word-freq table with a lazy-deletion heap (O(log P) per count
   touch, no full rescan per merge). The corpus text never shuffles.
   `prune_min_count` / `max_words` bound the driver table on open-web
-  vocabularies (hapax legomena dominate distinct words but carry no
-  trainable pair mass — standard BPE practice).
+  vocabularies — standard BPE practice, but a true approximation:
+  pair mass sums ACROSS words, so a pair spread over many pruned
+  hapaxes loses that aggregate mass and the merge table can differ
+  from unpruned training.
 * `tokenize_bpe` — the merge table rides `ray.put` once; each actor
   folds it into a rank dict plus a word→ids cache that PERSISTS across
   batches (web text's distinct-word working set is tiny relative to
@@ -115,10 +117,11 @@ def _bpe_merge_loop(words: list[tuple], freqs: np.ndarray,
             pair_counts[p] = c
             if delta > 0:
                 pair_words[p].add(wi)
-                heapq.heappush(heap, (-c, p))
-            # decrements leave a stale (bigger) heap entry; it is
-            # skipped at pop time, and the pair resurfaces at its
-            # true count when a later increment pushes it
+            # push on EVERY count change (stale entries are skipped at
+            # pop by the exact-count check): a decrement-only pair must
+            # re-enter the heap at its new count, or it could never be
+            # selected again once its stale larger entry pops
+            heapq.heappush(heap, (-c, p))
         else:
             pair_counts.pop(p, None)
             pair_words.pop(p, None)
@@ -295,10 +298,8 @@ def tokenize_bpe(ds, model: dict, *, text_col: str = "text",
                        - np.repeat(starts_out, occ_len)
                        + np.repeat(ustart[idx], occ_len))
                 flat_ids = uflat[pos] if total else np.empty(0, np.int32)
-                doc_tok = np.bincount(doc_idx, weights=occ_len,
-                                      minlength=n_docs)
                 offsets = np.concatenate(
-                    ([0], np.cumsum(doc_tok))).astype(np.int64)
+                    ([0], np.cumsum(n_tok))).astype(np.int64)
                 lst = pa.LargeListArray.from_arrays(
                     pa.array(offsets, pa.int64()),
                     pa.array(flat_ids, pa.int32()))

@@ -161,14 +161,8 @@ def _pr_node_degrees(edges, src_col: str, dst_col: str):
     import pyarrow.compute as pc
 
     def partial(b: pa.Table) -> pa.Table:
-        s = b.column(src_col).combine_chunks() \
-            if isinstance(b.column(src_col), pa.ChunkedArray) \
-            else b.column(src_col)
-        d = b.column(dst_col).combine_chunks() \
-            if isinstance(b.column(dst_col), pa.ChunkedArray) \
-            else b.column(dst_col)
-        sv = s.value_counts()
-        du = pc.unique(d)
+        sv = b.column(src_col).combine_chunks().value_counts()
+        du = pc.unique(b.column(dst_col))
         return pa.table({
             "node": pa.concat_arrays([sv.field("values"), du]),
             "out": pa.concat_arrays([

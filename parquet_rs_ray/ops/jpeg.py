@@ -167,8 +167,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline or progressive JPEG to an (h, w, 3) uint8 RGB
     array (grayscale replicates into 3 channels; 12-bit samples
     round-shift to 8 bits; 4-component CMYK/YCCK converts through the
-    Adobe APP14 transform — stored values are Adobe-inverted per the
-    de-facto convention). Raises ``JpegError`` for malformed streams
+    Adobe APP14 transform — stored values are Adobe-inverted when the
+    marker is present, plain ink values when it is absent, libjpeg's
+    convention; a 3-component APP14 transform 0 frame is RGB stored
+    directly). Raises ``JpegError`` for malformed streams
     and ``NotImplementedError`` (the codec seam) for
     arithmetic/hierarchical/lossless variants."""
     if payload[:2] != b"\xff\xd8":
@@ -514,23 +516,37 @@ def _reconstruct(frame, qt, adobe_transform) -> np.ndarray:
     if len(planes) == 1:
         rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
     elif len(planes) == 3:
-        rgb = _ycc_to_rgb(*planes, half)
+        if adobe_transform == 0:
+            # Adobe APP14 transform 0 on a 3-component frame = RGB
+            # stored directly (Photoshop "RGB JPEG"); no color matrix
+            rgb = np.stack(planes, axis=2)
+        else:                   # transform 1 or no marker: YCbCr
+            rgb = _ycc_to_rgb(*planes, half)
     else:                                   # 4-component CMYK family
-        # Adobe convention: stored samples are INVERTED ink values
-        # (stored = maxval − ink); transform 2 (YCCK) additionally runs
-        # the stored C'M'Y' through the YCbCr transform. Either way the
-        # composite against white is R = stored_C · stored_K / maxval
-        # (= maxval·(1−c)(1−k)), the libjpeg/Ghostscript display path.
+        # With an Adobe APP14 marker the stored samples are INVERTED
+        # ink values (stored = maxval − ink); transform 2 (YCCK)
+        # additionally runs the stored C'M'Y' through the YCbCr
+        # transform. The white composite is then
+        # R = stored_C · stored_K / maxval (= maxval·(1−c)(1−k)), the
+        # libjpeg/Ghostscript display path. WITHOUT the marker the
+        # samples are plain (uninverted) ink values — libjpeg's bare-
+        # CMYK assumption — so invert before compositing.
         if adobe_transform == 2:
-            cmy = _ycc_to_rgb(planes[0], planes[1], planes[2], half)
-        elif adobe_transform in (None, 0):
-            cmy = np.stack(planes[:3], axis=2)
+            cmy = np.clip(_ycc_to_rgb(planes[0], planes[1], planes[2],
+                                      half), 0.0, maxval)
+            k = np.clip(planes[3], 0.0, maxval)
+        elif adobe_transform == 0:
+            cmy = np.clip(np.stack(planes[:3], axis=2), 0.0, maxval)
+            k = np.clip(planes[3], 0.0, maxval)
+        elif adobe_transform is None:
+            cmy = maxval - np.clip(np.stack(planes[:3], axis=2),
+                                   0.0, maxval)
+            k = maxval - np.clip(planes[3], 0.0, maxval)
         else:
             raise JpegError(
                 f"APP14 transform {adobe_transform} is invalid for a "
                 "4-component frame")
-        k = np.clip(planes[3], 0.0, maxval)
-        rgb = np.clip(cmy, 0.0, maxval) * (k / maxval)[:, :, None]
+        rgb = cmy * (k / maxval)[:, :, None]
     if prec == 8:
         return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     # 12-bit: round in the native range first, then round-shift to 8

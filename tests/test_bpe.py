@@ -204,6 +204,19 @@ def test_tokenize_batch_of_all_null(ray_session):
     assert all(len(v) == 0 for v in out["ids"])
 
 
+def test_decremented_pair_can_still_win(ray_session):
+    """Regression: a merge that destroys an adjacency of a still-live
+    pair decrements its count; the lazy-deletion heap must re-enter the
+    pair at the new count or it can never be selected again (found by
+    review: word freqs {pqr:2, qr:8, spqt:7} — merging (q,r) first
+    decrements (p,q) from 9 to 7, which must later beat (p,N))."""
+    texts = ["pqr pqr"] + ["qr"] * 8 + ["spqt"] * 7
+    model = train_bpe(_ds(ray_session, texts=texts), num_merges=6)
+    ref = _ref_train(texts, 6)
+    got = [tuple(int(x) for x in row) for row in model["merges"]]
+    assert got == ref
+
+
 def test_negative_merges_raises(ray_session):
     with pytest.raises(ValueError):
         train_bpe(_ds(ray_session), num_merges=-1)

@@ -87,12 +87,18 @@ def _prepare_blocks(img: np.ndarray, subsample: bool, qval: int,
         planes = [img.astype(np.float64)]
         samps = [(1, 1)]
     elif img.shape[2] == 4:
+        # transform None = bare CMYK (plain ink values, no APP14);
+        # 0 = Adobe inverted CMYK; 2 = Adobe YCCK
         f = img.astype(np.float64)
         cmy = (_rgb_to_ycc(f[:, :, :3], half) if transform == 2
                else [f[:, :, 0], f[:, :, 1], f[:, :, 2]])
         planes = cmy + [f[:, :, 3]]
         samps = [(2, 2), (1, 1), (1, 1), (2, 2)] if subsample else \
             [(1, 1)] * 4
+    elif transform == 0:        # Adobe "RGB stored" 3-component frame
+        f = img.astype(np.float64)
+        planes = [f[:, :, 0], f[:, :, 1], f[:, :, 2]]
+        samps = [(1, 1), (1, 1), (1, 1)]
     else:
         planes = _rgb_to_ycc(img.astype(np.float64), half)
         samps = [(2, 2), (1, 1), (1, 1)] if subsample else \
@@ -199,8 +205,8 @@ def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
 
     out = bytearray(b"\xff\xd8")
     nc = len(comp_blocks)
-    if nc == 4:
-        app14 = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform or 0])
+    if transform is not None:
+        app14 = b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
         out += b"\xff\xee" + (2 + len(app14)).to_bytes(2, "big") + app14
     if prec == 8:
         dqt_zz = bytes(int(qt[_ZIGZAG[k]]) for k in range(64))
@@ -635,6 +641,39 @@ def test_cmyk_subsampled_and_restart():
     assert sub.shape == base.shape
     rst = decode_jpeg(encode_jpeg(cmyk, transform=2, restart_interval=2))
     assert (rst == base).all()
+
+
+def test_rgb_stored_3component_adobe_transform0():
+    """Adobe APP14 transform 0 on a 3-component frame means the planes
+    ARE R, G, B — no YCbCr matrix. A decoder that ignores the flag
+    scrambles colors."""
+    img = _smooth(32, 24, seed=33)
+    got = decode_jpeg(encode_jpeg(img, transform=0))
+    assert _psnr(img, got) > 32, _psnr(img, got)
+    # and it is NOT the (wrong) YCbCr interpretation of those planes
+    ycc_misread = decode_jpeg(
+        encode_jpeg(img, transform=0)
+        .replace(b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]),
+                 b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1])))
+    assert _psnr(got, ycc_misread) < 25
+
+
+def test_bare_cmyk_without_app14_is_plain_ink():
+    """4-component frame with NO Adobe marker: plain (uninverted) ink
+    values — libjpeg's bare-CMYK assumption. R = (255−C)(255−K)/255."""
+    rng = np.random.default_rng(34)
+    yy, xx = np.mgrid[0:32, 0:40]
+    ink = np.stack([np.clip(100 + 60 * np.sin(xx / (9 + 2 * c))
+                            * np.cos(yy / (12 + c))
+                            + rng.normal(0, 2, (32, 40)), 0, 255)
+                    for c in range(4)], axis=2).astype(np.uint8)
+    enc = encode_jpeg(ink, transform=None)
+    assert b"Adobe" not in enc
+    want = np.clip(np.rint(
+        (255.0 - ink[:, :, :3].astype(np.float64))
+        * ((255.0 - ink[:, :, 3:].astype(np.float64)) / 255.0)), 0, 255)
+    got = decode_jpeg(enc)
+    assert _psnr(want, got) > 32, _psnr(want, got)
 
 
 def test_bad_app14_transform_raises():
