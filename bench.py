@@ -286,6 +286,40 @@ def run_bench(num_cpus: int) -> dict:
     extras["warc_gzip_bytes"] = sum(os.path.getsize(p) for p in paths)
     queries["warc_ingest_extract"] = _timed(_warc_ingest)
 
+    # corpus-trained BPE: word-count shuffle + driver merge loop, then
+    # the cached actor-pool tokenize pass over every document
+    def _bpe():
+        from parquet_rs_ray.ops.bpe import tokenize_bpe, train_bpe
+
+        ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+        model = train_bpe(ds, num_merges=512, prune_min_count=2)
+        return tokenize_bpe(ds, model).map_batches(
+            lambda b: {"n": [b.num_rows]}, batch_format="pyarrow").sum("n")
+
+    queries["bpe_tokenize_documents"] = _timed(_bpe)
+
+    # host PageRank: K fixed-point iterations over the document-derived
+    # host graph (broadcast regime at this scale)
+    def _pagerank():
+        import pyarrow as pa
+        from parquet_rs_ray.ops.graph import pagerank
+
+        hubs = pa.array([f"hub{i}.net" for i in range(13)])
+
+        def to_edges(b):
+            did = b.column("doc_id").to_numpy(zero_copy_only=False)
+            hub = hubs.take(pa.array(((did * 7) % 13).astype(np.int32)))
+            return pa.table({"src": b.column("source"), "dst": hub})
+
+        edges = ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "source"]).map_batches(
+            to_edges, batch_format="pyarrow", zero_copy_batch=True)
+        return pagerank(edges, num_iters=10).count()
+
+    queries["pagerank_hosts_documents"] = _timed(_pagerank)
+
     ray.shutdown()
     total = sum(queries.values())
     return {

@@ -180,13 +180,23 @@ def train_ngram_lm(ds, *, n: int = 5, text_col: str = "text",
     agg = ds.map_batches(
         lambda b: _gram_partials(b, text_col, key_col, sample_mod, n),
         batch_format="pyarrow", zero_copy_batch=True) \
-        .groupby("gram").sum("cnt")
-    tbl = agg.to_pandas()       # bounded: ≤ realized distinct n-grams
+        .groupby("gram").sum("cnt").materialize()
+    # full pre-prune total (smoothing ignores pruning) as a distributed
+    # scalar, and the count-prune as a distributed filter — the driver
+    # table is bounded by the PRUNED diversity (on web text count-1
+    # grams dominate distinct grams, so collecting before pruning
+    # would bound driver memory by the wrong, much larger set)
+    total = int(agg.sum("sum(cnt)") or 0)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater_equal(b.column("sum(cnt)"),
+                                         prune_min_count))
+
+    tbl = agg.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
     grams = tbl["gram"].to_numpy().astype(np.uint64)
     counts = tbl["sum(cnt)"].to_numpy().astype(np.int64)
-    total = int(counts.sum())   # full total: smoothing ignores pruning
-    kept = counts >= prune_min_count
-    grams, counts = grams[kept], counts[kept]
     order = np.argsort(grams, kind="stable")
     grams, counts = grams[order], counts[order]
     vocab = float(256) ** n

@@ -165,9 +165,7 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Prefix:
             if s1 >= alphabet_size or s1 == s0:
                 raise WebpError("bad second simple-code symbol")
             lengths[s1] = 1
-        else:
-            return _Prefix(lengths)      # single symbol: zero-bit reads
-        return _Prefix(lengths)
+        return _Prefix(lengths)     # 1 symbol ⇒ zero-bit reads
     num_codes = 4 + br.read(4)
     cl_lengths = np.zeros(19, np.int64)
     for i in range(num_codes):

@@ -410,14 +410,35 @@ def make_exact_filter(columns=None, predicate=None):
                     batch = batch.filter(kernels[op](
                         arr, _pc.cast(pa.scalar(val), arr.type)))
                     continue
+                if isinstance(val, int) and pa.types.is_floating(
+                        arr.type):
+                    # value beyond the float type's range: a pure fold
+                    # would be WRONG for ±inf/NaN cells (inf < 2**1100
+                    # is True but inf < +any-finite-fold is not; NaN
+                    # compares false everywhere). Substitute an exact
+                    # equivalent comparison against ±inf instead:
+                    #   x <  B (B>max) ⟺ x < +inf   x > B ⟺ x == +inf
+                    #   x <= B        ⟺ x < +inf   x >= B ⟺ x == +inf
+                    # (mirrored for B < −max); == folds to never.
+                    if op == "==":
+                        batch = batch.slice(0, 0)
+                        continue
+                    inf = pa.scalar(float("inf") if val > 0
+                                    else float("-inf"), arr.type)
+                    if (val > 0) == (op in ("<", "<=")):
+                        batch = batch.filter(
+                            kernels["<" if val > 0 else ">"](arr, inf))
+                    else:
+                        batch = batch.filter(_pc.equal(arr, inf))
+                    continue
                 if isinstance(val, int) and (
                         pa.types.is_integer(arr.type)
-                        or pa.types.is_floating(arr.type)
                         or pa.types.is_decimal(arr.type)):
-                    # value outside the NUMERIC column type's domain:
-                    # the comparison constant-folds (x==v: never; x<v
-                    # with huge v: always; …) — passing the raw int to
-                    # the kernel would TypeError. Non-numeric columns
+                    # value outside the column type's domain: int and
+                    # decimal types hold no ±inf/NaN, so the comparison
+                    # constant-folds exactly (x==v: never; x<v with
+                    # huge v: always; …) — passing the raw int to the
+                    # kernel would TypeError. Non-numeric columns
                     # re-raise: an int predicate against a string
                     # column is a caller type error, not a fold
                     big = val > 0

@@ -64,16 +64,25 @@ class WarcError(ParquetRsRayError):
     """Malformed or truncated WARC input."""
 
 
-def _gzip_chunks(f, chunk_size: int = 1 << 20) -> Iterator[bytes]:
+def _gzip_chunks(f, chunk_size: int = 1 << 20, *, fed_base: int = 0,
+                 stop_at: int | None = None) -> Iterator[bytes]:
     """Decompressed chunks of a (possibly multi-member) gzip stream.
     zlib with wbits=31 stops at each member boundary; `unused_data`
     carries the next member's bytes — the CC one-member-per-record
-    convention decodes in one pass with no per-member reopen."""
+    convention decodes in one pass with no per-member reopen.
+
+    ``stop_at`` (with ``fed_base`` = the absolute offset of the first
+    byte ``f`` will yield) ends the walk before any member whose
+    compressed start offset is ≥ stop_at — the intra-file range-split
+    grain (`_member_chunks_range`) rides this same loop instead of a
+    second copy of the member-splicing logic."""
     d = zlib.decompressobj(wbits=31)
+    fed_end = fed_base              # abs offset just past bytes fed
     while True:
         raw = f.read(chunk_size)
         if not raw:
             break
+        fed_end += len(raw)
         while raw:
             try:
                 out = d.decompress(raw)
@@ -83,6 +92,9 @@ def _gzip_chunks(f, chunk_size: int = 1 << 20) -> Iterator[bytes]:
             if out:
                 yield out
             if d.eof:
+                nxt = fed_end - len(d.unused_data)  # next member's abs
+                if stop_at is not None and nxt >= stop_at:
+                    return             # next slot's member: stop here
                 raw = d.unused_data
                 d = zlib.decompressobj(wbits=31)
             else:
@@ -196,6 +208,12 @@ def _resync_member(f, start: int, end: int,
     interior candidates are found by scanning the COMPRESSED bytes for
     the member magic and validated by `_member_probe_ok` (decompress a
     probe, require the WARC version prefix)."""
+    if chunk_size < 3:
+        # the slide keeps len(magic)-1 = 2 bytes for a straddling
+        # match; a window smaller than that cannot advance and would
+        # silently scan nothing (review repro: chunk_size=1 dropped
+        # every interior-slot record)
+        raise ValueError("chunk_size must be >= 3")
     if start == 0:
         return 0
     # probe window past `end`: a candidate near the range end still
@@ -255,31 +273,7 @@ def _member_chunks_range(f, start: int, end: int,
     if pos is None:
         return
     f.seek(pos)
-    fed_end = pos                      # abs offset just past bytes fed
-    d = zlib.decompressobj(wbits=31)
-    while True:
-        raw = f.read(chunk_size)
-        if not raw:
-            break
-        fed_end += len(raw)
-        while raw:
-            try:
-                out = d.decompress(raw)
-            except zlib.error as e:
-                raise WarcError(
-                    f"corrupt gzip member in WARC stream: {e}") from e
-            if out:
-                yield out
-            if not d.eof:
-                break
-            nxt = fed_end - len(d.unused_data)   # next member's offset
-            if nxt >= end:
-                return                 # next slot's member: stop here
-            raw = d.unused_data
-            d = zlib.decompressobj(wbits=31)
-    tail = d.flush()
-    if tail:
-        yield tail
+    yield from _gzip_chunks(f, chunk_size, fed_base=pos, stop_at=end)
 
 
 class _ChunkStream:

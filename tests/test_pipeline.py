@@ -801,6 +801,33 @@ def test_int_predicate_on_string_column_raises():
     assert f2(tbl2).num_rows == 2
 
 
+def test_float_inf_nan_vs_out_of_range_predicate():
+    """Regression (review repro): a float column holding ±inf/NaN must
+    compare EXACTLY against an out-of-float-range int predicate — a
+    pure always/never fold keeps +inf and NaN rows that x < 2**1100
+    actually drops."""
+    from parquet_rs_ray.pipeline import make_exact_filter
+
+    tbl = pa.table({"x": pa.array([1.0, float("inf"), float("-inf"),
+                                   float("nan")], pa.float64())})
+
+    def rows(op, val):
+        f = make_exact_filter(predicate=[("x", op, val)])
+        return f(tbl).column("x").to_pylist()
+
+    big, neg = 2 ** 1100, -(2 ** 1100)
+    assert rows("<", big) == [1.0, float("-inf")]
+    assert rows("<=", big) == [1.0, float("-inf")]
+    assert rows(">", big) == [float("inf")]
+    assert rows(">=", big) == [float("inf")]
+    assert rows("==", big) == []
+    assert rows(">", neg) == [1.0, float("inf")]
+    assert rows(">=", neg) == [1.0, float("inf")]
+    assert rows("<", neg) == [float("-inf")]
+    assert rows("<=", neg) == [float("-inf")]
+    assert rows("==", neg) == []
+
+
 def test_iso_t_timestamp_predicate_not_pruned(ray_session):
     """An ISO-8601 'T'-separator string predicate against a timestamp
     column must return the matching row — the string-rendered bounds

@@ -247,6 +247,32 @@ def test_range_slots_cover_exactly_once(tmp_path, k):
     assert len(urls) == len(set(urls)) == 60
 
 
+def test_tiny_chunk_size_rejected(tmp_path):
+    """Regression (review repro): chunk_size 1–2 cannot keep the
+    2-byte straddling-magic reserve, the scan cursor never advances,
+    and interior slots silently yielded NOTHING — now a loud
+    ValueError; chunk_size=3 (the minimum) must still tile exactly."""
+    from parquet_rs_ray.warc import _member_chunks_range, _resync_member
+
+    p = str(tmp_path / "tiny.warc.gz")
+    write_warc(p, _recs(12), gzip_per_record=True)
+    size = os.path.getsize(p)
+    with open(p, "rb") as f:
+        with pytest.raises(ValueError):
+            _resync_member(f, size // 3, 2 * size // 3, chunk_size=1)
+        with pytest.raises(ValueError):
+            list(_member_chunks_range(f, size // 3, 2 * size // 3,
+                                      chunk_size=2))
+    whole = b""
+    for i in range(3):
+        s, e = size * i // 3, size * (i + 1) // 3
+        with open(p, "rb") as f:
+            whole += b"".join(_member_chunks_range(f, s, e, chunk_size=3))
+    with open(p, "rb") as f:
+        want = b"".join(_member_chunks_range(f, 0, size))
+    assert whole == want
+
+
 def test_single_member_gzip_falls_to_slot_zero(tmp_path):
     """A whole-file single gzip member can't split: slot 0 decodes all
     records, the other slots yield nothing (correct, just unsplit)."""
