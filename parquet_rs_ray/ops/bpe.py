@@ -178,6 +178,9 @@ def train_bpe(ds, *, num_merges: int = 256, text_col: str = "text",
         batch_format="pyarrow", zero_copy_batch=True) \
         .groupby("word").sum("cnt")
     tbl = agg.to_pandas()       # bounded: ≤ distinct corpus words
+    if "word" not in tbl.columns:   # zero-word corpus: the empty
+        tbl = tbl.reindex(columns=["word", "sum(cnt)"])  # agg loses
+        tbl = tbl.iloc[0:0]                              # its schema
     wtext = tbl["word"].to_numpy()
     counts = tbl["sum(cnt)"].to_numpy().astype(np.int64)
     n_distinct = len(wtext)

@@ -220,3 +220,30 @@ def test_decremented_pair_can_still_win(ray_session):
 def test_negative_merges_raises(ray_session):
     with pytest.raises(ValueError):
         train_bpe(_ds(ray_session), num_merges=-1)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_bpe_property_random_corpora(ray_session, data):
+    """Random small corpora (skewed alphabets force heavy pair-count
+    churn in the heap): merge table must equal the naive recount-from-
+    scratch reference, and tokenized ids must byte-roundtrip."""
+    rng_words = data.draw(st.lists(
+        st.text(alphabet="abcdeé ", min_size=0, max_size=24),
+        min_size=1, max_size=12))
+    n_merges = data.draw(st.integers(0, 25))
+    model = train_bpe(_ds(ray_session, texts=rng_words, blocks=2),
+                      num_merges=n_merges)
+    ref = _ref_train(rng_words, n_merges)
+    got = [tuple(int(x) for x in row) for row in model["merges"]]
+    assert got == ref
+    by = decode_token_bytes(model)
+    out = tokenize_bpe(_ds(ray_session, texts=rng_words), model,
+                       ids_col="ids").to_pandas().sort_values("doc_id")
+    for t, ids in zip(rng_words, out["ids"]):
+        joined = b"".join(by[i] for i in ids)
+        assert joined == b"".join(
+            w.encode() for w in (t or "").split(" ") if w)

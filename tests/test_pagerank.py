@@ -100,6 +100,27 @@ def test_pagerank_zero_iters_is_uniform(ray_session):
     assert set(got.values()) == {(_PR_SCALE // n) / _PR_SCALE}
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_pagerank_property_random_graphs(ray_session, data):
+    """Random directed multigraphs (self-loops, parallel edges,
+    dangling sinks): broadcast result must EXACTLY equal the dense
+    integer-arithmetic reference."""
+    n_nodes = data.draw(st.integers(2, 9))
+    edges = data.draw(st.lists(
+        st.tuples(st.integers(0, n_nodes - 1),
+                  st.integers(0, n_nodes - 1)),
+        min_size=1, max_size=25))
+    edges = [(f"n{a}", f"n{b}") for a, b in edges]
+    iters = data.draw(st.integers(0, 8))
+    got = _got(pagerank(_edges_ds(ray_session, edges=edges, blocks=2),
+                        num_iters=iters, mode="broadcast"))
+    assert got == _ref_pagerank(edges, num_iters=iters)
+
+
 def test_pagerank_int_keys_and_validation(ray_session):
     import ray
     tbl = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
