@@ -238,39 +238,54 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         rank = np.full(n, _PR_SCALE // n, np.int64)
         base = ((d_den - d_num) * _PR_SCALE) // (d_den * n)
         nodes_ref = ray.put(nodes)       # broadcast once, read per actor
-        deg_ref = ray.put(deg)
-        edges_m = edges.map_batches(
-            lambda b: b.select([src_col, dst_col]),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+        # one-time edge indexing: hash the string keys against the node
+        # table ONCE and collapse each block's parallel edges into
+        # (src_idx, dst_idx, multiplicity) — iterations then run pure
+        # integer kernels over compact blocks with no re-hashing (the
+        # per-edge contrib is identical for parallel edges, so ×m keeps
+        # the arithmetic bit-identical to the unrolled form)
+        def to_idx(b: pa.Table) -> pa.Table:
+            nodes_l = ray.get(nodes_ref)
+            si = pc.index_in(b.column(src_col), value_set=nodes_l) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            di = pc.index_in(b.column(dst_col), value_set=nodes_l) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            key = si * n + di           # n < 2^31 in broadcast regime
+            u, m = np.unique(key, return_counts=True)
+            return pa.table({"s": pa.array(u // n), "d": pa.array(u % n),
+                             "m": pa.array(m.astype(np.int64))})
+
+        idx_edges = edges.map_batches(to_idx, batch_format="pyarrow",
+                                      zero_copy_batch=True).materialize()
         for _ in range(num_iters):
             rank_ref = ray.put(rank)
+            deg_ref = ray.put(deg)
 
-            class _Contrib:
-                def __init__(self, _r=rank_ref):
-                    self.nodes = ray.get(nodes_ref)
-                    self.deg = ray.get(deg_ref)
-                    self.rank = ray.get(_r)
+            def contrib_partial(b: pa.Table, _r=rank_ref,
+                                _g=deg_ref) -> pa.Table:
+                r, dgv = ray.get(_r), ray.get(_g)
+                s = b.column("s").to_numpy(zero_copy_only=False)
+                d = b.column("d").to_numpy(zero_copy_only=False)
+                m = b.column("m").to_numpy(zero_copy_only=False)
+                dg = dgv[s]             # >0: s is a source by def.
+                c = ((r[s] + dg // 2) // dg) * m
+                u, inv = np.unique(d, return_inverse=True)
+                sums = np.bincount(inv, weights=c.astype(np.float64))
+                return pa.table({"i": pa.array(u),
+                                 "c": pa.array(sums.astype(np.int64))})
 
-                def __call__(self, b: pa.Table) -> pa.Table:
-                    si = pc.index_in(
-                        b.column(src_col), value_set=self.nodes) \
-                        .to_numpy(zero_copy_only=False).astype(np.int64)
-                    di = pc.index_in(
-                        b.column(dst_col), value_set=self.nodes) \
-                        .to_numpy(zero_copy_only=False).astype(np.int64)
-                    dg = self.deg[si]   # >0: si is a source by def.
-                    c = (self.rank[si] + dg // 2) // dg
-                    u, inv = np.unique(di, return_inverse=True)
-                    sums = np.bincount(inv, weights=c.astype(np.float64))
-                    return pa.table({"i": pa.array(u),
-                                     "c": pa.array(sums.astype(np.int64))})
-
-            agg = edges_m.map_batches(_Contrib, batch_format="pyarrow",
-                                      zero_copy_batch=True,
-                                      concurrency=(1, 8)) \
-                .groupby("i").sum("c").to_pandas()
+            # partials are ≤ per-block-distinct-dst rows; the driver
+            # folds them directly (no per-iteration shuffle stage)
+            parts = pa.concat_tables(list(
+                idx_edges.map_batches(contrib_partial,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                .iter_batches(batch_format="pyarrow", batch_size=None)))
             contrib = np.zeros(n, np.int64)
-            contrib[agg["i"].to_numpy()] = agg["sum(c)"].to_numpy()
+            np.add.at(contrib,
+                      parts.column("i").to_numpy(zero_copy_only=False),
+                      parts.column("c").to_numpy(zero_copy_only=False))
             share = int(rank[deg == 0].sum()) // n
             rank = base + (d_num * (contrib + share)) // d_den
         return ray.data.from_arrow(pa.table(

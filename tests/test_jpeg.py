@@ -238,14 +238,15 @@ def encode_jpeg(img: np.ndarray, *, subsample: bool = False,
 
 
 def encode_progressive_jpeg(img: np.ndarray, *, subsample: bool = False,
-                            qval: int = 4) -> bytes:
+                            qval: int = 4, prec: int = 8) -> bytes:
     """Progressive JPEG encoder (test oracle): SOF2 with a libjpeg-like
     scan script — interleaved DC first (Al=1) + DC refinement, per-
     component AC spectral bands at Al=2, then two AC refinement passes
     (Al=1, Al=0). Exercises EOB runs, ZRL-in-refinement, sign bits and
-    interleaved correction bits (T.81 G.1.2)."""
+    interleaved correction bits (T.81 G.1.2). ``prec=12`` writes a
+    12-bit frame (16-bit DQT entries) over uint16 samples."""
     comp_blocks, h, w, qt, mcux, mcuy, hmax, vmax = \
-        _prepare_blocks(img, subsample, qval)
+        _prepare_blocks(img, subsample, qval, prec)
     nc = len(comp_blocks)
     grids = []                            # per comp: (nbx, nby)
     for zz, ch, cv, bw in comp_blocks:
@@ -373,9 +374,14 @@ def encode_progressive_jpeg(img: np.ndarray, *, subsample: bool = False,
     tables = {k: _build_tables(v) for k, v in used.items()}
 
     out = bytearray(b"\xff\xd8")
-    dqt_zz = bytes(int(qt[_ZIGZAG[k]]) for k in range(64))
-    out += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + dqt_zz
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+    if prec == 8:
+        dqt_zz = bytes(int(qt[_ZIGZAG[k]]) for k in range(64))
+        out += b"\xff\xdb" + (2 + 65).to_bytes(2, "big") + b"\x00" + dqt_zz
+    else:
+        dqt_zz = b"".join(int(qt[_ZIGZAG[k]]).to_bytes(2, "big")
+                          for k in range(64))
+        out += b"\xff\xdb" + (2 + 129).to_bytes(2, "big") + b"\x10" + dqt_zz
+    sof = bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([nc])
     for ci, (_z, ch, cv, _b) in enumerate(comp_blocks):
         sof += bytes([ci + 1, (ch << 4) | cv, 0])
@@ -641,6 +647,17 @@ def test_cmyk_subsampled_and_restart():
     assert sub.shape == base.shape
     rst = decode_jpeg(encode_jpeg(cmyk, transform=2, restart_interval=2))
     assert (rst == base).all()
+
+
+def test_progressive_12bit_equals_baseline():
+    """12-bit progressive and 12-bit extended-sequential code the same
+    quantized coefficients — reconstructions must be bit-identical
+    (exercises DC categories >11 through the progressive DC scans)."""
+    rng = np.random.default_rng(35)
+    img = rng.integers(0, 4096, (24, 40, 3)).astype(np.uint16)
+    prog = decode_jpeg(encode_progressive_jpeg(img, prec=12, qval=8))
+    base = decode_jpeg(encode_jpeg(img, prec=12, qval=8))
+    assert (prog == base).all()
 
 
 def test_rgb_stored_3component_adobe_transform0():
