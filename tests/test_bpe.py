@@ -222,6 +222,28 @@ def test_negative_merges_raises(ray_session):
         train_bpe(_ds(ray_session), num_merges=-1)
 
 
+def test_bpe_counts_feed_sequence_packing(ray_session):
+    """Composition: tokenize_bpe's count column drives
+    pack_sequences(tokens_col=...) — the real-token replacement for the
+    regex estimate, end to end."""
+    from parquet_rs_ray.ops.packing import pack_sequences
+
+    model = train_bpe(_ds(ray_session), num_merges=40)
+    tok = tokenize_bpe(_ds(ray_session), model)
+    packed = pack_sequences(tok, tokens_col="n_tokens_bpe",
+                            bin_tokens=64).to_pandas() \
+        .sort_values("doc_id")
+    tok_df = tok.to_pandas().sort_values("doc_id")
+    # one row per document, n_tokens = the BPE count, bins respect the
+    # budget (over-long docs get their own bin)
+    assert list(packed["doc_id"]) == list(tok_df["doc_id"])
+    assert list(packed["n_tokens"]) == list(tok_df["n_tokens_bpe"])
+    by_bin = packed.groupby("bin_uid")["n_tokens"].sum()
+    n_docs_per_bin = packed.groupby("bin_uid").size()
+    assert all((t <= 64) | (n_docs_per_bin[b] == 1)
+               for b, t in by_bin.items())
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 
