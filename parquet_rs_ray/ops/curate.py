@@ -71,6 +71,7 @@ def curate_web_corpus(ds, *, text_col: str = "text",
                       near: bool = True,
                       jaccard_threshold: float = 0.8,
                       ref_ds=None,
+                      bpe_merges: int | None = None,
                       concurrency=4):
     """Curate a web corpus end to end; returns the lazy curated Dataset
     (original columns + ``lang_pred`` + ``quality_score``).
@@ -99,6 +100,11 @@ def curate_web_corpus(ds, *, text_col: str = "text",
        (``near``).
     7. ``decontam.decontaminate`` mode="auto" — n-gram test-set
        decontamination when ``ref_ds`` is given.
+    8. ``bpe.train_bpe`` + ``tokenize_bpe`` when ``bpe_merges`` is
+       given — trains a byte-level BPE on the SURVIVING corpus (the
+       text the model will actually see) and appends ``n_tokens_bpe``,
+       the real-token count that token-budget sampling and
+       ``packing.pack_sequences(tokens_col=...)`` consume downstream.
 
     Order rationale: filters first (cheapest per surviving byte),
     redaction before any hashing so PII never enters dedup state, line
@@ -153,4 +159,14 @@ def curate_web_corpus(ds, *, text_col: str = "text",
         from .decontam import decontaminate
         ds = decontaminate(ds, ref_ds, text_col=text_col,
                            id_col=key_col, mode="auto")
+    if bpe_merges is not None:
+        # training the tokenizer ON the curated output means its word
+        # statistics reflect exactly the text the model will see; the
+        # train pass consumes the lazy lineage once (word-count
+        # partials → groupby-sum; the corpus itself is not
+        # materialized), tokenize is a second map over the same lineage
+        from .bpe import tokenize_bpe, train_bpe
+        model = train_bpe(ds, num_merges=bpe_merges, text_col=text_col,
+                          prune_min_count=2)
+        ds = tokenize_bpe(ds, model, text_col=text_col)
     return ds

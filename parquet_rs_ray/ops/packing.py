@@ -22,6 +22,36 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _ffd(toks: np.ndarray, bin_tokens: int):
+    """First-fit-decreasing bin assignment; a single over-budget doc
+    gets its own bin. Returns (bin index per doc, per-bin totals).
+    O(n·bins) worst case but bins with any headroom are tracked in a
+    simple open list — per-DOC control flow only (never per
+    token/byte), fine off the hot byte path."""
+    n = len(toks)
+    order = np.argsort(-toks, kind="stable")       # decreasing
+    bin_of = np.empty(n, dtype=np.int64)
+    bin_totals: list[int] = []
+    open_bins: list[int] = []                      # indices into bin_totals
+    for i in order:
+        t = int(toks[i])
+        placed = -1
+        for oi, b in enumerate(open_bins):
+            if bin_totals[b] + t <= bin_tokens:
+                placed = b
+                bin_totals[b] += t
+                if bin_tokens - bin_totals[b] < 1:
+                    open_bins.pop(oi)
+                break
+        if placed < 0:
+            placed = len(bin_totals)
+            bin_totals.append(t)
+            if t < bin_tokens:
+                open_bins.append(placed)
+        bin_of[i] = placed
+    return bin_of, bin_totals
+
+
 def pack_sequences(ds, *, key_col: str = "doc_id", text_col: str = "text",
                    tokens_col: str | None = None, bin_tokens: int = 4096):
     """Assign each document to a packing bin ≤ ``bin_tokens`` tokens
@@ -44,30 +74,7 @@ def pack_sequences(ds, *, key_col: str = "doc_id", text_col: str = "text",
             toks = pc.add(pc.count_substring(batch.column(text_col), " "),
                           1).fill_null(0) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(toks)
-        order = np.argsort(-toks, kind="stable")   # decreasing
-        bin_of = np.empty(n, dtype=np.int64)
-        bin_totals: list[int] = []
-        # first-fit-decreasing; O(n·bins) worst case but bins with any
-        # headroom are tracked in a simple open list — per-DOC control
-        # flow only (never per token/byte), fine off the hot byte path
-        open_bins: list[int] = []                  # indices into bin_totals
-        for i in order:
-            t = int(toks[i])
-            placed = -1
-            for oi, b in enumerate(open_bins):
-                if bin_totals[b] + t <= bin_tokens:
-                    placed = b
-                    bin_totals[b] += t
-                    if bin_tokens - bin_totals[b] < 1:
-                        open_bins.pop(oi)
-                    break
-            if placed < 0:
-                placed = len(bin_totals)
-                bin_totals.append(t)
-                if t < bin_tokens:
-                    open_bins.append(placed)
-            bin_of[i] = placed
+        bin_of, bin_totals = _ffd(toks, bin_tokens)
         run = uuid.uuid4().hex[:12]                # bins never span batches
         totals = np.asarray(bin_totals, dtype=np.int64)[bin_of]
         return pa.table({
@@ -77,6 +84,79 @@ def pack_sequences(ds, *, key_col: str = "doc_id", text_col: str = "text",
             "bin_total": pa.array(totals),
             "bin_fill": pa.array(
                 np.round(totals / float(bin_tokens), 6), pa.float64()),
+        })
+
+    return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def concat_packed_sequences(ds, *, key_col: str = "doc_id",
+                            ids_col: str = "ids",
+                            bin_tokens: int = 4096,
+                            eos_id: int | None = None):
+    """Materialize actual training sequences: pack each batch's
+    documents with FFD and emit ONE ROW PER BIN — ``input_ids``
+    (members' token ids concatenated in ascending ``key_col`` order,
+    each doc followed by ``eos_id`` when given), ``n_tokens``,
+    ``n_docs`` and ``doc_ids``. The per-doc EOS counts against the
+    ``bin_tokens`` budget, so no sequence ever exceeds it.
+
+    Same scale shape as `pack_sequences`: bins never span batches, so
+    the whole op is one map_batches pass — the flat id buffer is
+    gathered into bin order with a vectorized ragged-slice gather, no
+    Python loop over documents or tokens, no shuffle."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        import uuid
+        ids = batch.column(ids_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if ids.null_count:
+            ids = ids.fill_null([])
+        offs = ids.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        in_start, lens = offs[:-1], np.diff(offs)
+        flat_in = ids.values.to_numpy(zero_copy_only=False)
+        eff = lens + (1 if eos_id is not None else 0)
+        bin_of, bin_totals = _ffd(eff, bin_tokens)
+        n_bins = len(bin_totals)
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kv = keys.to_numpy(zero_copy_only=False)
+        order = np.lexsort((kv, bin_of))           # bin, then key
+        olens = eff[order]
+        out_total = int(olens.sum())
+        ends = np.cumsum(olens)
+        starts_out = ends - olens
+        doc_of = np.repeat(np.arange(len(order)), olens)
+        rel = np.arange(out_total, dtype=np.int64) - starts_out[doc_of]
+        tok_lens = lens[order]
+        intok = rel < tok_lens[doc_of]
+        out = np.empty(out_total, flat_in.dtype if out_total else np.int32)
+        src = in_start[order][doc_of] + rel
+        out[intok] = flat_in[src[intok]]
+        if eos_id is not None:
+            out[~intok] = eos_id
+        # per-bin boundaries (order is bin-sorted, bins 0..n_bins-1 all
+        # non-empty by construction)
+        bin_doc_counts = np.bincount(bin_of, minlength=n_bins)
+        bin_tok_counts = np.bincount(bin_of, weights=eff,
+                                     minlength=n_bins).astype(np.int64)
+        seq_offs = np.concatenate(([0], np.cumsum(bin_tok_counts)))
+        doc_offs = np.concatenate(([0], np.cumsum(bin_doc_counts)))
+        run = uuid.uuid4().hex[:12]
+        seqs = pa.LargeListArray.from_arrays(
+            pa.array(seq_offs, pa.int64()),
+            pa.array(out, pa.int32())).cast(pa.list_(pa.int32()))
+        dids = pa.LargeListArray.from_arrays(
+            pa.array(doc_offs, pa.int64()),
+            keys.take(pa.array(order))).cast(pa.list_(keys.type))
+        return pa.table({
+            "bin_uid": pa.array([f"{run}-{b}" for b in range(n_bins)],
+                                pa.string()),
+            "input_ids": seqs,
+            "n_tokens": pa.array(bin_tok_counts),
+            "n_docs": pa.array(bin_doc_counts.astype(np.int64)),
+            "doc_ids": dids,
         })
 
     return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)

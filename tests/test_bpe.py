@@ -244,6 +244,65 @@ def test_bpe_counts_feed_sequence_packing(ray_session):
                for b, t in by_bin.items())
 
 
+def test_concat_packed_sequences_end_to_end(ray_session):
+    """tokenize_bpe(ids) → concat_packed_sequences: one row per bin,
+    input_ids = member docs' ids concatenated in key order with EOS
+    after each doc, budget respected including the EOS tokens."""
+    from parquet_rs_ray.ops.packing import concat_packed_sequences
+
+    model = train_bpe(_ds(ray_session), num_merges=40)
+    tok = tokenize_bpe(_ds(ray_session), model, ids_col="ids")
+    eos = model["vocab_size"]           # one past the trained vocab
+    out = concat_packed_sequences(tok, ids_col="ids", bin_tokens=48,
+                                  eos_id=eos).to_pandas()
+    tok_df = tok.to_pandas().set_index("doc_id")
+    seen = set()
+    for _, row in out.iterrows():
+        assert row["n_tokens"] <= 48 or row["n_docs"] == 1
+        assert list(row["doc_ids"]) == sorted(row["doc_ids"])
+        expect = []
+        for d in row["doc_ids"]:
+            assert d not in seen
+            seen.add(d)
+            expect.extend(tok_df.loc[d, "ids"])
+            expect.append(eos)
+        assert list(row["input_ids"]) == expect
+        assert row["n_tokens"] == len(expect)
+    assert seen == set(tok_df.index)    # every doc packed exactly once
+
+
+def test_concat_packed_without_eos(ray_session):
+    from parquet_rs_ray.ops.packing import concat_packed_sequences
+
+    model = train_bpe(_ds(ray_session), num_merges=20)
+    tok = tokenize_bpe(_ds(ray_session), model, ids_col="ids")
+    out = concat_packed_sequences(tok, ids_col="ids",
+                                  bin_tokens=64).to_pandas()
+    tok_df = tok.to_pandas()
+    assert out["n_tokens"].sum() == tok_df["n_tokens_bpe"].sum()
+    assert out["n_docs"].sum() == len(tok_df)
+
+
+def test_curate_with_bpe_stage(ray_session):
+    """curate_web_corpus(bpe_merges=...) appends n_tokens_bpe to the
+    curated output."""
+    from parquet_rs_ray.ops.curate import curate_web_corpus
+
+    texts = ["the quick brown fox jumps over the lazy dog and runs on",
+             "the quick brown dog naps under the lazy fox all the day",
+             "completely different content here with many fine words in",
+             "ze quick brown fox jumps over ze lazy dog and runs on"]
+    import ray
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = curate_web_corpus(ray.data.from_arrow(tbl), keep_langs=None,
+                            min_quality=0.0, near=False,
+                            boilerplate_max_count=None,
+                            bpe_merges=30).to_pandas()
+    assert "n_tokens_bpe" in out.columns
+    assert (out["n_tokens_bpe"] > 0).all()
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 
