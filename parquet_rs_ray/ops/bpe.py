@@ -289,18 +289,15 @@ def tokenize_bpe(ds, model: dict, *, text_col: str = "text",
                                 minlength=n_docs).astype(np.int64)
             out = batch.append_column(count_col, pa.array(n_tok))
             if ids_col is not None:
+                from .kernels import ragged_positions
                 uflat = (np.concatenate(uids) if uids
                          else np.empty(0, np.int32))
                 ustart = np.concatenate(([0], np.cumsum(ulen)))[:-1]
-                total = int(occ_len.sum())
                 # vectorized ragged gather: for each occurrence, the
                 # slice uflat[ustart[idx] : ustart[idx]+ulen[idx]]
-                ends = np.cumsum(occ_len)
-                starts_out = ends - occ_len
-                pos = (np.arange(total, dtype=np.int64)
-                       - np.repeat(starts_out, occ_len)
-                       + np.repeat(ustart[idx], occ_len))
-                flat_ids = uflat[pos] if total else np.empty(0, np.int32)
+                pos = ragged_positions(ustart[idx], occ_len)
+                flat_ids = (uflat[pos] if len(pos)
+                            else np.empty(0, np.int32))
                 offsets = np.concatenate(
                     ([0], np.cumsum(n_tok))).astype(np.int64)
                 lst = pa.LargeListArray.from_arrays(

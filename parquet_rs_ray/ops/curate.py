@@ -4,10 +4,13 @@ Composes this repo's curation operators — each individually
 oracle/parity-tested — into the pipeline a training-data team actually
 runs over a crawl, in the order the literature converged on
 (CCNet/RefinedWeb/Gopher-style): annotate → filter → redact →
-boilerplate removal → exact dedup → near dedup → decontaminate. Every
-stage is lazy Ray Data, so the streaming executor pipelines them with
-backpressure; nothing here materializes the corpus, and every regime
-choice (broadcast vs join) defers to the per-op ``mode="auto"`` probes
+boilerplate removal → exact dedup → near dedup → decontaminate
+(→ optional BPE tokenization). Every stage is lazy Ray Data, so the
+streaming executor pipelines them with backpressure; nothing here
+materializes the corpus — except the optional ``bpe_merges`` stage,
+which materializes the CURATED output once because tokenizer training
+needs a full pass (documented at the stage) — and every regime choice
+(broadcast vs join) defers to the per-op ``mode="auto"`` probes
 (ops/regime.py), so the same call scales from a laptop sample to the
 100 TB crawl.
 
@@ -72,6 +75,8 @@ def curate_web_corpus(ds, *, text_col: str = "text",
                       jaccard_threshold: float = 0.8,
                       ref_ds=None,
                       bpe_merges: int | None = None,
+                      bpe_prune_min_count: int = 2,
+                      bpe_max_words: int | None = None,
                       concurrency=4):
     """Curate a web corpus end to end; returns the lazy curated Dataset
     (original columns + ``lang_pred`` + ``quality_score``).
@@ -105,6 +110,10 @@ def curate_web_corpus(ds, *, text_col: str = "text",
        text the model will actually see) and appends ``n_tokens_bpe``,
        the real-token count that token-budget sampling and
        ``packing.pack_sequences(tokens_col=...)`` consume downstream.
+       This stage MATERIALIZES the curated corpus once (training needs
+       a full pass; without it the dedup shuffles would re-execute for
+       the tokenize pass) — the recipe stays lazy end to end only when
+       ``bpe_merges`` is None.
 
     Order rationale: filters first (cheapest per surviving byte),
     redaction before any hashing so PII never enters dedup state, line
@@ -161,12 +170,20 @@ def curate_web_corpus(ds, *, text_col: str = "text",
                            id_col=key_col, mode="auto")
     if bpe_merges is not None:
         # training the tokenizer ON the curated output means its word
-        # statistics reflect exactly the text the model will see; the
-        # train pass consumes the lazy lineage once (word-count
-        # partials → groupby-sum; the corpus itself is not
-        # materialized), tokenize is a second map over the same lineage
+        # statistics reflect exactly the text the model will see. The
+        # train pass must consume the full pipeline, so the curated
+        # corpus is MATERIALIZED here (object store, spillable) —
+        # otherwise Ray would re-execute the expensive dedup shuffles
+        # a second time for the tokenize pass. This is the one stage
+        # that breaks the recipe's all-lazy shape, by necessity, and
+        # only when requested. `bpe_prune_min_count`/`bpe_max_words`
+        # bound the driver word table (see ops/bpe.py on what pruning
+        # approximates — on a small or highly diverse curated corpus,
+        # lower the prune to 1 or the merge table degenerates).
         from .bpe import tokenize_bpe, train_bpe
+        ds = ds.materialize()
         model = train_bpe(ds, num_merges=bpe_merges, text_col=text_col,
-                          prune_min_count=2)
+                          prune_min_count=bpe_prune_min_count,
+                          max_words=bpe_max_words)
         ds = tokenize_bpe(ds, model, text_col=text_col)
     return ds

@@ -235,9 +235,14 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
             return ray.data.from_arrow(pa.table(
                 {"node": pa.array([], pa.string()),
                  "pagerank": pa.array([], pa.float64())}))
+        if n > (1 << 31):
+            raise ValueError(
+                "broadcast regime packs (src, dst) into src*n + dst "
+                "int64 keys — beyond 2^31 nodes use mode='join'")
         rank = np.full(n, _PR_SCALE // n, np.int64)
         base = ((d_den - d_num) * _PR_SCALE) // (d_den * n)
         nodes_ref = ray.put(nodes)       # broadcast once, read per actor
+        deg_ref = ray.put(deg)           # immutable: put once, not per iter
 
         # one-time edge indexing: hash the string keys against the node
         # table ONCE and collapse each block's parallel edges into
@@ -260,7 +265,6 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                                       zero_copy_batch=True).materialize()
         for _ in range(num_iters):
             rank_ref = ray.put(rank)
-            deg_ref = ray.put(deg)
 
             def contrib_partial(b: pa.Table, _r=rank_ref,
                                 _g=deg_ref) -> pa.Table:
@@ -276,16 +280,19 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                                  "c": pa.array(sums.astype(np.int64))})
 
             # partials are ≤ per-block-distinct-dst rows; the driver
-            # folds them directly (no per-iteration shuffle stage)
-            parts = pa.concat_tables(list(
-                idx_edges.map_batches(contrib_partial,
-                                      batch_format="pyarrow",
-                                      zero_copy_batch=True)
-                .iter_batches(batch_format="pyarrow", batch_size=None)))
+            # folds them BATCH BY BATCH (no per-iteration shuffle
+            # stage, and no concatenated partial table — driver
+            # residency stays O(n) + one streaming batch even when the
+            # aggregate partial count is edge-bound)
             contrib = np.zeros(n, np.int64)
-            np.add.at(contrib,
-                      parts.column("i").to_numpy(zero_copy_only=False),
-                      parts.column("c").to_numpy(zero_copy_only=False))
+            stream = idx_edges.map_batches(
+                contrib_partial, batch_format="pyarrow",
+                zero_copy_batch=True)
+            for part in stream.iter_batches(batch_format="pyarrow",
+                                            batch_size=None):
+                np.add.at(contrib,
+                          part.column("i").to_numpy(zero_copy_only=False),
+                          part.column("c").to_numpy(zero_copy_only=False))
             share = int(rank[deg == 0].sum()) // n
             rank = base + (d_num * (contrib + share)) // d_den
         return ray.data.from_arrow(pa.table(

@@ -98,12 +98,19 @@ def concat_packed_sequences(ds, *, key_col: str = "doc_id",
     (members' token ids concatenated in ascending ``key_col`` order,
     each doc followed by ``eos_id`` when given), ``n_tokens``,
     ``n_docs`` and ``doc_ids``. The per-doc EOS counts against the
-    ``bin_tokens`` budget, so no sequence ever exceeds it.
+    ``bin_tokens`` budget; no MULTI-doc sequence exceeds it, but a
+    single document whose ids (+EOS) alone exceed the budget is
+    emitted INTACT in its own over-budget bin (``n_docs == 1``,
+    ``n_tokens > bin_tokens``) — truncating or splitting a document is
+    a training-policy decision this op refuses to make silently, and
+    the oversize rows are identifiable for the caller to handle.
 
     Same scale shape as `pack_sequences`: bins never span batches, so
     the whole op is one map_batches pass — the flat id buffer is
-    gathered into bin order with a vectorized ragged-slice gather, no
-    Python loop over documents or tokens, no shuffle."""
+    gathered into bin order with a vectorized ragged-slice gather
+    (ops/kernels.py), no Python loop over documents or tokens, no
+    shuffle."""
+    from .kernels import ragged_positions
 
     def pack(batch: pa.Table) -> pa.Table:
         import uuid
@@ -125,17 +132,15 @@ def concat_packed_sequences(ds, *, key_col: str = "doc_id",
         order = np.lexsort((kv, bin_of))           # bin, then key
         olens = eff[order]
         out_total = int(olens.sum())
-        ends = np.cumsum(olens)
-        starts_out = ends - olens
-        doc_of = np.repeat(np.arange(len(order)), olens)
-        rel = np.arange(out_total, dtype=np.int64) - starts_out[doc_of]
         tok_lens = lens[order]
-        intok = rel < tok_lens[doc_of]
-        out = np.empty(out_total, flat_in.dtype if out_total else np.int32)
-        src = in_start[order][doc_of] + rel
-        out[intok] = flat_in[src[intok]]
-        if eos_id is not None:
-            out[~intok] = eos_id
+        # output slots: per doc, tok_lens tokens then (optionally) EOS;
+        # pre-fill with EOS and scatter the gathered tokens over it
+        out = np.full(out_total, eos_id if eos_id is not None else 0,
+                      flat_in.dtype if out_total else np.int32)
+        starts_out = np.cumsum(olens) - olens
+        out_slots = ragged_positions(starts_out, tok_lens)
+        src = ragged_positions(in_start[order], tok_lens)
+        out[out_slots] = flat_in[src]
         # per-bin boundaries (order is bin-sorted, bins 0..n_bins-1 all
         # non-empty by construction)
         bin_doc_counts = np.bincount(bin_of, minlength=n_bins)

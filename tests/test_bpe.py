@@ -271,6 +271,24 @@ def test_concat_packed_sequences_end_to_end(ray_session):
     assert seen == set(tok_df.index)    # every doc packed exactly once
 
 
+def test_concat_packed_single_overlong_doc_intact(ray_session):
+    """A doc whose ids+EOS alone exceed the budget is emitted INTACT in
+    its own over-budget bin — never truncated or split silently."""
+    from parquet_rs_ray.ops.packing import concat_packed_sequences
+
+    texts = ["a " * 40, "b c"]          # doc 0 far exceeds bin_tokens=8
+    model = train_bpe(_ds(ray_session, texts=texts), num_merges=0)
+    tok = tokenize_bpe(_ds(ray_session, texts=texts), model,
+                       ids_col="ids")
+    out = concat_packed_sequences(tok, ids_col="ids", bin_tokens=8,
+                                  eos_id=257).to_pandas()
+    tok_df = tok.to_pandas().set_index("doc_id")
+    big = out[out["n_tokens"] > 8]
+    assert len(big) == 1 and big.iloc[0]["n_docs"] == 1
+    assert list(big.iloc[0]["input_ids"]) == \
+        list(tok_df.loc[big.iloc[0]["doc_ids"][0], "ids"]) + [257]
+
+
 def test_concat_packed_without_eos(ray_session):
     from parquet_rs_ray.ops.packing import concat_packed_sequences
 
