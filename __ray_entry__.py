@@ -951,6 +951,28 @@ def _pagerank_hosts_documents(sf_dir: str):
     return pagerank(edges, num_iters=10)
 
 
+def _packed_sequences_documents(sf_dir: str):
+    """Training-sequence packing end to end (ops/bpe.py +
+    ops/packing.py::concat_packed_sequences): corpus-trained BPE ids →
+    FFD bins → ONE ROW PER BIN with the concatenated input_ids (per-doc
+    EOS, counted against the 2048-token budget; a single over-budget
+    doc ships intact in its own bin). No shuffle — bins never span
+    batches; the gather is the shared ragged-slice kernel. Rows-only
+    (bin composition is batch-dependent by design); bin reconstruction,
+    EOS budget and doc-conservation invariants are pinned by
+    tests/test_bpe.py."""
+    import ray
+    from parquet_rs_ray.ops.bpe import tokenize_bpe, train_bpe
+    from parquet_rs_ray.ops.packing import concat_packed_sequences
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    model = train_bpe(ds, num_merges=200, prune_min_count=2)
+    tok = tokenize_bpe(ds, model, ids_col="ids")
+    return concat_packed_sequences(tok, ids_col="ids", bin_tokens=2048,
+                                   eos_id=model["vocab_size"])
+
+
 def _corpus_report_documents(sf_dir: str):
     """Per-language corpus profile (ops/textstats.py::corpus_report):
     three fully distributed aggregates (vectorized per-batch combine →
@@ -1600,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lm_score_5gram_documents"] = _lm_score_5gram_documents
     q["bpe_tokenize_documents"] = _bpe_tokenize_documents
     q["pagerank_hosts_documents"] = _pagerank_hosts_documents
+    q["packed_sequences_documents"] = _packed_sequences_documents
     q["lm_bucket_documents"] = _lm_bucket_documents
     q["dup_span_stats_documents"] = _dup_span_stats_documents
     q["dedup_spans_documents"] = _dedup_spans_documents
